@@ -1,0 +1,61 @@
+"""Benchmark harness — runs every registered query at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Materialization is via the noop sink (full execution, no driver
+collect) — the same measurement a cluster job would see. Session
+startup is excluded (BASELINE.md grants that headroom); a warmup query
+primes the JVM/codegen before timing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+from fhir2sql_spark import registry  # noqa: E402
+from fhir2sql_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    registry.load_all()
+    spark = get_spark("bench")
+
+    # warmup: prime codegen/JIT on a trivial plan (not timed)
+    registry.QUERIES["q_scan_count"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in sorted(registry.QUERIES):
+        fn = registry.QUERIES[name]
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "suite_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

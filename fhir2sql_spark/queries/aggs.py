@@ -1,0 +1,200 @@
+"""Aggregation suite (SURVEY.md §2.3 q_agg_*).
+
+The reference's only aggregate is a pushed-down COUNT(*)
+(/root/reference/src/main.rs:141-148, 290-292); this module declares
+the full hash-agg surface on top of it. All double measures go through
+DECIMAL(18,s) *before* summation (exact in Spark and DuckDB, immune to
+float summation order — the oracle hash depends on it). Ratios are
+computed as exact-decimal-sum -> double -> IEEE divide, which is
+bit-identical across engines.
+
+Scale notes: groupBy aggregations here are partial-aggregated map-side
+by Catalyst (HashAggregate -> Exchange -> HashAggregate), so the
+shuffle carries one row per (partition x group), not per input row —
+the pattern that survives 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fhir2sql_spark.registry import query
+from fhir2sql_spark.tables import load
+from fhir2sql_spark.queries.util import dec, exact_div
+
+
+@query(
+    "q_agg_basic",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(18,4)) AS sum_disc_price,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                / COUNT(*) AS DOUBLE) AS avg_qty,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape — scan + filter + multi-measure decimal hash-agg.
+
+    This is the flagship query (`entry(spark)` runs it at sf0.001).
+    """
+    l = load(spark, sf_dir, "lineitem")
+    qty = dec("l_quantity")
+    price = dec("l_extendedprice")
+    disc_price = price * (F.lit(1) - dec("l_discount"))
+    return (
+        l.where(F.col("l_shipdate") <= "1998-09-02 00:00:00")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("decimal(18,4)").alias("sum_qty"),
+            F.sum(price).cast("decimal(18,4)").alias("sum_base_price"),
+            F.sum(disc_price).cast("decimal(18,4)").alias("sum_disc_price"),
+            exact_div(F.sum(qty), F.count(F.lit(1))).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q_agg_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS n_custs,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregate — Catalyst expands to a two-phase agg
+    (Expand + partial agg), distributing the distinct-set memory."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_custs"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@query("q_agg_approx")  # no oracle: HLL sketch differs from DuckDB's; rows-only check
+def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) — the constant-memory
+    distinct path that replaces exact COUNT(DISTINCT) at 100 TB.
+    Sketches merge associatively, so this is one shuffle of fixed-size
+    state regardless of cardinality."""
+    o = load(spark, sf_dir, "orders")
+    return o.agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_custs"),
+        F.countDistinct("o_custkey").alias("exact_custs"),
+    )
+
+
+@query(
+    "q_agg_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def q_agg_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS with grouping flags (Expand-based, single pass)."""
+    o = load(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("v_orders_sets")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price
+        FROM v_orders_sets
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@query(
+    "q_agg_rollup",
+    oracle="""
+    SELECT r_name, n_name,
+           CAST(GROUPING(r_name) AS INT) AS g_region,
+           CAST(GROUPING(n_name) AS INT) AS g_nation,
+           COUNT(*) AS n_custs,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_bal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """region -> nation rollup over a dimension join. nation/region are
+    broadcast (tiny dims) so the only shuffle is the final agg."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    joined = c.join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    ).join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    return joined.rollup("r_name", "n_name").agg(
+        F.grouping("r_name").cast("int").alias("g_region"),
+        F.grouping("n_name").cast("int").alias("g_nation"),
+        F.count(F.lit(1)).alias("n_custs"),
+        F.sum(dec("c_acctbal", 2)).cast("decimal(18,2)").alias("sum_bal"),
+    )
+
+
+@query(
+    "q_agg_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@query(
+    "q_agg_having",
+    oracle="""
+    SELECT l_suppkey,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty
+    FROM lineitem
+    GROUP BY l_suppkey
+    HAVING COUNT(*) > 100
+    """,
+)
+def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (HAVING) — filter sits above the agg in
+    the plan; Catalyst cannot push it down, by design."""
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(dec("l_quantity")).cast("decimal(18,4)").alias("sum_qty"),
+        )
+        .where(F.col("n_items") > 100)
+    )

@@ -1,0 +1,41 @@
+"""Parquet table access for the synthetic star schema (TESTDATA.md).
+
+``load`` is the single scan entry point for all queries so that
+projection/filter pushdown behavior is uniform and auditable with
+``.explain``. Tables are plain parquet files; at 100 TB these would be
+partitioned datasets — the loader API is path-based so nothing changes.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which the Spark reader
+        # rejects. Read nanos as long, then integer-divide to micros
+        # (exact: the generator emits whole-microsecond values; and
+        # int64 `DIV` avoids double rounding at ~1.7e18 ns epochs).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        return df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
