@@ -1,0 +1,239 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact dedup: normalize -> sha256 -> keep min doc_id per hash. One
+shuffle on the 256-bit hash; at 100 TB the hash groupBy is uniform by
+construction (no skew).
+
+Near-dup (exact Jaccard): word 3-gram shingle sets, pairwise Jaccard
+via a shingle-inverted-index self-join. Cost is O(pairs sharing a
+shingle) — correct but quadratic in the worst case; it is the ORACLE
+CONTRACT. The scale path is MinHash banding (minhash_signatures /
+lsh_candidate_pairs below): O(docs x bands) with the same output
+contract on the fixture, probabilistic recall measured against the
+exact operator in tests.
+
+MinHash here is hand-rolled from first principles (universal hashing
+over xxhash64 shingle ids) rather than pyspark.ml's MinHashLSH so the
+signature is reproducible cross-run from a seed and expressible as
+pure column ops (no ML pipeline state).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Mersenne prime 2^31-1: universal-hash modulus. Keeping the domain at
+# 31 bits means a*x products stay under 2^62 — safe in JVM signed-64
+# arithmetic with ANSI overflow checks on.
+_P = (1 << 31) - 1
+
+
+def normalize_text(col: F.Column) -> F.Column:
+    """lower -> collapse whitespace -> trim (the q_dedup_exact norm)."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def exact_dedup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One row per distinct normalized text: (text_hash, keep_doc_id, n_docs)."""
+    h = F.sha2(normalize_text(F.col(text_col)), 256)
+    return (
+        docs.select(F.col(id_col), h.alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+def shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+    """Distinct word n-gram shingles per (doc_id, lang).
+
+    Guard: docs shorter than n words produce an empty set (Spark's
+    sequence(a, b) would generate a DESCENDING range for a > b, so the
+    length check is load-bearing)."""
+    toks = F.split(F.col(text_col), " ")
+    sh = F.when(
+        F.size(toks) >= n,
+        F.expr(
+            f"transform(sequence(1, size(split(text, ' ')) - {n - 1}),"
+            f" i -> concat_ws(' ', slice(split(text, ' '), i, {n})))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select("doc_id", "lang", F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(docs: DataFrame, threshold_num: int, threshold_den: int, n: int = 3) -> DataFrame:
+    """Exact pairwise Jaccard >= threshold within each lang.
+
+    The threshold is applied in exact integer arithmetic
+    (den*common >= num*union) — no float boundary; the emitted `jac`
+    double is the IEEE ratio of exact ints (bit-stable cross-engine).
+    """
+    sh = shingles(docs, n=n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.select(
+        F.col("lang"), F.col("shingle"), F.col("doc_id").alias("doc_a")
+    )
+    b = sh.select(
+        F.col("lang").alias("lang_b"),
+        F.col("shingle").alias("shingle_b"),
+        F.col("doc_id").alias("doc_b"),
+    )
+    common = (
+        a.join(
+            b,
+            (a.lang == b.lang_b)
+            & (a.shingle == b.shingle_b)
+            & (a.doc_a < b.doc_b),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("size_a")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("size_b")
+    )
+    out = (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("union_n", F.col("size_a") + F.col("size_b") - F.col("common"))
+        .where(
+            F.col("common") * threshold_den >= F.col("union_n") * threshold_num
+        )
+    )
+    return out.select(
+        "doc_a",
+        "doc_b",
+        "common",
+        "union_n",
+        (F.col("common").cast("double") / F.col("union_n").cast("double")).alias(
+            "jac"
+        ),
+    )
+
+
+def _minhash_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for h_i(x) = (a*x + b) mod P."""
+    import random
+
+    rng = random.Random(seed)
+    return [(rng.randrange(1, _P), rng.randrange(0, _P)) for _ in range(num_hashes)]
+
+
+def minhash_signatures(
+    docs: DataFrame, num_hashes: int = 32, seed: int = 42, n: int = 3
+) -> DataFrame:
+    """Per-doc MinHash signature: array<long> of length num_hashes.
+
+    Shingles hash to 64-bit ids via xxhash64 (JVM-side, vectorized);
+    each permutation h_i takes a min-aggregate — all map-side partial,
+    one shuffle on doc_id. Python never touches row data.
+    """
+    params = _minhash_params(num_hashes, seed)
+    sh = shingles(docs, n=n).withColumn(
+        "sid", F.pmod(F.xxhash64("shingle"), F.lit(_P))
+    )
+    mins = [
+        F.min((F.col("sid") * F.lit(a) + F.lit(b)) % F.lit(_P)).alias(f"h{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    sig = sh.groupBy("doc_id", "lang").agg(*mins)
+    return sig.select(
+        "doc_id",
+        "lang",
+        F.array(*[f"h{i}" for i in range(num_hashes)]).alias("signature"),
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 8, rows_per_band: int = 4
+) -> DataFrame:
+    """Band the signatures and emit candidate pairs that collide in
+    >=1 band. Banding turns the all-pairs problem into an equi-join on
+    (band_id, band_hash) — the 100 TB-safe shape. Callers verify
+    candidates with exact Jaccard (cheap: candidate set is tiny)."""
+    n = bands * rows_per_band
+    banded = signatures.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.sha2(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("signature").getItem(i).cast("string")
+                                    for i in range(
+                                        b * rows_per_band, (b + 1) * rows_per_band
+                                    )
+                                ],
+                            ),
+                            256,
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bh"),
+    ).select("doc_id", "lang", "bh.band", "bh.band_hash")
+    a = banded.select(
+        "lang", "band", "band_hash", F.col("doc_id").alias("doc_a")
+    )
+    b_ = banded.select(
+        F.col("lang").alias("lang_b"),
+        F.col("band").alias("band_b"),
+        F.col("band_hash").alias("band_hash_b"),
+        F.col("doc_id").alias("doc_b"),
+    )
+    return (
+        a.join(
+            b_,
+            (a.lang == b_.lang_b)
+            & (a.band == b_.band_b)
+            & (a.band_hash == b_.band_hash_b)
+            & (a.doc_a < b_.doc_b),
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def simhash(docs: DataFrame, text_col: str = "text", bits: int = 64) -> DataFrame:
+    """64-bit SimHash over word features: per-bit majority vote of
+    xxhash64(token). Expressed as explode -> per-bit sums -> pack;
+    entirely JVM-side column math, one shuffle on doc_id."""
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    ).withColumn("th", F.xxhash64("tok"))
+    bit_sums = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(bits)
+        ]
+    )
+    packed = bit_sums.select(
+        "doc_id",
+        sum(
+            [
+                F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long") * (1 << i)).otherwise(
+                    F.lit(0).cast("long")
+                )
+                for i in range(bits - 1)  # top bit excluded: keep value positive
+            ],
+            F.lit(0).cast("long"),
+        ).alias("simhash"),
+    )
+    return packed

@@ -1,0 +1,111 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Real image/audio decode libraries are not in this container, so the
+decode kernels are deterministic fakes behind the same mapInPandas
+plumbing a real pipeline would use — the Spark-side contract (schema,
+Arrow batch shape, partitioning) is real and tested; swapping the fake
+for PIL/librosa is a one-function change.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_MIMES = ["image/png", "audio/wav", "application/pdf", "text/plain"]
+
+DECODED_SCHEMA = (
+    "blob_id long, mime_type string, n_bytes int, "
+    "width int, height int, checksum string"
+)
+
+
+def synth_blobs(spark: SparkSession, n: int = 200) -> DataFrame:
+    """Deterministic blob fixture (FIXTURES.md §3 shape, seed-free but
+    fully determined by blob_id): content is sha256-expanded
+    pseudo-random bytes, 64..4096 B; width set for images only.
+    Generated distributively via spark.range — no driver-side data."""
+    base = spark.range(0, n).withColumnRenamed("id", "blob_id")
+    mime = F.element_at(
+        F.array(*[F.lit(m) for m in _MIMES]), (F.col("blob_id") % 4 + 1).cast("int")
+    )
+    blob_len = (F.lit(64) + (F.col("blob_id") * 131) % 4033).cast("int")
+    # expand: repeat sha256 hex of the id-salt until >= 2*len hex chars
+    hex_unit = F.sha2(F.concat(F.lit("blob-"), F.col("blob_id")), 256)  # 64 hex chars
+    repeats = F.ceil(blob_len * 2 / 64).cast("int") + 1
+    content = F.unhex(F.substring(F.repeat(hex_unit, 130), 1, blob_len * 2))
+    width = F.when(
+        F.col("blob_id") % 4 == 0, (64 + (F.col("blob_id") % 10) * 32).cast("int")
+    )
+    caption = F.when(
+        F.col("blob_id") % 3 == 0,
+        F.concat(F.lit("caption for blob "), F.col("blob_id")),
+    )
+    return base.select(
+        "blob_id",
+        mime.alias("mime_type"),
+        content.alias("content"),
+        width.alias("width"),
+        caption.alias("caption"),
+    )
+
+
+def _fake_decode(batch: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic stand-in for an image/audio decoder.
+
+    A real implementation would do
+    ``PIL.Image.open(io.BytesIO(content))`` here — unavailable in this
+    container (see module docstring), so dimensions are derived from
+    the payload's own bytes, keeping the full pipeline testable."""
+    out = []
+    for blob_id, mime, content in zip(
+        batch["blob_id"], batch["mime_type"], batch["content"]
+    ):
+        digest = hashlib.sha256(content).hexdigest()
+        out.append(
+            {
+                "blob_id": blob_id,
+                "mime_type": mime,
+                "n_bytes": len(content),
+                "width": 16 + content[0] % 240 if mime.startswith("image/") else None,
+                "height": 16 + content[1] % 240 if mime.startswith("image/") else None,
+                "checksum": digest,
+            }
+        )
+    return pd.DataFrame(out)
+
+
+def decode_metadata(blobs: DataFrame) -> DataFrame:
+    """mapInPandas decode: Arrow-batched binary columns -> typed
+    metadata. Batch size is bounded by spark.sql.execution.arrow.
+    maxRecordsPerBatch; at 100 TB the input should be partitioned so
+    one partition's blobs fit executor memory (binary columns don't
+    split mid-row)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            yield _fake_decode(batch)
+
+    return blobs.select("blob_id", "mime_type", "content").mapInPandas(
+        fn, DECODED_SCHEMA
+    )
+
+
+def frame_sample(blobs: DataFrame, every_n_bytes: int = 256) -> DataFrame:
+    """'Frame sampling' plumbing for video-ish payloads: explode each
+    blob into fixed-stride byte-window "frames" (a real impl would cut
+    on container keyframes). Shows the binary -> many-rows explode
+    shape with bounded row size."""
+    n_frames = (F.length("content") / every_n_bytes).cast("int") + 1
+    return blobs.select(
+        "blob_id",
+        F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_no"),
+        F.substring(
+            F.col("content"), F.lit(1), F.lit(every_n_bytes)
+        ).alias("frame_bytes"),
+    )

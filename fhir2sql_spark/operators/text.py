@@ -1,0 +1,121 @@
+"""Text-analysis operators for training-data pipelines.
+
+All operators are pure JVM-side column expressions (no Python in the
+hot path): language-ID by stopword-hit ratio, quality scoring from
+length/punctuation/stopword features, token counting (whitespace and a
+BPE-ish regex proxy), and rolling-hash document fingerprints.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language marker lexicons for the heuristic language ID.
+# (The fixture's `lang` column is ground truth; the heuristic is the
+# operator under test, scored against it in tests.)
+_MARKERS = {
+    "en": ["the", "and", "of", "to", "a"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "la", "que", "de", "los"],
+    "it": ["il", "la", "che", "di", "per"],
+}
+
+
+def tokens(col: Column) -> Column:
+    return F.split(col, r"\s+")
+
+
+def token_count_ws(col: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(col))
+
+
+def token_count_bpe_ish(col: Column) -> Column:
+    """BPE-ish proxy: count word pieces + punctuation as separate
+    tokens (regexp-based, mirrors a byte-pair tokenizer's order of
+    magnitude without a vocab)."""
+    pieces = F.regexp_replace(col, r"([^\w\s])", r" $1 ")
+    collapsed = F.trim(F.regexp_replace(pieces, r"\s+", " "))
+    return F.when(collapsed == "", 0).otherwise(F.size(F.split(collapsed, " ")))
+
+
+def marker_hits(col: Column, lang: str) -> Column:
+    toks = tokens(F.lower(col))
+    hits = F.filter(
+        toks, lambda t: t.isin(*_MARKERS[lang])
+    )
+    return F.size(hits)
+
+
+def lang_id(col: Column) -> Column:
+    """Pick the language whose markers hit most (ties: lexicographic
+    language code). Returns 'und' when nothing hits."""
+    scored = F.array(
+        *[
+            F.struct(
+                marker_hits(col, lang).alias("hits"), F.lit(lang).alias("lang")
+            )
+            for lang in sorted(_MARKERS)
+        ]
+    )
+    best = F.array_max(
+        F.transform(
+            scored,
+            lambda s: F.struct(
+                s.getField("hits").alias("hits"),
+                # invert code ordering so array_max prefers the
+                # lexicographically SMALLEST lang on tied hits
+                F.lit(None).cast("string").alias("_pad"),
+                s.getField("lang").alias("lang"),
+            ),
+        )
+    )
+    return F.when(best.getField("hits") > 0, best.getField("lang")).otherwise(
+        F.lit("und")
+    )
+
+
+def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation-ratio / stopword-ratio quality features +
+    a [0,1] score. Deterministic integer/ratio math."""
+    c = F.col(text_col)
+    n_chars = F.length(c)
+    n_tokens = token_count_ws(c)
+    n_punct = n_chars - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    en_hits = marker_hits(c, "en")
+    punct_ratio = n_punct.cast("double") / F.greatest(n_chars, F.lit(1)).cast("double")
+    stop_ratio = en_hits.cast("double") / F.greatest(n_tokens, F.lit(1)).cast("double")
+    mean_tok_len = n_chars.cast("double") / F.greatest(n_tokens, F.lit(1)).cast("double")
+    score = (
+        F.when(n_tokens >= 10, F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when((mean_tok_len >= 3) & (mean_tok_len <= 12), F.lit(0.3)).otherwise(
+            F.lit(0.0)
+        )
+        + F.when(punct_ratio <= 0.1, F.lit(0.3)).otherwise(F.lit(0.0))
+    )
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars_m"),
+        n_tokens.alias("n_tokens"),
+        n_punct.alias("n_punct"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(mean_tok_len, 6).alias("mean_tok_len"),
+        F.round(score, 1).alias("quality_score"),
+    )
+
+
+def fingerprint(col: Column, prime: int = 31, mod: int = (1 << 31) - 1) -> Column:
+    """Polynomial rolling hash over characters, mod 2^31-1.
+
+    Expressible in both engines (aggregate fold in Spark, list_reduce-
+    free running form in SQL) — used as the oracle-checkable document
+    fingerprint. Fold order is left-to-right, deterministic."""
+    chars = F.split(col, "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * prime + F.ascii(ch)) % mod,
+    )

@@ -1,1 +1,287 @@
-"""Placeholder — populated in a later milestone."""
+"""Join suite (SURVEY.md §2.3 q_join_*).
+
+The reference's single join is the CDC diff (full-outer by key,
+/root/reference/src/main.rs:227-248) realized as a driver-side map
+probe; this module declares the full join surface the engine supports.
+
+Physical-strategy notes (verified via .explain at sf0.1):
+  - dimension joins (nation/region/part/supplier) are broadcast —
+    no shuffle of the fact side; at 100 TB the fact table streams
+    through map-side BroadcastHashJoin.
+  - fact-fact equi joins (orders x customer, lineitem x orders)
+    sort-merge-shuffle on the key; AQE converts to broadcast when a
+    filtered side fits under the threshold.
+  - the theta join is a BroadcastNestedLoopJoin on deliberately tiny
+    inputs (10x10) — the only strategy for arbitrary inequalities.
+  - the as-of join is the composed operator in operators/asof.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fhir2sql_spark.operators.asof import asof_join
+from fhir2sql_spark.registry import query
+from fhir2sql_spark.tables import load
+from fhir2sql_spark.queries.util import dec
+
+
+@query(
+    "q_join_inner",
+    oracle="""
+    SELECT n_name,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price,
+           COUNT(*) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way inner join + agg. orders⋈customer shuffles on custkey;
+    nation broadcasts."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(dec("o_totalprice", 2)).cast("decimal(18,2)").alias("sum_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "q_join_left",
+    oracle="""
+    SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey
+    """,
+)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving order-less customers (count = 0)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@query(
+    "q_join_full",
+    oracle="""
+    WITH src AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 10 <> 3),
+         mir AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 10 <> 7)
+    SELECT COALESCE(s.k, m.k) AS res_key,
+           s.k IS NOT NULL AS in_src,
+           m.k IS NOT NULL AS in_mir
+    FROM src s FULL OUTER JOIN mir m ON s.k = m.k
+    """,
+)
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bare full-outer join on the derived key sets (the q_sync_diff
+    shape without the CDC tag)."""
+    o = load(spark, sf_dir, "orders")
+    src = o.where(F.col("o_orderkey") % 10 != 3).select(
+        F.col("o_orderkey").alias("s_k")
+    )
+    mir = o.where(F.col("o_orderkey") % 10 != 7).select(
+        F.col("o_orderkey").alias("m_k")
+    )
+    return src.join(mir, src.s_k == mir.m_k, "full_outer").select(
+        F.coalesce("s_k", "m_k").alias("res_key"),
+        F.col("s_k").isNotNull().alias("in_src"),
+        F.col("m_k").isNotNull().alias("in_mir"),
+    )
+
+
+@query(
+    "q_join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi: customers having >=1 order; no row multiplication."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "q_join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+    )
+    """,
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti — the reference's insert/delete derivation pattern
+    (src/main.rs:243-247, 279-282). The date filter on the right side
+    keeps the result non-trivial (customers with no 1999+ orders)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= "1999-01-01 00:00:00"
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "q_join_broadcast",
+    oracle="""
+    SELECT p_brand,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand IN ('Brand#12', 'Brand#21')
+    GROUP BY p_brand
+    """,
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast-hash join: the filtered part dim ships to
+    every task; lineitem never shuffles (map-side join + partial agg).
+    The same result as a shuffle join — physical-only difference."""
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").where(
+        F.col("p_brand").isin("Brand#12", "Brand#21")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(dec("l_quantity")).cast("decimal(18,4)").alias("sum_qty"),
+        )
+    )
+
+
+@query(
+    "q_join_theta",
+    oracle="""
+    SELECT a.s_suppkey AS a_suppkey, b.s_suppkey AS b_suppkey,
+           CAST(CAST(a.s_acctbal AS DECIMAL(18,2))
+                - CAST(b.s_acctbal AS DECIMAL(18,2)) AS DECIMAL(18,2)) AS bal_gap
+    FROM supplier a JOIN supplier b ON a.s_acctbal > b.s_acctbal
+    WHERE a.s_suppkey < 10 AND b.s_suppkey < 10
+    """,
+)
+def q_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inequality (theta) self-join on a bounded 10x10 slice —
+    BroadcastNestedLoopJoin, the only strategy for arbitrary theta.
+    At scale, theta joins need banding/binning to become equi-joins;
+    q_join_range shows the equi+residual form."""
+    s = load(spark, sf_dir, "supplier").where(F.col("s_suppkey") < 10)
+    a = s.select(
+        F.col("s_suppkey").alias("a_suppkey"), F.col("s_acctbal").alias("a_bal")
+    )
+    b = s.select(
+        F.col("s_suppkey").alias("b_suppkey"), F.col("s_acctbal").alias("b_bal")
+    )
+    return a.join(b, F.col("a_bal") > F.col("b_bal")).select(
+        "a_suppkey",
+        "b_suppkey",
+        (dec("a_bal", 2) - dec("b_bal", 2)).cast("decimal(18,2)").alias("bal_gap"),
+    )
+
+
+@query(
+    "q_join_range",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_shipdate AS DATE) AS ship_date,
+           CAST(o_orderdate AS DATE) AS order_date
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 30 DAY
+    """,
+)
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join as equi-join + range residual: Catalyst keys the
+    shuffle on l_orderkey = o_orderkey and evaluates the interval
+    predicate post-match — the scalable plan (no nested loop)."""
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_shipdate").cast("date").alias("ship_date"),
+            F.col("o_orderdate").cast("date").alias("order_date"),
+        )
+    )
+
+
+@query(
+    "q_join_asof",
+    oracle="""
+    WITH probes AS (
+        SELECT o_orderkey,
+               o_custkey % 150 AS user_id,
+               TIMESTAMP '2024-01-01 00:00:00'
+                 + INTERVAL (o_orderkey % 720) HOUR AS probe_ts
+        FROM orders
+    ), cand AS (
+        SELECT p.o_orderkey, p.user_id, p.probe_ts, e.event_id,
+               e.ts AS event_ts,
+               ROW_NUMBER() OVER (PARTITION BY p.o_orderkey
+                                  ORDER BY e.ts DESC, e.event_id DESC) AS rn
+        FROM probes p
+        JOIN events e ON e.user_id = p.user_id AND e.ts <= p.probe_ts
+    )
+    SELECT o_orderkey, user_id,
+           strftime(probe_ts, '%Y-%m-%d %H:%M:%S') AS probe_time,
+           event_id,
+           strftime(event_ts, '%Y-%m-%d %H:%M:%S.%f') AS event_time
+    FROM cand WHERE rn = 1
+    """,
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: latest event per user at-or-before each probe time
+    (tie-break: max event_id). Probe times are derived
+    deterministically from orders onto the events calendar. Spark has
+    no native as-of; operators/asof.py composes it."""
+    o = load(spark, sf_dir, "orders")
+    e = load(spark, sf_dir, "events")
+    probes = o.select(
+        "o_orderkey",
+        (F.col("o_custkey") % 150).alias("user_id"),
+        F.expr(
+            "timestamp '2024-01-01 00:00:00'"
+            " + make_interval(0, 0, 0, 0, cast(o_orderkey % 720 as int), 0, 0)"
+        ).alias("probe_ts"),
+    )
+    events = e.select("user_id", "event_id", F.col("ts").alias("event_ts"))
+    matched = asof_join(
+        probes,
+        events,
+        on="user_id",
+        left_ts="probe_ts",
+        right_ts="event_ts",
+        probe_key="o_orderkey",
+        tie_break="event_id",
+    )
+    return matched.select(
+        "o_orderkey",
+        "user_id",
+        F.date_format("probe_ts", "yyyy-MM-dd HH:mm:ss").alias("probe_time"),
+        "event_id",
+        F.date_format("event_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("event_time"),
+    )

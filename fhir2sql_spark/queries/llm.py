@@ -1,1 +1,370 @@
-"""Placeholder — populated in a later milestone."""
+"""LLM training-data pipeline queries (SURVEY.md §2.3 M6 + the
+first-class extras: minhash/simhash dedup, ANN similarity, language
+ID, quality scoring, token counting, fingerprinting).
+
+These are the operators a 100 TB pretraining-data pipeline needs; the
+exact variants carry DuckDB oracles, the probabilistic scale paths
+(MinHash banding, cosine LSH) are rows-only checked by the driver and
+recall-tested against their exact twins in tests/test_llm_ops.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from fhir2sql_spark.operators import dedup, similarity, text as text_ops
+from fhir2sql_spark.registry import query
+from fhir2sql_spark.tables import load
+from fhir2sql_spark.queries.util import exact_div
+
+
+@query(
+    "q_dedup_exact",
+    oracle="""
+    SELECT sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS text_hash,
+           MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: normalize -> sha256 -> keep min doc_id per hash."""
+    return dedup.exact_dedup_groups(load(spark, sf_dir, "documents"))
+
+
+@query(
+    "q_dedup_near",
+    oracle="""
+    WITH s AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id, lang,
+               toks[CAST(i AS INT)] || ' ' || toks[CAST(i+1 AS INT)]
+                 || ' ' || toks[CAST(i+2 AS INT)] AS shingle
+        FROM s, range(1, 2000) t(i) WHERE i <= len(toks) - 2
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+        FROM sh a JOIN sh b
+          ON a.lang = b.lang AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, common,
+           sa.n + sb.n - common AS union_n,
+           CAST(common AS DOUBLE) / CAST(sa.n + sb.n - common AS DOUBLE) AS jac
+    FROM pairs p
+    JOIN sz sa ON p.doc_a = sa.doc_id
+    JOIN sz sb ON p.doc_b = sb.doc_id
+    WHERE common * 5 >= (sa.n + sb.n - common) * 4
+    """,
+)
+def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs: word-3-gram Jaccard >= 0.8 within each lang,
+    threshold applied in exact integer arithmetic (4/5). This exact
+    variant IS the oracle contract; q_dedup_minhash is the scale path
+    with the same output shape."""
+    return dedup.jaccard_pairs(
+        load(spark, sf_dir, "documents"), threshold_num=4, threshold_den=5
+    )
+
+
+@query("q_dedup_minhash")  # probabilistic: rows-only; recall vs exact in tests
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32 perms, seed 42) + 8x4 banding -> candidate pairs ->
+    exact Jaccard verification on candidates only. Same output contract
+    as q_dedup_near but O(docs x bands) instead of O(shingle pairs) —
+    the 100 TB path."""
+    docs = load(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs, num_hashes=32, seed=42)
+    cands = dedup.lsh_candidate_pairs(sigs, bands=8, rows_per_band=4)
+    exact = dedup.jaccard_pairs(docs, threshold_num=4, threshold_den=5)
+    return cands.join(exact, ["doc_a", "doc_b"]).select(
+        "doc_a", "doc_b", "common", "union_n", "jac"
+    )
+
+
+@query("q_dedup_simhash")  # engine-specific hash: rows-only
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """63-bit SimHash per document + near-pair candidates at Hamming
+    distance <= 3, via 4-segment pigeonhole banding (any pair within
+    distance 3 shares >=1 exact 16-bit segment) — equi-join shape,
+    never all-pairs."""
+    docs = load(spark, sf_dir, "documents")
+    sh = dedup.simhash(docs)
+    seg = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("seg_no"),
+                        F.shiftright(F.col("simhash"), i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("seg"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("s"),
+    ).select("doc_id", "simhash", "s.seg_no", "s.seg")
+    a = seg.select(
+        "seg_no", "seg", F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a")
+    )
+    b = seg.select(
+        F.col("seg_no").alias("seg_no_b"),
+        F.col("seg").alias("seg_b"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("sh_b"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (a.seg_no == b.seg_no_b) & (a.seg == b.seg_b) & (a.doc_a < b.doc_b),
+        )
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .where(F.col("hamming") <= 3)
+    )
+    return pairs.select("doc_a", "doc_b", "hamming")
+
+
+@query(
+    "q_embed_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+    scored AS (
+        SELECT q_id, c_id,
+               list_dot_product(qv, cv)
+                 / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+                 AS cosine
+        FROM q, c WHERE q_id <> c_id
+    ), ranked AS (
+        SELECT q_id, c_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY cosine DESC, c_id) AS rn
+        FROM scored
+    )
+    SELECT q_id, c_id, round(cosine, 4) AS cosine, rn
+    FROM ranked WHERE rn <= 5
+    """,
+)
+def q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for query vectors vec_id < 10 (self
+    excluded, ties by candidate id). Brute-force baseline; see
+    q_embed_ann for the bucketed scale path."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(
+        emb.where(F.col("vec_id") < 10), emb, k=5
+    )
+
+
+@query("q_embed_ann")  # probabilistic (LSH buckets): rows-only; recall in tests
+def q_embed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via random-hyperplane LSH (8 planes, seed 42):
+    exact ranking restricted to same-bucket candidates — the equi-join
+    shape that scales to 100 TB corpora."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.ann_topk_lsh(
+        emb.where(F.col("vec_id") < 10), emb, k=5, n_planes=8, seed=42
+    )
+
+
+@query(
+    "q_text_stats",
+    oracle="""
+    WITH toks AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents
+    ), counts AS (
+        SELECT lang, token, COUNT(*) AS cnt FROM toks GROUP BY 1, 2
+    ), ranked AS (
+        SELECT lang, token, cnt,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY cnt DESC, token) AS rn
+        FROM counts
+    )
+    SELECT lang, token, cnt, rn FROM ranked WHERE rn <= 10
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-lang top-10 tokens by (count DESC, token)."""
+    d = load(spark, sf_dir, "documents")
+    counts = (
+        d.select("lang", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), F.col("token"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 10)
+        .select("lang", "token", "cnt", "rn")
+    )
+
+
+@query(
+    "q_text_lang_profile",
+    oracle="""
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS total_chars,
+           CAST(CAST(SUM(len(string_split(text, ' '))) AS DOUBLE)
+                / COUNT(*) AS DOUBLE) AS avg_tokens
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def q_text_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (lang, source) profile: doc count, char volume, exact-ratio
+    average token count."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        exact_div(
+            F.sum(F.size(F.split("text", " "))), F.count(F.lit(1))
+        ).alias("avg_tokens"),
+    )
+
+
+@query(
+    "q_text_langid",
+    oracle="""
+    WITH hits AS (
+        SELECT doc_id, lang AS true_lang,
+           len(list_filter(string_split(lower(text),' '),
+               x -> x IN ('der','die','und','das','ist'))) AS h_de,
+           len(list_filter(string_split(lower(text),' '),
+               x -> x IN ('the','and','of','to','a'))) AS h_en,
+           len(list_filter(string_split(lower(text),' '),
+               x -> x IN ('el','la','que','de','los'))) AS h_es,
+           len(list_filter(string_split(lower(text),' '),
+               x -> x IN ('le','la','et','les','des'))) AS h_fr,
+           len(list_filter(string_split(lower(text),' '),
+               x -> x IN ('il','la','che','di','per'))) AS h_it
+        FROM documents
+    )
+    SELECT doc_id, true_lang,
+           CASE WHEN greatest(h_de,h_en,h_es,h_fr,h_it) = 0 THEN 'und'
+                WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr AND h_de >= h_it THEN 'de'
+                WHEN h_en >= h_es AND h_en >= h_fr AND h_en >= h_it THEN 'en'
+                WHEN h_es >= h_fr AND h_es >= h_it THEN 'es'
+                WHEN h_fr >= h_it THEN 'fr'
+                ELSE 'it' END AS pred_lang
+    FROM hits
+    """,
+)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: argmax of marker-lexicon hits (ties ->
+    lexicographically smallest code; zero hits -> 'und')."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("true_lang"),
+        text_ops.lang_id(F.col("text")).alias("pred_lang"),
+    )
+
+
+@query(
+    "q_text_quality",
+    oracle="""
+    WITH f AS (
+        SELECT doc_id,
+               len(text) AS n_chars_m,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(text) - len(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct,
+               len(list_filter(string_split(lower(text), ' '),
+                   x -> x IN ('the','and','of','to','a'))) AS en_hits
+        FROM documents
+    )
+    SELECT doc_id, n_chars_m, n_tokens, n_punct,
+           round(CAST(n_punct AS DOUBLE) / greatest(n_chars_m, 1), 6) AS punct_ratio,
+           round(CAST(en_hits AS DOUBLE) / greatest(n_tokens, 1), 6) AS stop_ratio,
+           round(CAST(n_chars_m AS DOUBLE) / greatest(n_tokens, 1), 6) AS mean_tok_len,
+           round(CASE WHEN n_tokens >= 10 THEN 0.4 ELSE 0.0 END
+               + CASE WHEN CAST(n_chars_m AS DOUBLE)/greatest(n_tokens,1) >= 3
+                       AND CAST(n_chars_m AS DOUBLE)/greatest(n_tokens,1) <= 12
+                      THEN 0.3 ELSE 0.0 END
+               + CASE WHEN CAST(n_punct AS DOUBLE)/greatest(n_chars_m,1) <= 0.1
+                      THEN 0.3 ELSE 0.0 END, 1) AS quality_score
+    FROM f
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality features (length / punct ratio / stopword ratio) + a
+    banded [0,1] score. Lowercase-insensitive stopword hits; all
+    ratios are exact-int IEEE divisions."""
+    d = load(spark, sf_dir, "documents")
+    # marker_hits lowercases inside; quality_features uses en markers
+    return text_ops.quality_features(d)
+
+
+@query(
+    "q_text_tokens",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS ws_tokens,
+           len(string_split(trim(regexp_replace(
+               regexp_replace(text, '([^\\w\\s])', ' \\1 ', 'g'),
+               '\\s+', ' ', 'g')), ' ')) AS bpe_ish_tokens
+    FROM documents
+    """,
+)
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace + BPE-ish (punctuation-splitting
+    regex proxy)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        text_ops.token_count_ws(F.col("text")).alias("ws_tokens"),
+        text_ops.token_count_bpe_ish(F.col("text")).alias("bpe_ish_tokens"),
+    )
+
+
+@query(
+    "q_text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split(text, ''),
+                                  c -> CAST(ascii(c) AS BIGINT))),
+               (acc, ch) -> (acc * 31 + ch) % 2147483647) AS fp
+    FROM documents
+    """,
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling-hash fingerprint (base 31, mod 2^31-1),
+    folded left-to-right — identical in both engines."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", text_ops.fingerprint(F.col("text")).alias("fp")
+    )
+
+
+@query("q_multimodal_meta")  # fixture synthesized in-plan: rows-only
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal metadata rollup over a deterministic binary-blob
+    fixture (FIXTURES.md §3 shape, synthesized in-plan until the
+    driver materializes blobs.parquet): per mime_type count, total
+    payload bytes, and the sha256 of the smallest blob (ties by
+    blob_id). Exercises BinaryType + length/sha2 over binary."""
+    from fhir2sql_spark.operators.multimodal import synth_blobs
+
+    blobs = synth_blobs(spark, n=200)
+    w = Window.partitionBy("mime_type").orderBy(
+        F.length("content").asc(), F.col("blob_id").asc()
+    )
+    ranked = blobs.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("mime_type").agg(
+        F.count(F.lit(1)).alias("n_blobs"),
+        F.sum(F.length("content")).alias("total_bytes"),
+        F.max(F.when(F.col("rn") == 1, F.sha2(F.col("content"), 256))).alias(
+            "smallest_sha"
+        ),
+    )

@@ -1,1 +1,256 @@
-"""Placeholder — populated in a later milestone."""
+"""Scalar-function suites (SURVEY.md §2.3 M3): string, date, math,
+conditional, array, map, json.
+
+The reference's scalar surface is exactly: JSON-path get + string->int
+cast (/root/reference/src/main.rs:37-46) and a lowercase() on table
+names (src/main.rs:185). Everything else is new engine surface.
+
+Cross-engine determinism notes (empirically verified against DuckDB):
+  - regexp kept POSIX-simple (Java vs RE2 divergence);
+    no-match regexp_extract returns '' in both engines.
+  - power() avoided in favor of exact decimal self-multiplication;
+    sqrt is IEEE-correctly-rounded in both; ln checked empirically.
+  - all element/slice indexing is 1-based in both engines'
+    emitted form (Spark getItem is 0-based — adjusted).
+  - map outputs are emitted as extracted scalar columns (sorted key
+    list + per-key values), never as a serialized MAP.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fhir2sql_spark.registry import query
+from fhir2sql_spark.tables import load
+from fhir2sql_spark.queries.util import dec
+
+
+@query(
+    "q_str_funcs",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name) AS name_upper,
+           lower(p_type) AS type_lower,
+           substring(p_name, 1, 8) AS name_prefix,
+           concat_ws('-', p_brand, p_type) AS brand_type,
+           length(p_name) AS name_len,
+           trim(p_name) AS name_trim,
+           replace(p_name, ' ', '_') AS name_snake,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+           string_split(p_type, ' ')[1] AS type_first,
+           p_name LIKE '%green%' AS has_green,
+           regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num
+    FROM part
+    """,
+)
+def q_str_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_type").alias("type_lower"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
+        F.length("p_name").alias("name_len"),
+        F.trim("p_name").alias("name_trim"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.split("p_type", " ").getItem(0).alias("type_first"),
+        F.col("p_name").like("%green%").alias("has_green"),
+        F.regexp_extract("p_brand", "([0-9]+)", 1).alias("brand_num"),
+    )
+
+
+@query(
+    "q_date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate) AS o_year,
+           month(o_orderdate) AS o_month,
+           dayofmonth(o_orderdate) AS o_day,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS days_to_y2k,
+           CAST(o_orderdate AS DATE) + 30 AS due_date,
+           CAST(last_day(o_orderdate) AS DATE) AS month_end,
+           CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) AS epoch_s
+    FROM orders
+    """,
+)
+def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time functions anchored to fixed literals; all outputs are
+    DATE/INT (never raw timestamps — SURVEY determinism rules)."""
+    o = load(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).alias("o_year"),
+        F.month(d).alias("o_month"),
+        F.dayofmonth(d).alias("o_day"),
+        F.date_trunc("month", d).cast("date").alias("month_start"),
+        F.datediff(F.lit("2000-01-01").cast("date"), d.cast("date")).alias(
+            "days_to_y2k"
+        ),
+        F.date_add(d.cast("date"), 30).alias("due_date"),
+        F.last_day(d).alias("month_end"),
+        F.unix_timestamp(d).alias("epoch_s"),
+    )
+
+
+@query(
+    "q_math_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(CAST(l_extendedprice AS DECIMAL(18,4)), 0) AS price_round,
+           abs(CAST(l_discount AS DECIMAL(18,4)) - 0.05) AS disc_dev,
+           CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
+           CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+           l_orderkey % 7 AS key_mod,
+           CAST(CAST(l_quantity AS DECIMAL(18,4))
+                * CAST(l_quantity AS DECIMAL(18,4)) AS DECIMAL(18,4)) AS qty_sq,
+           sqrt(l_quantity) AS qty_sqrt,
+           greatest(l_tax, l_discount) AS max_rate,
+           least(l_tax, l_discount) AS min_rate
+    FROM lineitem
+    """,
+)
+def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math functions on DECIMAL-cast inputs. qty_sq is power(x,2) in
+    exact decimal form; sqrt stays double (IEEE-correctly-rounded in
+    both engines, bit-identical)."""
+    l = load(spark, sf_dir, "lineitem")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(dec("l_extendedprice"), 0).alias("price_round"),
+        F.abs(dec("l_discount") - F.lit("0.05").cast("decimal(18,4)")).alias(
+            "disc_dev"
+        ),
+        F.ceil("l_quantity").cast("bigint").alias("qty_ceil"),
+        F.floor("l_extendedprice").cast("bigint").alias("price_floor"),
+        (F.col("l_orderkey") % 7).alias("key_mod"),
+        (dec("l_quantity") * dec("l_quantity"))
+        .cast("decimal(18,4)")
+        .alias("qty_sq"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        F.greatest("l_tax", "l_discount").alias("max_rate"),
+        F.least("l_tax", "l_discount").alias("min_rate"),
+    )
+
+
+@query(
+    "q_case_coalesce",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice < 100000 THEN 'low'
+                WHEN o_totalprice < 300000 THEN 'mid'
+                ELSE 'high' END AS price_band,
+           coalesce(nullif(o_orderstatus, 'P'), 'PENDING') AS status_norm,
+           CASE WHEN o_totalprice > 250000 THEN 'big' ELSE 'small' END AS size_tag
+    FROM orders
+    """,
+)
+def q_case_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") < 100000, "low")
+        .when(F.col("o_totalprice") < 300000, "mid")
+        .otherwise("high")
+        .alias("price_band"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("PENDING")).alias(
+            "status_norm"
+        ),
+        F.when(F.col("o_totalprice") > 250000, "big")
+        .otherwise("small")
+        .alias("size_tag"),
+    )
+
+
+@query(
+    "q_array_funcs",
+    oracle="""
+    SELECT vec_id,
+           len(embedding) AS dim,
+           embedding[1] AS first_elem,
+           embedding[1:4] AS head4,
+           list_contains([vec_id % 5, vec_id % 7], CAST(label % 5 AS BIGINT)) AS has_label_mod,
+           list_sort([vec_id % 5, vec_id % 7, vec_id % 11]) AS mods_sorted
+    FROM embeddings
+    """,
+)
+def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array functions over the embedding column. Indexing emitted
+    1-based (element_at/list index agree across engines); float32
+    values pass through unwidened-exactly."""
+    e = load(spark, sf_dir, "embeddings")
+    mods = F.array(F.col("vec_id") % 5, F.col("vec_id") % 7)
+    mods3 = F.array(F.col("vec_id") % 5, F.col("vec_id") % 7, F.col("vec_id") % 11)
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).alias("first_elem"),
+        F.slice("embedding", 1, 4).alias("head4"),
+        F.array_contains(mods, (F.col("label") % 5).cast("bigint")).alias(
+            "has_label_mod"
+        ),
+        F.sort_array(mods3).alias("mods_sorted"),
+    )
+
+
+@query(
+    "q_map_funcs",
+    oracle="""
+    SELECT event_id,
+           2 AS map_size,
+           'et,uid' AS keys_sorted,
+           event_type AS et_val,
+           CAST(user_id AS VARCHAR) AS uid_val
+    FROM events
+    """,
+)
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map functions (str_to_map/map_keys/element_at), with outputs
+    emitted as extracted scalars — the closed-form oracle avoids MAP
+    serialization differences (SURVEY §2.3 note). The Spark side
+    really builds and probes a MapType column."""
+    e = load(spark, sf_dir, "events")
+    kv = F.concat(F.lit("et="), F.col("event_type"), F.lit(",uid="), F.col("user_id"))
+    m = F.str_to_map(kv, F.lit(","), F.lit("="))
+    return e.select(
+        "event_id",
+        F.size(m).alias("map_size"),
+        F.concat_ws(",", F.sort_array(F.map_keys(m))).alias("keys_sorted"),
+        F.element_at(m, "et").alias("et_val"),
+        F.element_at(m, "uid").alias("uid_val"),
+    )
+
+
+@query(
+    "q_json_funcs",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           json_extract_string(props, '$.k') AS k_tup,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+           json_extract_string(props, '$.k') AS k_roundtrip
+    FROM events
+    """,
+)
+def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON surface: get_json_object, json_tuple, from_json(schema),
+    and a to_json round-trip re-extracted (canonical comparison per
+    SURVEY §2.3 — raw to_json strings differ in key ordering across
+    engines, extracted fields cannot)."""
+    e = load(spark, sf_dir, "events")
+    parsed = F.from_json("props", "k INT")
+    roundtrip = F.to_json(F.struct(F.get_json_object("props", "$.k").cast("int").alias("k")))
+    return (
+        e.select(
+            "event_id",
+            F.get_json_object("props", "$.k").alias("k_str"),
+            F.json_tuple(F.col("props"), "k").alias("k_tup"),
+            parsed.getField("k").alias("k_int"),
+            F.get_json_object(roundtrip, "$.k").alias("k_roundtrip"),
+        )
+    )

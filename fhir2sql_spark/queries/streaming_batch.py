@@ -1,1 +1,170 @@
-"""Placeholder — populated in a later milestone."""
+"""Streaming-shaped queries, batch-checked (SURVEY.md §2.3 M5).
+
+Each query here is the batch rendering of a Structured Streaming
+computation; tests/test_streaming.py re-runs the same logic through
+``readStream`` (file source, Trigger.AvailableNow, temp checkpoint)
+and asserts streaming-batch equivalence — the engine's replacement for
+the reference's poll-scheduler micro-batching
+(/root/reference/src/main.rs:199-270, 390-411).
+
+Determinism: window starts are emitted as formatted strings (never raw
+timestamps); sums go through DECIMAL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fhir2sql_spark.registry import query
+from fhir2sql_spark.tables import load
+from fhir2sql_spark.queries.util import dec
+
+_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+@query(
+    "q_tumble",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_tumble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling window per event_type (F.window group)."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value", 2)).cast("decimal(18,2)").alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", _FMT).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "q_slide",
+    oracle="""
+    WITH assigned AS (
+        SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start, event_type
+        FROM events
+        UNION ALL
+        SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes',
+               event_type
+        FROM events
+    )
+    SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, COUNT(*) AS n_events
+    FROM assigned GROUP BY 1, 2
+    """,
+)
+def q_slide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1 hour, 30-minute slide): every event lands in
+    exactly two windows (Expand-based assignment, no self-join)."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format("w.start", _FMT).alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+@query(
+    "q_session",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts >= COALESCE(
+                        LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                        TIMESTAMP '1970-01-01 00:00:00')
+                      + INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ), numbered AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM flagged
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+    FROM numbered
+    GROUP BY user_id, session_no
+    """,
+)
+def q_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows, 30-minute gap (F.session_window).
+    Spark merges an event into the session while ts < prev_end
+    (half-open); the gaps-and-islands oracle mirrors that with a
+    `>= prev + gap` break condition."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value", 2)).cast("decimal(18,2)").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_start"
+            ),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query("q_late_data")  # no oracle: watermark is a streaming-only effect
+def q_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """withWatermark + tumble. In batch execution the watermark is a
+    no-op (this equals q_tumble restricted to its columns); the actual
+    late-drop semantics are asserted in tests/test_streaming.py via a
+    two-batch replay (SURVEY §5.2-3)."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format("w.start", _FMT).alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+@query(
+    "q_stream_dedup",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(value AS DECIMAL(18,2)) AS value
+    FROM events
+    """,
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful dedup by event_id after injecting duplicates via
+    self-union — mirrors the idempotent re-sync property of the
+    reference (re-running a converged sync is all-noop,
+    src/main.rs:159-164). Streaming twin: dropDuplicatesWithinWatermark."""
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", dec("value", 2).alias("value")
+    )
+    doubled = e.unionByName(e)
+    return doubled.dropDuplicates(["event_id"])

@@ -1,1 +1,125 @@
-"""Placeholder — populated in a later milestone."""
+"""UDF / pandas-UDF / UDTF surface (SURVEY.md §2.3 M3).
+
+The reference has no user-defined functions (host-language Rust only);
+this declares the engine's three Python extension points and their
+cost model:
+
+  - q_udf_scalar: row-at-a-time Python UDF — the SLOW path (per-row
+    serialization through the JVM->Python bridge). Declared for
+    completeness; the oracle proves it equals the closed-form SQL that
+    should replace it in production plans.
+  - q_udf_pandas: Arrow-batched vectorized compute via applyInPandas —
+    the sanctioned Python path (10-100x the row UDF).
+  - q_udtf_explode: generator semantics via posexplode — fully
+    JVM-side; a Python UDTF would only be needed for opaque logic.
+"""
+
+from __future__ import annotations
+
+from decimal import ROUND_HALF_UP, Decimal
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DecimalType
+
+from fhir2sql_spark.registry import query
+from fhir2sql_spark.tables import load
+from fhir2sql_spark.queries.util import dec
+
+_Q6 = Decimal("0.000001")
+
+
+def _charge(price, tax, disc):
+    if price is None or tax is None or disc is None:
+        return None
+    return (price * (1 - disc) * (1 + tax)).quantize(_Q6, rounding=ROUND_HALF_UP)
+
+
+@query(
+    "q_udf_scalar",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l_discount AS DECIMAL(8,4)))
+                * (1 + CAST(l_tax AS DECIMAL(8,4))) AS DECIMAL(18,6)) AS charge
+    FROM lineitem
+    """,
+)
+def q_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDF charge(price,tax,disc) = price*(1-disc)*(1+tax),
+    exact Decimal arithmetic quantized HALF_UP. Input precisions are
+    kept small (12,2 / 8,4) so the exact product fits under DuckDB's
+    38-digit ceiling, and the output scale (6) covers the product's
+    true scale exactly — no downscale rounding anywhere (DuckDB's
+    decimal cast TRUNCATES while Spark's rounds, so any lossy cast in
+    an oracle is a correctness bug)."""
+    charge_udf = F.udf(_charge, DecimalType(18, 6))
+    l = load(spark, sf_dir, "lineitem")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        charge_udf(
+            F.col("l_extendedprice").cast("decimal(12,2)"),
+            F.col("l_tax").cast("decimal(8,4)"),
+            F.col("l_discount").cast("decimal(8,4)"),
+        ).alias("charge"),
+    )
+
+
+def _zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+    x = pdf["o_totalprice"]
+    mu = x.mean()
+    sd = x.std(ddof=0)
+    z = (x - mu) / sd if sd > 0 else x * 0.0
+    return pd.DataFrame(
+        {
+            "o_orderkey": pdf["o_orderkey"],
+            "o_orderpriority": pdf["o_orderpriority"],
+            "z": z.round(4),
+        }
+    )
+
+
+@query(
+    "q_udf_pandas",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           round((o_totalprice - AVG(o_totalprice) OVER w)
+                 / STDDEV_POP(o_totalprice) OVER w, 4) AS z
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority)
+    """,
+)
+def q_udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized per-group z-score (population stddev) through
+    applyInPandas: one Arrow batch per group, numpy compute. Grouping
+    key cardinality (5 priorities) is low here; at 100 TB the key
+    would need to be a salted composite or the stats pre-aggregated
+    (two-pass join), since each group must fit one executor."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .groupBy("o_orderpriority")
+        .applyInPandas(_zscore, "o_orderkey long, o_orderpriority string, z double")
+    )
+
+
+@query(
+    "q_udtf_explode",
+    oracle="""
+    WITH s AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id, toks[CAST(i AS INT)] AS token, CAST(i AS INT) AS pos
+    FROM s, range(1, 1001) t(i)
+    WHERE i <= len(toks)
+    """,
+)
+def q_udtf_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-generating semantics: one (doc_id, token, pos) row per
+    token, pos 1-based. posexplode is JVM-side generator execution —
+    no Python boundary, fully pipelined into downstream operators."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "token")
+    ).select("doc_id", "token", (F.col("pos0") + 1).cast("int").alias("pos"))
