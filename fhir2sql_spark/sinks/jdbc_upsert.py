@@ -1,0 +1,188 @@
+"""Relational upsert/delete sink — the reference's write path (R6-R8).
+
+The reference batches multi-row UPDATE/INSERT/DELETE SQL built by
+string interpolation with $$-quoting (/root/reference/src/main.rs:
+78-138) — injection-prone by design (a resource containing ``$$``
+breaks the statement, SURVEY §2.1). This sink only ever issues
+PARAMETERIZED statements.
+
+Two strategies:
+
+- ``foreach_partition_write``: each partition opens its own DBAPI
+  connection (via a picklable ``connect_fn``) and executes
+  parameterized ``executemany`` batches of ``batch_size`` rows
+  (default 10k, the reference's pg_batch_size, src/main.rs:359) in a
+  per-partition transaction. Executor-parallel — N partitions write
+  concurrently vs the reference's single serialized pool.
+
+- ``stage_and_merge``: write the change-set to a staging table
+  (``df.write.jdbc`` append — Spark-native, parallel), then issue one
+  set-based MERGE/UPDATE…FROM/DELETE…USING on the target. One
+  transaction, exactly-once-ish visibility; the preferred 100 TB
+  shape (the per-row path holds locks longer and retries
+  non-atomically).
+
+Tests run the DBAPI path against sqlite/duckdb in-process (no PG in
+the container); the SQL templates are ANSI and PG-compatible.
+
+DDL bootstrap mirrors src/db_utils.rs:84-144 with
+``last_updated_at`` maintained by the sink itself instead of a
+trigger (SURVEY §1.1).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import DataFrame
+
+MIRROR_DDL = """
+CREATE TABLE IF NOT EXISTS {table} (
+    id INTEGER PRIMARY KEY,
+    created_at TIMESTAMP NOT NULL DEFAULT CURRENT_TIMESTAMP,
+    last_updated_at TIMESTAMP NOT NULL DEFAULT CURRENT_TIMESTAMP,
+    resource TEXT NOT NULL
+)
+"""
+
+INSERT_SQL = "INSERT INTO {table} (id, resource) VALUES (?, ?)"
+UPDATE_SQL = (
+    "UPDATE {table} SET resource = ?, last_updated_at = CURRENT_TIMESTAMP"
+    " WHERE id = ?"
+)
+DELETE_SQL = "DELETE FROM {table} WHERE id = ?"
+
+
+def create_mirror_tables(
+    connect_fn: Callable[[], object], tables: Sequence[str]
+) -> None:
+    """Idempotent DDL bootstrap (CREATE TABLE IF NOT EXISTS x N),
+    mirroring src/db_utils.rs:84-111."""
+    conn = connect_fn()
+    try:
+        cur = conn.cursor()
+        for t in tables:
+            cur.execute(MIRROR_DDL.format(table=t))
+        conn.commit()
+    finally:
+        conn.close()
+
+
+def table_exists(connect_fn: Callable[[], object], table: str) -> bool:
+    """Set-containment existence check (src/db_utils.rs:63-81),
+    via a portable probe query."""
+    conn = connect_fn()
+    try:
+        cur = conn.cursor()
+        try:
+            cur.execute(f"SELECT 1 FROM {table} WHERE 1=0")  # noqa: S608
+            return True
+        except Exception:
+            return False
+    finally:
+        conn.close()
+
+
+def foreach_partition_write(
+    df: DataFrame,
+    sql: str,
+    connect_fn: Callable[[], object],
+    batch_size: int = 10_000,
+) -> None:
+    """Executor-side parameterized writes: one connection + one
+    transaction per partition, executemany per batch_size rows.
+    Row tuples are taken positionally from the DataFrame columns, so
+    the caller selects columns in the placeholder order."""
+
+    def write_partition(rows) -> None:
+        conn = connect_fn()
+        try:
+            cur = conn.cursor()
+            batch = []
+            for row in rows:
+                batch.append(tuple(row))
+                if len(batch) >= batch_size:
+                    cur.executemany(sql, batch)
+                    batch = []
+            if batch:
+                cur.executemany(sql, batch)
+            conn.commit()
+        except Exception:
+            try:
+                conn.rollback()
+            finally:
+                pass
+            raise
+        finally:
+            conn.close()
+
+    df.foreachPartition(write_partition)
+
+
+def apply_changeset(
+    inserts: DataFrame,
+    updates: DataFrame,
+    deletes: DataFrame,
+    table: str,
+    connect_fn: Callable[[], object],
+    batch_size: int = 10_000,
+) -> None:
+    """Apply a CDC change-set (reference flush semantics,
+    src/main.rs:250-282, with independent batch boundaries — the
+    reference's coupled else-if flush is a documented quirk we do NOT
+    replicate, SURVEY §2.1).
+
+    inserts: (pk_id, resource); updates: (resource, pk_id);
+    deletes: (pk_id,)."""
+    foreach_partition_write(
+        inserts, INSERT_SQL.format(table=table), connect_fn, batch_size
+    )
+    foreach_partition_write(
+        updates, UPDATE_SQL.format(table=table), connect_fn, batch_size
+    )
+    foreach_partition_write(
+        deletes, DELETE_SQL.format(table=table), connect_fn, batch_size
+    )
+
+
+# --- staging + set-based merge (the scale path) ---------------------
+
+MERGE_FROM_STAGE_SQL = """
+UPDATE {table} SET resource = s.resource,
+                   last_updated_at = CURRENT_TIMESTAMP
+FROM {stage} s
+WHERE {table}.id = s.pk_id AND s.op = 'update'
+"""
+
+INSERT_FROM_STAGE_SQL = """
+INSERT INTO {table} (id, resource)
+SELECT s.pk_id, s.resource FROM {stage} s WHERE s.op = 'insert'
+"""
+
+DELETE_FROM_STAGE_SQL = """
+DELETE FROM {table}
+WHERE id IN (SELECT s.pk_id FROM {stage} s WHERE s.op = 'delete')
+"""
+
+
+def merge_stage_into_target(
+    connect_fn: Callable[[], object], table: str, stage: str
+) -> None:
+    """One set-based transaction applying a staged change-set. The
+    stage table holds (pk_id, op, resource) loaded in parallel by
+    ``df.write`` beforehand."""
+    conn = connect_fn()
+    try:
+        cur = conn.cursor()
+        cur.execute(MERGE_FROM_STAGE_SQL.format(table=table, stage=stage))
+        cur.execute(INSERT_FROM_STAGE_SQL.format(table=table, stage=stage))
+        cur.execute(DELETE_FROM_STAGE_SQL.format(table=table, stage=stage))
+        conn.commit()
+    except Exception:
+        try:
+            conn.rollback()
+        finally:
+            pass
+        raise
+    finally:
+        conn.close()

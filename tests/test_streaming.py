@@ -1,0 +1,125 @@
+"""Streaming-batch equivalence + watermark late-drop tests
+(SURVEY §5.2-3). Each streaming query must equal its batch twin over
+the same events data; the late-data test replays two batches and
+asserts the watermark actually drops late rows."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from fhir2sql_spark.queries.util import dec
+from fhir2sql_spark.streaming.harness import (
+    replay_two_batches,
+    run_stream_available_now,
+)
+from fhir2sql_spark.tables import load
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, value double"
+)
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("events_parquet"))
+    load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    ).write.mode("overwrite").parquet(out)
+    return out
+
+
+def _tumble(df: DataFrame) -> DataFrame:
+    return (
+        df.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value", 2)).cast("decimal(18,2)").alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def _rows(df: DataFrame) -> set[tuple]:
+    return {tuple(r) for r in df.collect()}
+
+
+def test_tumble_stream_equals_batch(spark, sf_dir, events_dir):
+    batch = _tumble(
+        load(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        )
+    )
+    stream = run_stream_available_now(
+        spark, events_dir, EVENTS_SCHEMA, _tumble, output_mode="complete"
+    )
+    assert _rows(stream) == _rows(batch)
+
+
+def test_dedup_stream_equals_batch(spark, sf_dir, events_dir):
+    def dedup(df: DataFrame) -> DataFrame:
+        return df.select("event_id", "event_type").dropDuplicates(["event_id"])
+
+    batch = dedup(load(spark, sf_dir, "events"))
+    stream = run_stream_available_now(
+        spark, events_dir, EVENTS_SCHEMA, dedup, output_mode="append"
+    )
+    assert _rows(stream) == _rows(batch)
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    base = datetime(2024, 1, 1, 0, 0, 0)
+
+    def mk(rows):
+        return spark.createDataFrame(rows, EVENTS_SCHEMA)
+
+    # batch 1 advances event-time to 12:00; batch 2 carries one row at
+    # 02:00 — far older than watermark (12:00 - 1h) — and one fresh row.
+    batch1 = mk(
+        [
+            (1, base + timedelta(hours=1), 1, "click", 1.0),
+            (2, base + timedelta(hours=12), 1, "click", 1.0),
+        ]
+    )
+    batch2 = mk(
+        [
+            (3, base + timedelta(hours=2), 1, "click", 1.0),  # LATE -> dropped
+            (4, base + timedelta(hours=13), 1, "click", 1.0),
+        ]
+    )
+
+    def agg(df: DataFrame) -> DataFrame:
+        return (
+            df.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("ws"),
+                "n",
+            )
+        )
+
+    out = replay_two_batches(
+        spark,
+        batch1,
+        batch2,
+        EVENTS_SCHEMA,
+        agg,
+        input_dir=str(tmp_path / "in"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        output_mode="append",
+    )
+    emitted = {r["ws"]: r["n"] for r in out.collect()}
+    # the 02:00 row (event 3) must NOT appear anywhere
+    assert "2024-01-01 02:00:00" not in emitted
+    # the 01:00 window from batch1 was finalized once the watermark passed
+    assert emitted.get("2024-01-01 01:00:00") == 1

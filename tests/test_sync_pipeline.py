@@ -1,0 +1,193 @@
+"""End-to-end sync pipeline test (SURVEY §5.2-4): bundle-page source ->
+version diff -> parameterized sqlite sink -> reconciliation. This is
+the fhir2sql-equivalent product exercised at its real surfaces."""
+
+from __future__ import annotations
+
+import json
+import sqlite3
+
+import pytest
+
+from fhir2sql_spark.sinks import jdbc_upsert
+from fhir2sql_spark.sources.rest_pages import read_bundles, register_bundle_file_source
+from fhir2sql_spark.sync.pipeline import run_sync, sync_resources
+
+
+def _resource(rid: str, version: int, rtype: str = "Patient", **extra) -> dict:
+    return {
+        "resourceType": rtype,
+        "id": rid,
+        "meta": {"versionId": str(version), "lastUpdated": "2024-05-01T12:00:00Z"},
+        "gender": ["female", "male"][hash(rid) % 2],
+        **extra,
+    }
+
+
+def _bundle_fixture(n: int = 120, page_size: int = 50) -> dict[str, dict]:
+    """Paged searchset bundles keyed by URL, FIXTURES.md §2.2 shape."""
+    resources = [_resource(f"pat-{i:06d}", 1 + i % 3) for i in range(n)]
+    pages: dict[str, dict] = {}
+    n_pages = (n + page_size - 1) // page_size
+    for p in range(n_pages):
+        url = f"http://blaze/fhir/Patient?page={p}"
+        links = [{"relation": "self", "url": url}]
+        if p + 1 < n_pages:
+            links.append(
+                {"relation": "next", "url": f"http://blaze/fhir/Patient?page={p+1}"}
+            )
+        pages[url] = {
+            "id": f"p{p}",
+            "resourceType": "Bundle",
+            "type": "searchset",
+            "total": n,
+            "entry": [
+                {"resource": r}
+                for r in resources[p * page_size : (p + 1) * page_size]
+            ],
+            "link": links,
+        }
+    return pages
+
+
+@pytest.fixture()
+def sqlite_db(tmp_path):
+    path = str(tmp_path / "mirror.db")
+
+    def connect():
+        return sqlite3.connect(path, timeout=60, check_same_thread=False)
+
+    return connect
+
+
+def test_full_sync_from_bundles_converges(spark, sqlite_db):
+    pages = _bundle_fixture(n=120, page_size=50)
+    src = read_bundles(
+        spark, "http://blaze/fhir/Patient?page=0", fetch=lambda u: pages[u]
+    )
+    assert src.count() == 120
+
+    jdbc_upsert.create_mirror_tables(sqlite_db, ["patient"])
+    stats = sync_resources(spark, src, sqlite_db, "patient", batch_size=32)
+    assert stats.inserts == 120
+    assert stats.updates == stats.deletes == 0
+    assert stats.counts_match
+
+    # idempotence: re-sync of converged mirror is all-noop (src/main.rs:159-164)
+    stats2 = sync_resources(spark, src, sqlite_db, "patient", batch_size=32)
+    assert stats2.inserts == stats2.updates == stats2.deletes == 0
+    assert stats2.noops == 120
+    assert stats2.counts_match
+
+
+def test_incremental_sync_applies_cdc(spark, sqlite_db):
+    pages = _bundle_fixture(n=100, page_size=40)
+    src1 = read_bundles(
+        spark, "http://blaze/fhir/Patient?page=0", fetch=lambda u: pages[u]
+    )
+    jdbc_upsert.create_mirror_tables(sqlite_db, ["patient"])
+    sync_resources(spark, src1, sqlite_db, "patient")
+
+    # second snapshot: drop ids %10==0 (deletes), bump version on %3==0
+    # (updates), add 10 new (inserts)
+    res2 = [
+        _resource(f"pat-{i:06d}", (1 + i % 3) + (1 if i % 3 == 0 else 0))
+        for i in range(100)
+        if i % 10 != 0
+    ] + [_resource(f"new-{i:06d}", 1) for i in range(10)]
+    src2 = spark.createDataFrame(
+        [(json.dumps(r, sort_keys=True),) for r in res2], "resource string"
+    )
+    stats = sync_resources(spark, src2, sqlite_db, "patient")
+    expected_updates = sum(1 for i in range(100) if i % 10 != 0 and i % 3 == 0)
+    assert stats.inserts == 10
+    assert stats.deletes == 10
+    assert stats.updates == expected_updates
+    assert stats.counts_match
+
+    # the mirror's contents equal the source snapshot exactly
+    conn = sqlite_db()
+    rows = conn.execute("SELECT resource FROM patient").fetchall()
+    conn.close()
+    mirror_ids = sorted(json.loads(r[0])["id"] for r in rows)
+    assert mirror_ids == sorted(r["id"] for r in res2)
+
+
+def test_malformed_resources_skipped_not_fatal(spark, sqlite_db):
+    good = [_resource(f"pat-{i}", 1) for i in range(5)]
+    bad = [
+        {"resourceType": "Patient"},  # missing id (src/main.rs:41-45)
+        {"resourceType": "Patient", "id": "x", "meta": {}},  # missing versionId
+        {"resourceType": "Patient", "id": "y", "meta": {"versionId": "abc"}},
+    ]
+    src = spark.createDataFrame(
+        [(json.dumps(r, sort_keys=True),) for r in good + bad], "resource string"
+    )
+    jdbc_upsert.create_mirror_tables(sqlite_db, ["patient"])
+    stats = sync_resources(spark, src, sqlite_db, "patient")
+    assert stats.inserts == 5
+    assert stats.malformed == 3
+    assert stats.counts_match
+
+
+def test_run_sync_multi_type_bootstrap(spark, sqlite_db):
+    srcs = {
+        rtype: spark.createDataFrame(
+            [
+                (json.dumps(_resource(f"{rtype[:3]}-{i}", 1, rtype), sort_keys=True),)
+                for i in range(7)
+            ],
+            "resource string",
+        )
+        for rtype in ["Patient", "Specimen", "Observation", "Condition"]
+    }
+    stats = run_sync(spark, srcs, sqlite_db)
+    assert set(stats) == set(srcs)
+    assert all(s.inserts == 7 and s.counts_match for s in stats.values())
+    assert jdbc_upsert.table_exists(sqlite_db, "patient")
+    assert jdbc_upsert.table_exists(sqlite_db, "observation")
+
+
+def test_bundle_file_datasource(spark, tmp_path):
+    pages = _bundle_fixture(n=60, page_size=20)
+    for i, (_, bundle) in enumerate(sorted(pages.items())):
+        (tmp_path / f"page_{i:04d}.json").write_text(json.dumps(bundle))
+    if not register_bundle_file_source(spark):
+        pytest.skip("Python DataSource API unavailable")
+    df = spark.read.format("fhir_bundles").option("path", str(tmp_path)).load()
+    assert df.count() == 60
+    # one partition per page file — the parallel-scan contract
+    assert df.rdd.getNumPartitions() == 3
+
+
+def test_stage_and_merge_path(spark, sqlite_db):
+    jdbc_upsert.create_mirror_tables(sqlite_db, ["patient"])
+    conn = sqlite_db()
+    conn.execute(
+        "INSERT INTO patient (id, resource) VALUES (1, ?)",
+        (json.dumps(_resource("pat-keep", 1)),),
+    )
+    conn.execute(
+        "INSERT INTO patient (id, resource) VALUES (2, ?)",
+        (json.dumps(_resource("pat-old", 1)),),
+    )
+    conn.execute("CREATE TABLE stage (pk_id INT, op TEXT, resource TEXT)")
+    conn.executemany(
+        "INSERT INTO stage VALUES (?, ?, ?)",
+        [
+            (2, "update", json.dumps(_resource("pat-old", 2))),
+            (3, "insert", json.dumps(_resource("pat-new", 1))),
+        ],
+    )
+    conn.commit()
+    conn.close()
+    jdbc_upsert.merge_stage_into_target(sqlite_db, "patient", "stage")
+    conn = sqlite_db()
+    rows = dict(
+        (r[0], json.loads(r[1])) for r in conn.execute(
+            "SELECT id, resource FROM patient"
+        ).fetchall()
+    )
+    conn.close()
+    assert rows[2]["meta"]["versionId"] == "2"
+    assert rows[3]["id"] == "pat-new"
