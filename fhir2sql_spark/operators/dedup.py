@@ -47,8 +47,14 @@ def exact_dedup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "d
     )
 
 
-def shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
-    """Distinct word n-gram shingles per (doc_id, lang).
+def shingles(
+    docs: DataFrame, n: int = 3, text_col: str = "text", distinct: bool = True
+) -> DataFrame:
+    """Word n-gram shingles per (doc_id, lang), distinct by default.
+
+    ``distinct=False`` skips the dedup shuffle — correct for consumers
+    that are multiset-insensitive (MinHash: min over a multiset equals
+    min over its set), saving a full exchange of shingle strings.
 
     Guard: docs shorter than n words produce an empty set (Spark's
     sequence(a, b) would generate a DESCENDING range for a > b, so the
@@ -61,10 +67,8 @@ def shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
             f" i -> concat_ws(' ', slice(split(text, ' '), i, {n})))"
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return (
-        docs.select("doc_id", "lang", F.explode(sh).alias("shingle"))
-        .distinct()
-    )
+    out = docs.select("doc_id", "lang", F.explode(sh).alias("shingle"))
+    return out.distinct() if distinct else out
 
 
 def jaccard_pairs(docs: DataFrame, threshold_num: int, threshold_den: int, n: int = 3) -> DataFrame:
@@ -119,6 +123,59 @@ def jaccard_pairs(docs: DataFrame, threshold_num: int, threshold_den: int, n: in
     )
 
 
+def verify_candidate_pairs(
+    docs: DataFrame,
+    candidates: DataFrame,
+    threshold_num: int,
+    threshold_den: int,
+    n: int = 3,
+) -> DataFrame:
+    """Exact-Jaccard verification restricted to candidate pairs.
+
+    This is the second half of the LSH pipeline: per-doc shingle SETS
+    (collect_set, one shuffle) joined to the (tiny) candidate list on
+    both sides, intersection via array_intersect — cost O(candidates),
+    never O(all pairs). Output contract matches jaccard_pairs."""
+    cand_docs = (
+        candidates.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(candidates.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    # only docs that actually collided build shingle sets — the
+    # collect_set shuffle carries O(candidate docs), not O(corpus)
+    sets = (
+        shingles(docs, n=n)
+        .join(F.broadcast(cand_docs), "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("sh_set"))
+    )
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("set_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("set_b"))
+    joined = (
+        F.broadcast(candidates.select("doc_a", "doc_b"))
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
+    )
+    out = (
+        joined.withColumn(
+            "common", F.size(F.array_intersect("set_a", "set_b"))
+        )
+        .withColumn(
+            "union_n", F.size("set_a") + F.size("set_b") - F.col("common")
+        )
+        .where(F.col("common") * threshold_den >= F.col("union_n") * threshold_num)
+    )
+    return out.select(
+        "doc_a",
+        "doc_b",
+        "common",
+        "union_n",
+        (F.col("common").cast("double") / F.col("union_n").cast("double")).alias(
+            "jac"
+        ),
+    )
+
+
 def _minhash_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:
     """Deterministic (a, b) pairs for h_i(x) = (a*x + b) mod P."""
     import random
@@ -137,8 +194,8 @@ def minhash_signatures(
     one shuffle on doc_id. Python never touches row data.
     """
     params = _minhash_params(num_hashes, seed)
-    sh = shingles(docs, n=n).withColumn(
-        "sid", F.pmod(F.xxhash64("shingle"), F.lit(_P))
+    sh = shingles(docs, n=n, distinct=False).select(
+        "doc_id", "lang", F.pmod(F.xxhash64("shingle"), F.lit(_P)).alias("sid")
     )
     mins = [
         F.min((F.col("sid") * F.lit(a) + F.lit(b)) % F.lit(_P)).alias(f"h{i}")

@@ -79,9 +79,8 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     sigs = dedup.minhash_signatures(docs, num_hashes=32, seed=42)
     cands = dedup.lsh_candidate_pairs(sigs, bands=8, rows_per_band=4)
-    exact = dedup.jaccard_pairs(docs, threshold_num=4, threshold_den=5)
-    return cands.join(exact, ["doc_a", "doc_b"]).select(
-        "doc_a", "doc_b", "common", "union_n", "jac"
+    return dedup.verify_candidate_pairs(
+        docs, cands, threshold_num=4, threshold_den=5
     )
 
 
