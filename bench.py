@@ -5,8 +5,10 @@ line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Materialization is via the noop sink (full execution, no driver
 collect) — the same measurement a cluster job would see. Session
-startup is excluded (BASELINE.md grants that headroom); a warmup query
-primes the JVM/codegen before timing.
+startup is excluded and each query reports best-of-2 — the identical
+methodology BASELINE.md's DuckDB numbers use ("warm cache, best-of-2"),
+so the comparison is apples-to-apples: first runs pay one-time
+whole-stage-codegen compilation that a warm session amortizes.
 """
 
 from __future__ import annotations
@@ -39,9 +41,12 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in sorted(registry.QUERIES):
         fn = registry.QUERIES[name]
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -144,3 +144,98 @@ def ann_topk_lsh(
         .where(F.col("rn") <= k)
         .select("q_id", "c_id", F.round("cosine", 4).alias("cosine"), "rn")
     )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate top-k: coarse-quantize the corpus against
+    a small centroid codebook (here: the first n_centroids corpus
+    vectors — a deterministic stand-in for trained k-means centroids),
+    then search only the n_probe closest cells per query.
+
+    The cell assignment is an equi-joinable integer, so the search is
+    a (query-cell x corpus-cell) equi-join — corpus shuffles once on
+    cell id, queries broadcast; candidate count ~ corpus x n_probe /
+    n_centroids. Swapping the codebook for real k-means centroids
+    (pyspark.ml KMeans on a sample) changes recall, not the plan."""
+    cents = (
+        corpus.orderBy(id_col)
+        .limit(n_centroids)
+        .select(
+            F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
+        )
+    )
+    b_cents = F.broadcast(cents)
+
+    def assign(df: DataFrame, id_out: str, vec_out: str, n: int) -> DataFrame:
+        """Attach the n nearest centroid ids."""
+        scored = df.crossJoin(b_cents).select(
+            F.col(id_col).alias(id_out),
+            F.col(vec_col).alias(vec_out),
+            "cent_id",
+            (_dot(vec_col, "cent_vec")
+             / (_norm(vec_col) * _norm("cent_vec"))).alias("cent_cos"),
+        )
+        w = Window.partitionBy(id_out).orderBy(
+            F.col("cent_cos").desc(), F.col("cent_id")
+        )
+        return (
+            scored.withColumn("crn", F.row_number().over(w))
+            .where(F.col("crn") <= n)
+            .select(id_out, vec_out, "cent_id")
+        )
+
+    c_assigned = assign(corpus, "c_id", "c_vec", 1)
+    q_assigned = assign(queries, "q_id", "q_vec", n_probe)
+    pairs = F.broadcast(q_assigned).join(c_assigned, "cent_id").where(
+        F.col("q_id") != F.col("c_id")
+    )
+    scored = pairs.select(
+        "q_id",
+        "c_id",
+        (_dot("q_vec", "c_vec") / (_norm("q_vec") * _norm("c_vec"))).alias(
+            "cosine"
+        ),
+    ).dropDuplicates(["q_id", "c_id"])
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("q_id", "c_id", F.round("cosine", 4).alias("cosine"), "rn")
+    )
+
+
+def cosine_near_pairs(
+    vectors: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all (a < b) with
+    cosine >= threshold. Exact all-pairs form (oracle contract);
+    bucket with lsh_bucket_signatures first at scale."""
+    a = vectors.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a")
+    )
+    b = vectors.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b")
+    )
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            (_dot("vec_a", "vec_b") / (_norm("vec_a") * _norm("vec_b"))).alias(
+                "cos_raw"
+            ),
+        )
+        .where(F.col("cos_raw") >= threshold)
+        .select("id_a", "id_b", F.round("cos_raw", 4).alias("cosine"))
+    )

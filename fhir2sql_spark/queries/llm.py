@@ -163,6 +163,41 @@ def q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_dedup_embed",
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.e, b.e)
+                 / (sqrt(list_dot_product(a.e, a.e))
+                    * sqrt(list_dot_product(b.e, b.e))), 4) AS cosine
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.e, b.e)
+          / (sqrt(list_dot_product(a.e, a.e))
+             * sqrt(list_dot_product(b.e, b.e))) >= 0.45
+    """,
+)
+def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (threshold 0.45 — the
+    fixture embeddings are random gaussians, so this captures the
+    upper tail; real corpora use ~0.95). Exact all-pairs oracle form;
+    the bucketed path composes lsh_bucket_signatures upstream."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.cosine_near_pairs(emb, threshold=0.45)
+
+
+@query("q_embed_ivf")  # probabilistic (codebook recall): rows-only
+def q_embed_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse-quantize to 16 cells, probe the 4 nearest
+    cells per query, exact-rank inside. Equi-join on cell id — the
+    corpus shuffles once, queries broadcast (operators/similarity.py
+    ivf_topk docstring for the plan)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(
+        emb.where(F.col("vec_id") < 10), emb, k=5, n_centroids=16, n_probe=4
+    )
+
+
 @query("q_embed_ann")  # probabilistic (LSH buckets): rows-only; recall in tests
 def q_embed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 via random-hyperplane LSH (8 planes, seed 42):
