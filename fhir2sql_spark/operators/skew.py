@@ -1,0 +1,43 @@
+"""Skew-handling join utilities.
+
+AQE's skew-join splitting (enabled session-wide in session.py) handles
+most skew at runtime by splitting oversized partitions. Salting is the
+manual complement for the pathological case AQE can't fix: a single
+join KEY so hot that one task would still own it after splitting —
+e.g. the null/default key, or a celebrity user at 100 TB.
+
+``salted_join``: replicate the (small-ish) right side ``salt`` times
+and scatter the left side's hot keys across ``salt`` sub-keys. The
+join key becomes (key, salt_id) — the hot key's rows spread over
+``salt`` tasks. Result rows are identical to the unsalted join
+(verified by test); only the physical distribution changes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join on ``key`` with ``salt``-way key scattering.
+
+    left gets a random-but-deterministic salt from its own row content
+    (hash-based — no rand(), so the plan stays deterministic and
+    retry-safe); right is exploded ``salt`` times so every (key,
+    salt_id) pair finds its match. Use when one key dominates; cost is
+    replicating the right side ``salt``x, so keep right the smaller
+    input."""
+    salt_col = F.pmod(F.xxhash64(*left.columns), F.lit(salt)).cast("int")
+    l_salted = left.withColumn("__salt", salt_col)
+    r_salted = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    out = l_salted.join(r_salted, [key, "__salt"], how)
+    return out.drop("__salt")

@@ -166,7 +166,8 @@ def q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_dedup_embed",
     oracle="""
-    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings WHERE vec_id < 1000)
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round(list_dot_product(a.e, b.e)
                  / (sqrt(list_dot_product(a.e, a.e))
@@ -180,9 +181,12 @@ def q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (threshold 0.45 — the
     fixture embeddings are random gaussians, so this captures the
-    upper tail; real corpora use ~0.95). Exact all-pairs oracle form;
-    the bucketed path composes lsh_bucket_signatures upstream."""
-    emb = load(spark, sf_dir, "embeddings")
+    upper tail; real corpora use ~0.95). Exact all-pairs ORACLE form,
+    bounded to a 1000-vector slice: all-pairs is quadratic by
+    definition and exists only as the correctness contract — the scale
+    paths are cosine_near_pairs_bulk (numpy matmul), q_embed_ann
+    (hyperplane LSH) and q_embed_ivf."""
+    emb = load(spark, sf_dir, "embeddings").where(F.col("vec_id") < 1000)
     return similarity.cosine_near_pairs(emb, threshold=0.45)
 
 

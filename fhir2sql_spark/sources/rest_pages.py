@@ -115,15 +115,42 @@ def read_bundles(
     return out
 
 
+def check_source_health(
+    fetch: Callable[[str], object],
+    url: str,
+    attempts: int = 20,
+    backoff_s: float = 60.0,
+    sleep: Callable[[float], None] = time.sleep,
+) -> bool:
+    """Bounded-retry liveness probe, mirroring the reference's Blaze
+    health check (/root/reference/src/db_utils.rs:35-59: 20 attempts,
+    60s backoff — and like it, ANY response counts as healthy; the
+    status is deliberately not inspected, src/db_utils.rs:45-48)."""
+    for attempt in range(attempts):
+        try:
+            fetch(url)
+            return True
+        except Exception:
+            if attempt < attempts - 1:
+                sleep(backoff_s)
+    return False
+
+
 def register_bundle_file_source(spark: SparkSession) -> bool:
-    """Register the Spark 4 Python DataSource ``fhir_bundles`` reading
-    bundle-JSON files (one partition per file). Returns False when the
-    Python DataSource API is unavailable."""
+    """Register the Spark 4 Python DataSource ``fhir_bundles``.
+
+    Batch: one partition per bundle file. Streaming: a
+    SimpleDataSourceStreamReader whose offset is the count of files
+    already ingested — new page files appearing in the directory flow
+    into each micro-batch, turning the reference's poll loop into an
+    incremental source. Returns False when the Python DataSource API
+    is unavailable."""
     try:
         from pyspark.sql.datasource import (
             DataSource,
             DataSourceReader,
             InputPartition,
+            SimpleDataSourceStreamReader,
         )
     except ImportError:
         return False
@@ -152,6 +179,49 @@ def register_bundle_file_source(spark: SparkSession) -> bool:
                     continue
                 yield (json.dumps(res, separators=(",", ":"), sort_keys=True),)
 
+    class _BundleStreamReader(SimpleDataSourceStreamReader):
+        def __init__(self, options: dict) -> None:
+            self.dir = options["path"]
+
+        def _files(self) -> list[str]:
+            import glob
+            import os
+
+            return sorted(glob.glob(os.path.join(self.dir, "*.json")))
+
+        def initialOffset(self) -> dict:
+            return {"ingested": 0}
+
+        def read(self, start: dict):
+            files = self._files()
+            done = start["ingested"]
+            rows = []
+            for f in files[done:]:
+                with open(f) as fh:
+                    bundle = json.load(fh)
+                for e in bundle.get("entry") or []:
+                    res = e.get("resource")
+                    if res is None:
+                        continue
+                    rows.append(
+                        (json.dumps(res, separators=(",", ":"), sort_keys=True),)
+                    )
+            return iter(rows), {"ingested": len(files)}
+
+        def readBetweenOffsets(self, start: dict, end: dict):
+            # replay for recovery: deterministic because files are
+            # immutable and ordered
+            files = self._files()[start["ingested"] : end["ingested"]]
+            for f in files:
+                with open(f) as fh:
+                    bundle = json.load(fh)
+                for e in bundle.get("entry") or []:
+                    res = e.get("resource")
+                    if res is not None:
+                        yield (
+                            json.dumps(res, separators=(",", ":"), sort_keys=True),
+                        )
+
     class BundleFileDataSource(DataSource):
         @classmethod
         def name(cls) -> str:
@@ -162,6 +232,9 @@ def register_bundle_file_source(spark: SparkSession) -> bool:
 
         def reader(self, schema) -> DataSourceReader:
             return _BundleReader(self.options)
+
+        def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
+            return _BundleStreamReader(self.options)
 
     spark.dataSource.register(BundleFileDataSource)
     return True

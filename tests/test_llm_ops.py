@@ -96,3 +96,16 @@ def test_frame_sample_shape(spark):
     lens = {r["blob_id"]: r["n_bytes"] for r in multimodal.decode_metadata(blobs).collect()}
     for bid, n in sizes.items():
         assert n == lens[bid] // 256 + 1
+
+
+def test_bulk_near_pairs_equals_exact(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.cosine_near_pairs(emb, threshold=0.45).collect()
+    }
+    bulk = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.cosine_near_pairs_bulk(emb, threshold=0.45).collect()
+    }
+    assert bulk == exact

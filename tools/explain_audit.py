@@ -1,0 +1,71 @@
+"""Physical-plan regression audit (PLANS.md enforcement).
+
+Asserts the plan properties the engine's 100 TB posture depends on:
+pushdown reaching the scan, dimension broadcasts, top-k group limits,
+TakeOrderedAndProject, and the distributed diff join. Run:
+
+    python tools/explain_audit.py      # exit 0 iff every check holds
+
+Checks are substring assertions on executedPlan at sf0.01 (plan shape
+is scale-invariant for these properties).
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from fhir2sql_spark import registry  # noqa: E402
+from fhir2sql_spark.session import get_spark  # noqa: E402
+
+SF = "/root/testdata/sf0.01"
+
+CHECKS: list[tuple[str, str, str]] = [
+    ("q_filter_pred", "PushedFilters: [", "filters must reach the parquet scan"),
+    (
+        "q_scan_project",
+        "ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint,l_suppkey:bigint,l_linenumber:int>",
+        "projection must prune the scan schema",
+    ),
+    ("q_agg_basic", "PushedFilters: [IsNotNull(l_shipdate)", "agg filter pushdown"),
+    ("q_join_inner", "BroadcastHashJoin", "nation dim must broadcast"),
+    ("q_join_broadcast", "BroadcastHashJoin", "explicit broadcast hint honored"),
+    ("q_join_theta", "BroadcastNestedLoopJoin", "theta join is BNLJ on tiny inputs"),
+    ("q_limit_topk", "TakeOrderedAndProject", "global top-k must not global-sort"),
+    ("q_topk_pergroup", "WindowGroupLimit", "grouped top-k prunes pre-shuffle"),
+    ("q_window_rank", "WindowGroupLimit", "rank filter plans a group limit"),
+    ("q_sync_diff_full", "SortMergeJoin", "diff is a distributed join"),
+    ("q_sync_diff_full", "FullOuter", "diff join is full-outer"),
+    ("q_sync_inserts", "LeftAnti", "insert branch is anti join"),
+    ("q_dedup_exact", "partial_min", "dedup agg is map-side partial"),
+    ("q_embed_topk", "BroadcastNestedLoopJoin", "query side broadcasts"),
+]
+
+
+def main() -> int:
+    registry.load_all()
+    spark = get_spark("explain-audit")
+    failures = []
+    for name, needle, why in CHECKS:
+        plan = (
+            registry.QUERIES[name](spark, SF)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        ok = needle in plan
+        print(f"  {'PASS' if ok else 'FAIL'}  {name:20s} {why}")
+        if not ok:
+            failures.append((name, needle))
+    if failures:
+        print(f"\n{len(failures)} plan regressions: {failures}")
+        return 1
+    print(f"\nall {len(CHECKS)} plan checks hold")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
