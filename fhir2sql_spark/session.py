@@ -25,6 +25,9 @@ def get_spark(app_name: str = "fhir2sql-spark") -> SparkSession:
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Arrow-batch even plain Python UDFs (Spark 4): cuts the
+        # per-row pickle boundary of the q_udf_scalar-style slow path
+        .config("spark.sql.execution.pythonUDF.arrow.enabled", "true")
         # Deterministic timestamp semantics vs the DuckDB oracle.
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))

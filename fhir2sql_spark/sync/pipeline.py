@@ -83,11 +83,19 @@ def sync_resources(
     connect_fn: Callable[[], object],
     table: str,
     batch_size: int = 10_000,
+    strategy: str = "batched",
 ) -> SyncStats:
     """One full sync of raw source resources into the mirror table.
 
     Source-wins semantics: ANY version difference overwrites with the
-    source copy (the reference's `<`||`>`, src/main.rs:229-230)."""
+    source copy (the reference's `<`||`>`, src/main.rs:229-230).
+
+    ``strategy``: 'batched' = per-partition parameterized executemany
+    (parallel, independent transactions — the reference's flush model
+    done right); 'merge' = load the tagged change-set into a staging
+    table, then ONE set-based transaction applies update/insert/delete
+    (atomic visibility — the preferred shape when the target supports
+    it)."""
     extracted = extract_versions(source_resources)
     well_formed, malformed = partition_malformed(extracted)
     n_malformed = malformed.count()
@@ -120,9 +128,48 @@ def sync_resources(
         for r in tagged.groupBy("op").agg(F.count(F.lit(1)).alias("n")).collect()
     }
 
-    jdbc_upsert.apply_changeset(
-        inserts, updates, deletes, table, connect_fn, batch_size
-    )
+    if strategy == "merge":
+        stage = f"{table}__stage"
+        staged = (
+            inserts.select("pk_id", F.lit("insert").alias("op"), "resource")
+            .unionByName(
+                updates.select("pk_id", F.lit("update").alias("op"), "resource")
+            )
+            .unionByName(
+                deletes.select(
+                    "pk_id",
+                    F.lit("delete").alias("op"),
+                    F.lit(None).cast("string").alias("resource"),
+                )
+            )
+        )
+        conn = connect_fn()
+        try:
+            cur = conn.cursor()
+            cur.execute(f"DROP TABLE IF EXISTS {stage}")  # noqa: S608
+            cur.execute(
+                f"CREATE TABLE {stage} (pk_id INT, op TEXT, resource TEXT)"  # noqa: S608
+            )
+            conn.commit()
+        finally:
+            conn.close()
+        jdbc_upsert.foreach_partition_write(
+            staged,
+            f"INSERT INTO {stage} (pk_id, op, resource) VALUES (?, ?, ?)",  # noqa: S608
+            connect_fn,
+            batch_size,
+        )
+        jdbc_upsert.merge_stage_into_target(connect_fn, table, stage)
+        conn = connect_fn()
+        try:
+            conn.cursor().execute(f"DROP TABLE IF EXISTS {stage}")  # noqa: S608
+            conn.commit()
+        finally:
+            conn.close()
+    else:
+        jdbc_upsert.apply_changeset(
+            inserts, updates, deletes, table, connect_fn, batch_size
+        )
 
     conn = connect_fn()
     try:

@@ -9,6 +9,8 @@ import sqlite3
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from fhir2sql_spark.sinks import jdbc_upsert
 from fhir2sql_spark.sources.rest_pages import read_bundles, register_bundle_file_source
 from fhir2sql_spark.sync.pipeline import run_sync, sync_resources
@@ -191,3 +193,75 @@ def test_stage_and_merge_path(spark, sqlite_db):
     conn.close()
     assert rows[2]["meta"]["versionId"] == "2"
     assert rows[3]["id"] == "pat-new"
+
+
+def test_merge_strategy_converges_like_batched(spark, sqlite_db):
+    pages = _bundle_fixture(n=80, page_size=40)
+    src = read_bundles(
+        spark, "http://blaze/fhir/Patient?page=0", fetch=lambda u: pages[u]
+    )
+    jdbc_upsert.create_mirror_tables(sqlite_db, ["patient"])
+    stats = sync_resources(spark, src, sqlite_db, "patient", strategy="merge")
+    assert stats.inserts == 80 and stats.counts_match
+
+    # incremental through the merge path
+    res2 = [
+        _resource(f"pat-{i:06d}", 2 if i < 10 else (1 + i % 3))
+        for i in range(5, 80)
+    ]
+    src2 = spark.createDataFrame(
+        [(json.dumps(r, sort_keys=True),) for r in res2], "resource string"
+    )
+    stats2 = sync_resources(spark, src2, sqlite_db, "patient", strategy="merge")
+    assert stats2.deletes == 5
+    assert stats2.counts_match
+    conn = sqlite_db()
+    ids = sorted(
+        json.loads(r[0])["id"]
+        for r in conn.execute("SELECT resource FROM patient").fetchall()
+    )
+    conn.close()
+    assert ids == sorted(r["id"] for r in res2)
+
+
+def test_typed_parse_and_cross_resource_join(spark):
+    from fhir2sql_spark.sync.fhir import (
+        observations_with_patients,
+        parse_observations,
+        parse_patients,
+    )
+
+    pats = spark.createDataFrame(
+        [
+            (json.dumps({
+                "resourceType": "Patient", "id": f"pat-{i}",
+                "meta": {"versionId": "1"}, "gender": "female",
+                "birthDate": "1970-04-02",
+                "identifier": [{"system": "urn:ex", "value": f"P{i}"}],
+            }),)
+            for i in range(5)
+        ],
+        "resource string",
+    )
+    obs = spark.createDataFrame(
+        [
+            (json.dumps({
+                "resourceType": "Observation", "id": f"obs-{i}",
+                "meta": {"versionId": "1"},
+                "subject": {"reference": f"Patient/pat-{i % 5}"},
+                "valueQuantity": {"value": 1.5 * i, "unit": "mg"},
+            }),)
+            for i in range(10)
+        ],
+        "resource string",
+    )
+    p = parse_patients(pats)
+    o = parse_observations(obs)
+    assert p.where(p.birth_date.isNotNull()).count() == 5
+    assert o.where(o.patient_id.startswith("pat-")).count() == 10
+    joined = observations_with_patients(o, p)
+    assert joined.count() == 10
+    assert joined.where(joined.gender.isNotNull()).count() == 10
+    # malformed documents parse to NULL fields, never fail (PERMISSIVE)
+    bad = spark.createDataFrame([("not json at all",)], "resource string")
+    assert parse_patients(bad).where(F.col("patient_id").isNull()).count() == 1
