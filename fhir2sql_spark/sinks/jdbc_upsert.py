@@ -32,6 +32,7 @@ trigger (SURVEY §1.1).
 
 from __future__ import annotations
 
+import time
 from collections.abc import Callable, Sequence
 
 from pyspark.sql import DataFrame
@@ -51,6 +52,25 @@ UPDATE_SQL = (
     " WHERE id = ?"
 )
 DELETE_SQL = "DELETE FROM {table} WHERE id = ?"
+
+
+def connect_with_retry(
+    connect_fn: Callable[[], object],
+    attempts: int = 20,
+    backoff_s: float = 5.0,
+    sleep: Callable[[float], None] = time.sleep,
+):
+    """Bounded-retry connection establishment, mirroring the
+    reference's pool construction (/root/reference/src/db_utils.rs:
+    6-32: 20 attempts, 5s backoff). Raises the final error."""
+    for attempt in range(attempts):
+        try:
+            return connect_fn()
+        except Exception:
+            if attempt == attempts - 1:
+                raise
+            sleep(backoff_s)
+    raise RuntimeError("unreachable")
 
 
 def create_mirror_tables(
@@ -88,6 +108,8 @@ def foreach_partition_write(
     sql: str,
     connect_fn: Callable[[], object],
     batch_size: int = 10_000,
+    retry_attempts: int = 3,
+    retry_backoff_s: float = 1.0,
 ) -> None:
     """Executor-side parameterized writes: one connection + one
     transaction per partition, executemany per batch_size rows.
@@ -95,7 +117,8 @@ def foreach_partition_write(
     the caller selects columns in the placeholder order."""
 
     def write_partition(rows) -> None:
-        conn = connect_fn()
+        conn = connect_with_retry(connect_fn, attempts=retry_attempts,
+                                  backoff_s=retry_backoff_s)
         try:
             cur = conn.cursor()
             batch = []

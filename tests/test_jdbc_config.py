@@ -43,3 +43,28 @@ def test_writer_builds_without_connection(spark):
     writer = append_writer(df, _cfg())
     with pytest.raises(Exception):
         writer.save()
+
+
+def test_connect_with_retry_semantics():
+    from fhir2sql_spark.sinks.jdbc_upsert import connect_with_retry
+
+    calls = {"n": 0}
+    sleeps: list[float] = []
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 4:
+            raise ConnectionError("down")
+        return "conn"
+
+    assert connect_with_retry(flaky, attempts=5, sleep=sleeps.append) == "conn"
+    assert calls["n"] == 4 and sleeps == [5.0, 5.0, 5.0]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ConnectionError):
+        connect_with_retry(
+            lambda: (_ for _ in ()).throw(ConnectionError("dead")),
+            attempts=3,
+            sleep=sleeps.append,
+        )

@@ -109,3 +109,12 @@ def test_bulk_near_pairs_equals_exact(spark, sf_dir):
         for r in similarity.cosine_near_pairs_bulk(emb, threshold=0.45).collect()
     }
     assert bulk == exact
+
+
+def test_approx_count_distinct_tolerance(spark, sf_dir):
+    from fhir2sql_spark import registry
+
+    registry.load_all()
+    row = registry.QUERIES["q_agg_approx"](spark, sf_dir).collect()[0]
+    approx, exact = row["approx_custs"], row["exact_custs"]
+    assert abs(approx - exact) <= max(1, 0.05 * exact), (approx, exact)
