@@ -30,6 +30,14 @@ TABLES = (
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    # Timestamp determinism is a correctness requirement: date_format,
+    # DATE casts, and timestamp literals all resolve against the
+    # SESSION timezone, and the driver's session may carry any tz.
+    # Every query funnels through this loader, so pin UTC here (it is
+    # a runtime conf; verified session-dynamic). Without this, window
+    # starts and probe literals shift by the session offset and the
+    # oracle hash breaks (caught by a Pacific/Kiritimati preflight).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS), which the Spark reader
         # rejects. Read nanos as long, then integer-divide to micros
