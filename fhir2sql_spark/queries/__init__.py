@@ -15,6 +15,8 @@ _MODULES = (
     "streaming_batch",
     "udfs",
     "llm",
+    "relational_ext",
+    "tpch",
 )
 
 

@@ -1,0 +1,461 @@
+"""Relational-surface extensions beyond SURVEY.md §2.3 (registered as
+§2.4 additions): pivot/unpivot reshaping, exact percentiles,
+hash-stable moment statistics, conditional/ordered aggregates,
+distribution window functions, value windows, string aggregation,
+deterministic hash sampling, right/cross joins, and scalar/correlated
+subqueries.
+
+The reference (samply/fhir2sql) has none of these — its only aggregate
+is COUNT(*) (/root/reference/src/main.rs:141-148) — but a user
+switching a general analytics workload onto this engine expects the
+full relational surface, so each is declared with a DuckDB oracle
+under the same determinism rules as §2.3 (DECIMAL sums, unique-key tie
+breaks, explicit scales, structurally-identical double expressions on
+both sides).
+
+Scale notes (100 TB posture):
+  - pivot compiles to a single hash aggregate with one output column
+    per pivoted value — no extra shuffle vs the plain groupBy;
+  - unpivot is a generator projection (no shuffle at all);
+  - percentile is a sort-based aggregate per group; at extreme group
+    sizes prefer approx_percentile (t-digest, mergeable partials);
+  - the moment statistics are computed from EXACT decimal power sums
+    (sum x, sum x^2, sum xy): single-pass, mergeable, and immune to
+    float summation-order nondeterminism that plagues naive
+    stddev/corr across partition orders;
+  - hash sampling pushes the sha2-prefix predicate into the scan's
+    filter (deterministic, reproducible samples — the discipline a
+    training-data pipeline needs for held-out splits).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from fhir2sql_spark.registry import query
+from fhir2sql_spark.tables import load
+from fhir2sql_spark.queries.util import DEC2, dec, exact_div
+
+_STATUSES = ("F", "O", "P")
+
+
+@query(
+    "q_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS f_cnt,
+           CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                FILTER (WHERE o_orderstatus = 'F'), 0) AS DECIMAL(18,2)) AS f_total,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS o_cnt,
+           CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                FILTER (WHERE o_orderstatus = 'O'), 0) AS DECIMAL(18,2)) AS o_total,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS p_cnt,
+           CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                FILTER (WHERE o_orderstatus = 'P'), 0) AS DECIMAL(18,2)) AS p_total
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot orders to one row per priority x one column pair per
+    status. Explicit pivot values avoid the value-discovery job an
+    unlisted pivot runs; the plan is a (priority,status) pre-aggregate
+    whose exchange carries one row per group, then a pivotfirst
+    aggregate on priority — input-size-independent shuffle volume."""
+    o = load(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", list(_STATUSES))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(dec("o_totalprice")).alias("total"),
+        )
+    )
+    cols = [F.col("o_orderpriority")]
+    for s in _STATUSES:
+        lo = s.lower()
+        cols.append(
+            F.coalesce(F.col(f"{s}_cnt"), F.lit(0)).cast("long").alias(f"{lo}_cnt")
+        )
+        cols.append(
+            F.coalesce(F.col(f"{s}_total"), F.lit(0)).cast(DEC2).alias(f"{lo}_total")
+        )
+    return piv.select(*cols)
+
+
+@query(
+    "q_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'quantity' AS metric,
+           CAST(l_quantity AS DECIMAL(18,4)) AS val FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'extendedprice',
+           CAST(l_extendedprice AS DECIMAL(18,4)) FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'discount',
+           CAST(l_discount AS DECIMAL(18,4)) FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'tax',
+           CAST(l_tax AS DECIMAL(18,4)) FROM lineitem
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) four lineitem measures into long form — a pure
+    generator projection: zero shuffles, pipelined into any consumer."""
+    l = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        dec("l_quantity").alias("quantity"),
+        dec("l_extendedprice").alias("extendedprice"),
+        dec("l_discount").alias("discount"),
+        dec("l_tax").alias("tax"),
+    )
+    return l.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["quantity", "extendedprice", "discount", "tax"],
+        "metric",
+        "val",
+    )
+
+
+@query(
+    "q_agg_percentile",
+    oracle="""
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+           round(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.75), 4) AS p75
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated quartiles of o_totalprice per
+    priority (percentile == DuckDB quantile_cont; both use
+    pos = p*(n-1) interpolation — rounded 4dp to absorb ulp-level
+    association differences). Scale path: approx_percentile's
+    mergeable t-digest when per-group sorts get too large."""
+    o = load(spark, sf_dir, "orders")
+    q = o.groupBy("o_orderpriority").agg(
+        F.expr(
+            "percentile(o_totalprice, array(0.25D, 0.50D, 0.75D))"
+        ).alias("qs")
+    )
+    return q.select(
+        "o_orderpriority",
+        F.round(F.element_at("qs", 1), 4).alias("p25"),
+        F.round(F.element_at("qs", 2), 4).alias("p50"),
+        F.round(F.element_at("qs", 3), 4).alias("p75"),
+    )
+
+
+@query(
+    "q_agg_stats",
+    oracle="""
+    WITH s AS (
+        SELECT o_orderstatus,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+               -- DECIMAL(19,...) products: DuckDB keeps DECIMAL(18)
+               -- multiplication in int64 (overflows); 19 digits force
+               -- the int128 path. Values stay exact either way.
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(19,4))
+                        * CAST(o_totalprice AS DECIMAL(19,4))) AS DOUBLE) AS sx2,
+               CAST(SUM(CAST(o_custkey AS DECIMAL(19,0))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(o_custkey AS DECIMAL(19,0))
+                        * CAST(o_custkey AS DECIMAL(19,0))) AS DOUBLE) AS sy2,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(19,4))
+                        * CAST(o_custkey AS DECIMAL(19,0))) AS DOUBLE) AS sxy
+        FROM orders GROUP BY o_orderstatus
+    )
+    SELECT o_orderstatus, n,
+           CAST(sx / CAST(n AS DOUBLE) AS DOUBLE) AS mean_price,
+           round(sx2 / n - (sx / n) * (sx / n), 2) AS var_pop_price,
+           round(sqrt(sx2 / n - (sx / n) * (sx / n)), 4) AS stddev_pop_price,
+           round((sxy / n - (sx / n) * (sy / n))
+                 / (sqrt(sx2 / n - (sx / n) * (sx / n))
+                    * sqrt(sy2 / n - (sy / n) * (sy / n))), 6) AS corr_price_cust
+    FROM s
+    """,
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moment statistics (mean, population variance/stddev, Pearson
+    corr) derived from EXACT decimal power sums, then identical double
+    expressions on both engines. Single-pass and mergeable — unlike
+    naive float stddev/corr whose partition merge order makes results
+    nondeterministic at cluster scale."""
+    o = load(spark, sf_dir, "orders")
+    x = dec("o_totalprice")
+    y = F.col("o_custkey").cast("decimal(18,0)")
+    s = o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(x * x).cast("double").alias("sx2"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(y * y).cast("double").alias("sy2"),
+        F.sum(x * y).cast("double").alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sx2 = F.col("sx"), F.col("sx2")
+    sy, sy2, sxy = F.col("sy"), F.col("sy2"), F.col("sxy")
+    var_x = sx2 / n - (sx / n) * (sx / n)
+    var_y = sy2 / n - (sy / n) * (sy / n)
+    cov = sxy / n - (sx / n) * (sy / n)
+    return s.select(
+        "o_orderstatus",
+        "n",
+        (sx / n).cast("double").alias("mean_price"),
+        F.round(var_x, 2).alias("var_pop_price"),
+        F.round(F.sqrt(var_x), 4).alias("stddev_pop_price"),
+        F.round(cov / (F.sqrt(var_x) * F.sqrt(var_y)), 6).alias("corr_price_cust"),
+    )
+
+
+@query(
+    "q_agg_conditional",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_totalprice > 300000) AS n_high,
+           CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                FILTER (WHERE o_orderstatus = 'F'), 0) AS DECIMAL(18,2)) AS f_total,
+           min_by(o_orderstatus, o_orderkey) AS first_status,
+           max_by(o_orderstatus, o_orderkey) AS last_status,
+           bool_or(o_totalprice > 450000) AS any_jumbo
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional + ordered aggregates: filtered count, filtered
+    decimal sum, min_by/max_by keyed on the UNIQUE o_orderkey (ordered
+    aggregates over non-unique keys are nondeterministic — never
+    declare them), and bool_or. All single hash-aggregate shapes."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.when(F.col("o_totalprice") > 300000, 1)).alias("n_high"),
+        F.coalesce(
+            F.sum(F.when(F.col("o_orderstatus") == "F", dec("o_totalprice"))),
+            F.lit(0),
+        )
+        .cast(DEC2)
+        .alias("f_total"),
+        F.min_by("o_orderstatus", "o_orderkey").alias("first_status"),
+        F.max_by("o_orderstatus", "o_orderkey").alias("last_status"),
+        F.bool_or(F.col("o_totalprice") > 450000).alias("any_jumbo"),
+    )
+
+
+@query(
+    "q_window_ntile",
+    oracle="""
+    SELECT o_orderkey,
+           ntile(10) OVER w AS decile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (ntile/percent_rank/cume_dist)
+    over a unique-keyed order — rank-derived ratios of exact integers,
+    so both engines emit identical doubles."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey",
+        F.ntile(10).over(w).alias("decile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@query(
+    "q_window_firstlast",
+    oracle="""
+    SELECT o_orderkey,
+           first_value(o_orderkey) OVER w AS top_key,
+           last_value(o_orderkey) OVER w AS bottom_key,
+           nth_value(o_orderkey, 2) OVER w AS second_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice DESC, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def q_window_firstlast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value window functions over an explicit full-partition row frame
+    (the default RANGE..CURRENT ROW frame makes last_value a footgun —
+    always pin the frame)."""
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("top_key"),
+        F.last("o_orderkey").over(w).alias("bottom_key"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_key"),
+    )
+
+
+@query(
+    "q_string_agg",
+    oracle="""
+    SELECT c_nationkey,
+           array_to_string(list_sort(list_distinct(list(c_mktsegment))), ',')
+               AS segments,
+           COUNT(*) AS n_cust
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation: distinct market segments per nation,
+    sorted then joined — the deterministic form of LISTAGG/string_agg
+    (unordered listagg output is partition-order-dependent)."""
+    c = load(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.array_join(F.array_sort(F.collect_set("c_mktsegment")), ",").alias(
+            "segments"
+        ),
+        F.count(F.lit(1)).alias("n_cust"),
+    )
+
+
+@query(
+    "q_sample_hash",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           substr(sha256(CAST(o_orderkey AS VARCHAR)), 1, 2) AS bucket
+    FROM orders
+    WHERE substr(sha256(CAST(o_orderkey AS VARCHAR)), 1, 2) <= '19'
+    """,
+)
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% sample: keep rows whose sha2(key) hex prefix
+    falls in a fixed range. Unlike TABLESAMPLE/rand(), the sample is
+    reproducible across runs, engines, and repartitions — the
+    correct way to carve held-out splits in a training-data pipeline.
+    The predicate is evaluated inside the scan stage (computed
+    expression, so no row-group pruning) and pipelines into the
+    projection: zero shuffles, scales linearly."""
+    o = load(spark, sf_dir, "orders")
+    bucket = F.substring(F.sha2(F.col("o_orderkey").cast("string"), 256), 1, 2)
+    return (
+        o.withColumn("bucket", bucket)
+        .where(F.col("bucket") <= "19")
+        .select("o_orderkey", "o_orderstatus", "bucket")
+    )
+
+
+@query(
+    "q_join_right",
+    oracle="""
+    SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+           CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 0)
+                AS DECIMAL(18,2)) AS total_spent
+    FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_custkey
+    """,
+)
+def q_join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT outer join (customers preserved, zero-order customers
+    count 0). Catalyst canonicalizes right to left outer with swapped
+    sides — declared so the surface covers the full join-type set."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"], "right")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum(dec("o_totalprice")), F.lit(0))
+            .cast(DEC2)
+            .alias("total_spent"),
+        )
+    )
+
+
+@query(
+    "q_join_cross",
+    oracle="""
+    SELECT r_regionkey, r_name, s.o_orderstatus,
+           concat(r_name, ':', s.o_orderstatus) AS cell
+    FROM region
+    CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+    """,
+)
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product of two deliberately tiny inputs (5 regions x
+    3 statuses). Cross joins are only ever declared over bounded
+    dimension sets; unbounded cross joins are a plan error at scale."""
+    r = load(spark, sf_dir, "region")
+    s = load(spark, sf_dir, "orders").select("o_orderstatus").distinct()
+    return r.crossJoin(s).select(
+        "r_regionkey",
+        "r_name",
+        "o_orderstatus",
+        F.concat_ws(":", "r_name", "o_orderstatus").alias("cell"),
+    )
+
+
+@query(
+    "q_subquery_scalar",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n_above
+    FROM orders
+    WHERE o_totalprice >
+          (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                  / COUNT(*) FROM orders)
+    GROUP BY o_orderstatus
+    """,
+)
+def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery: orders above the global mean
+    price. The threshold is the exact-decimal mean (float AVG's
+    summation order would make the filter boundary nondeterministic).
+    Catalyst plans the subquery as an independent stage whose scalar
+    result is broadcast into the filter."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_sq")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, COUNT(*) AS n_above
+        FROM orders_sq
+        WHERE o_totalprice >
+              (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                      / COUNT(*) FROM orders_sq)
+        GROUP BY o_orderstatus
+        """
+    )
+
+
+@query(
+    "q_subquery_correlated",
+    oracle="""
+    SELECT c_custkey, c_acctbal
+    FROM customer c
+    WHERE c_acctbal * 50 <
+          (SELECT COALESCE(MAX(o_totalprice), 0) FROM orders o
+           WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (per-customer max order value).
+    Catalyst de-correlates it into an aggregate + left outer join —
+    the same distributed shape a hand-written join would produce, so
+    the SQL sugar costs nothing at scale. MAX over doubles is
+    order-insensitive (unlike SUM/AVG), so no decimal cast is needed."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer_sq")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_sq2")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_acctbal
+        FROM customer_sq c
+        WHERE c_acctbal * 50 <
+              (SELECT COALESCE(MAX(o_totalprice), 0) FROM orders_sq2 o
+               WHERE o.o_custkey = c.c_custkey)
+        """
+    )
