@@ -385,13 +385,39 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_multimodal_meta")  # fixture synthesized in-plan: rows-only
+@query(
+    "q_multimodal_meta",
+    oracle="""
+    WITH blobs AS (
+      SELECT range AS blob_id,
+             ['image/png','audio/wav','application/pdf','text/plain']
+               [CAST(range % 4 AS INT) + 1] AS mime_type,
+             unhex(substring(repeat(sha256('blob-' || CAST(range AS VARCHAR)), 130),
+                   1, CAST((64 + (range * 131) % 4033) * 2 AS INT))) AS content
+      FROM range(0, 200)
+    ), ranked AS (
+      SELECT mime_type, content,
+             ROW_NUMBER() OVER (PARTITION BY mime_type
+                                ORDER BY octet_length(content), blob_id) AS rn
+      FROM blobs
+    )
+    SELECT mime_type, COUNT(*) AS n_blobs,
+           SUM(octet_length(content)) AS total_bytes,
+           MAX(CASE WHEN rn = 1
+                    THEN lower(substring(hex(content), 1, 64)) END) AS smallest_hex
+    FROM ranked
+    GROUP BY mime_type
+    """,
+)
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal metadata rollup over a deterministic binary-blob
-    fixture (FIXTURES.md §3 shape, synthesized in-plan until the
-    driver materializes blobs.parquet): per mime_type count, total
-    payload bytes, and the sha256 of the smallest blob (ties by
-    blob_id). Exercises BinaryType + length/sha2 over binary."""
+    fixture (FIXTURES.md §3 shape, synthesized in-plan — the driver
+    never materialized blobs.parquet): per mime_type count, total
+    payload bytes, and a 64-hex-char prefix of the smallest blob (ties
+    by blob_id). Exercises BinaryType + length/hex over binary; the
+    blob bytes themselves are oracle-checked because the generator is
+    pure SQL DuckDB reproduces exactly (sha2 of the blob would be the
+    natural checksum, but DuckDB's sha256 only takes VARCHAR)."""
     from fhir2sql_spark.operators.multimodal import synth_blobs
 
     blobs = synth_blobs(spark, n=200)
@@ -402,7 +428,7 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.groupBy("mime_type").agg(
         F.count(F.lit(1)).alias("n_blobs"),
         F.sum(F.length("content")).alias("total_bytes"),
-        F.max(F.when(F.col("rn") == 1, F.sha2(F.col("content"), 256))).alias(
-            "smallest_sha"
-        ),
+        F.max(
+            F.when(F.col("rn") == 1, F.lower(F.substring(F.hex("content"), 1, 64)))
+        ).alias("smallest_hex"),
     )
