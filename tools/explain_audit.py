@@ -42,6 +42,13 @@ CHECKS: list[tuple[str, str, str]] = [
     ("q_sync_inserts", "LeftAnti", "insert branch is anti join"),
     ("q_dedup_exact", "partial_min", "dedup agg is map-side partial"),
     ("q_embed_topk", "BroadcastNestedLoopJoin", "query side broadcasts"),
+    ("q_tpch_q3", "TakeOrderedAndProject", "Q3 top-10 must not global-sort"),
+    ("q_tpch_q3", "BroadcastHashJoin", "Q3 filtered customer side broadcasts"),
+    ("q_tpch_q4", "LeftSemi", "Q4 EXISTS plans as a semi join"),
+    ("q_tpch_q5", "BroadcastHashJoin", "Q5 dims broadcast"),
+    ("q_tpch_q6", "PushedFilters: [IsNotNull", "Q6 predicates reach the scan"),
+    ("q_tpch_q14", "BroadcastHashJoin", "Q14 part dim broadcasts"),
+    ("q_tpch_q18", "TakeOrderedAndProject", "Q18 top-100 must not global-sort"),
 ]
 
 
