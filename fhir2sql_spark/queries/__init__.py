@@ -17,6 +17,7 @@ _MODULES = (
     "llm",
     "relational_ext",
     "tpch",
+    "training",
 )
 
 

@@ -1,0 +1,154 @@
+"""Training-data pipeline operators beyond detection: duplicate
+CLUSTER resolution (connected components -> canonical doc), document
+chunking into overlapping token windows, and stratified deterministic
+sampling. Registered as §2.4 additions with exact oracles (the
+components oracle is a DuckDB recursive CTE computing the same
+transitive closure).
+
+The reference has no counterpart for any of these — they exist for the
+LLM-pipeline surface (BASELINE.json north star).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fhir2sql_spark.operators import dedup
+from fhir2sql_spark.operators.components import connected_components
+from fhir2sql_spark.registry import query
+from fhir2sql_spark.tables import load
+
+# The exact 3-gram Jaccard >= 4/5 pair derivation, shared verbatim with
+# q_dedup_near's oracle (queries/llm.py) so the component structure is
+# computed over the identical edge set in both engines.
+_PAIRS_CTES = """
+    s AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id, lang,
+               toks[CAST(i AS INT)] || ' ' || toks[CAST(i+1 AS INT)]
+                 || ' ' || toks[CAST(i+2 AS INT)] AS shingle
+        FROM s, range(1, 2000) t(i) WHERE i <= len(toks) - 2
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    cand AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+        FROM sh a JOIN sh b
+          ON a.lang = b.lang AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b
+        FROM cand p
+        JOIN sz sa ON p.doc_a = sa.doc_id
+        JOIN sz sb ON p.doc_b = sb.doc_id
+        WHERE common * 5 >= (sa.n + sb.n - common) * 4
+    )
+"""
+
+
+@query(
+    "q_dedup_components",
+    oracle=f"""
+    WITH RECURSIVE
+    {_PAIRS_CTES},
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL
+        SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    reach(node, label) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.node
+    )
+    SELECT node AS doc_id, MIN(label) AS component_id,
+           CAST(node = MIN(label) AS BOOLEAN) AS is_canonical
+    FROM reach
+    GROUP BY node
+    """,
+)
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters: transitive closure of the exact near-dup
+    pair relation (3-gram Jaccard >= 0.8, same edge set as
+    q_dedup_near), resolved by distributed min-label propagation
+    (operators/components.py). component_id = min doc_id in the
+    cluster; is_canonical marks the document a dedup pass would keep.
+    The oracle computes the identical closure via a recursive CTE."""
+    pairs = dedup.jaccard_pairs(
+        load(spark, sf_dir, "documents"), threshold_num=4, threshold_den=5
+    )
+    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        "component_id",
+        (F.col("node") == F.col("component_id")).alias("is_canonical"),
+    )
+
+
+@query(
+    "q_text_chunks",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    )
+    SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+           CAST(len(toks[(CAST(i AS INT) * 24 + 1):(CAST(i AS INT) * 24 + 32)]) AS INT)
+             AS n_chunk_tokens,
+           array_to_string(toks[(CAST(i AS INT) * 24 + 1):(CAST(i AS INT) * 24 + 32)], ' ')
+             AS chunk_text
+    FROM s, range(0, 2000) t(i)
+    WHERE i <= (n - 1) // 24
+    """,
+)
+def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking for training: overlapping token windows of
+    size 32 with stride 24 (8-token overlap), the standard context-
+    window carving step before tokenization. Pure generator projection
+    (explode of a bounded sequence) — zero shuffles, linear in input;
+    at 100 TB this runs entirely map-side."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    d = d.select("doc_id", toks.alias("toks"), F.size(toks).alias("n"))
+    d = d.select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(0), F.expr("(n - 1) div 24"))).alias("chunk_idx"),
+    )
+    chunk = F.slice(F.col("toks"), F.col("chunk_idx") * 24 + 1, 32)
+    return d.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.size(chunk).alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+@query(
+    "q_sample_stratified",
+    oracle="""
+    SELECT doc_id, lang,
+           substring(sha256(lang || '|' || CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
+    FROM documents
+    WHERE substring(sha256(lang || '|' || CAST(doc_id AS VARCHAR)), 1, 2) < '33'
+    """,
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic ~20 % sample: the sha2 hex-prefix
+    predicate is keyed on (stratum, id) so membership is independent
+    across strata and reproducible across runs/engines — no rand().
+    Emits the sampled rows themselves so the oracle checks exact
+    membership, not just rates. Like q_sample_hash, the predicate is
+    a computed expression inside the scan stage: zero shuffles."""
+    d = load(spark, sf_dir, "documents")
+    bucket = F.substring(
+        F.sha2(F.concat(F.col("lang"), F.lit("|"), F.col("doc_id").cast("string")), 256),
+        1,
+        2,
+    )
+    return (
+        d.select("doc_id", "lang", bucket.alias("bucket"))
+        .where(F.col("bucket") < "33")
+    )

@@ -118,3 +118,19 @@ def test_approx_count_distinct_tolerance(spark, sf_dir):
     row = registry.QUERIES["q_agg_approx"](spark, sf_dir).collect()[0]
     approx, exact = row["approx_custs"], row["exact_custs"]
     assert abs(approx - exact) <= max(1, 0.05 * exact), (approx, exact)
+
+
+def test_connected_components_known_graph(spark):
+    from fhir2sql_spark.operators.components import connected_components
+
+    # chain 1-2-3-4 (tests multi-round propagation), triangle 10-11-12,
+    # disjoint pair 20-21
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "src long, dst long",
+    )
+    got = {
+        r["node"]: r["component_id"]
+        for r in connected_components(edges, max_rounds=10).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
