@@ -11,7 +11,9 @@ cost model:
   - q_udf_pandas: Arrow-batched vectorized compute via applyInPandas —
     the sanctioned Python path (10-100x the row UDF).
   - q_udtf_explode: generator semantics via posexplode — fully
-    JVM-side; a Python UDTF would only be needed for opaque logic.
+    JVM-side; prefer this whenever the logic is expressible.
+  - q_udtf_python: the genuine Spark 4 @udtf class for opaque
+    stateful-generator logic (ordered-dict vocabulary profile).
 """
 
 from __future__ import annotations
@@ -123,3 +125,51 @@ def q_udtf_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "token")
     ).select("doc_id", "token", (F.col("pos0") + 1).cast("int").alias("pos"))
+
+
+@query(
+    "q_udtf_python",
+    oracle="""
+    WITH s AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    pos AS (
+      SELECT doc_id, toks[CAST(i AS INT)] AS token, CAST(i AS INT) AS pos
+      FROM s, range(1, 1001) t(i)
+      WHERE i <= len(toks)
+    )
+    SELECT doc_id, token, CAST(MIN(pos) AS INT) AS first_pos,
+           COUNT(*) AS n_occurrences
+    FROM pos
+    GROUP BY doc_id, token
+    """,
+)
+def q_udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Genuine Spark 4 Python UDTF (@udtf class, lateral-joined in
+    SQL): per-document vocabulary profile — one row per DISTINCT token
+    with its first position (1-based) and occurrence count, built with
+    an ordered dict inside the generator. This is the opaque stateful-
+    generator shape posexplode can't express; it runs in the Python
+    worker per partition with no shuffle (the dict state is per-row,
+    not cross-row). The oracle is the relational equivalent
+    (explode -> group by token -> min(pos)/count)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="token string, first_pos int, n_occurrences bigint")
+    class VocabProfile:
+        def eval(self, text: str):
+            stats: dict[str, list[int]] = {}
+            for i, tok in enumerate(text.split(" "), start=1):
+                if tok in stats:
+                    stats[tok][1] += 1
+                else:
+                    stats[tok] = [i, 1]
+            for tok, (first, cnt) in stats.items():
+                yield tok, first, cnt
+
+    spark.udtf.register("f2s_vocab_profile", VocabProfile)
+    load(spark, sf_dir, "documents").createOrReplaceTempView("v_udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.token, t.first_pos, t.n_occurrences
+        FROM v_udtf_docs d, LATERAL f2s_vocab_profile(d.text) t
+        """
+    )
