@@ -35,8 +35,11 @@ def asof_join(
     probe_key: str,
     tie_break: str,
 ) -> DataFrame:
-    """Latest-at-or-before join. ``probe_key`` must uniquely identify
-    left rows (it becomes the window partition key)."""
+    """Latest-at-or-before join, candidate-join form. ``probe_key``
+    must uniquely identify left rows (it becomes the window partition
+    key). O(probes x matching events) intermediate — prefer
+    ``asof_join_sorted`` (same contract) when the right side is dense
+    per key."""
     cand = left.join(
         right,
         (left[on] == right[on]) & (right[right_ts] <= left[left_ts]),
@@ -50,3 +53,64 @@ def asof_join(
         .where(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def asof_join_sorted(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    probe_key: str,
+    tie_break: str,
+) -> DataFrame:
+    """Latest-at-or-before join, merge-sorted form (same contract as
+    ``asof_join``).
+
+    Union both sides tagged by role, sort each key's rows by (ts,
+    side, tie), and carry the last-seen right row forward with
+    ``last(..., ignorenulls)`` over an unbounded-preceding row frame;
+    left rows then read their answer off the carried struct.
+
+    Why this is THE scale form: ONE shuffle (hash-partition on the
+    key) + one per-key sort, intermediate size = |left| + |right| —
+    the candidate-join form materializes |probe x all-earlier-events|
+    pairs before its window prunes them, which explodes when the right
+    side is dense per key. Sort order within a timestamp puts right
+    rows (side 0) before left rows (side 1), so an event AT the probe
+    time is eligible (<=); right rows at equal ts are ordered by
+    ``tie_break`` ascending so the carried last = largest tie-break.
+    """
+    lcols = left.columns
+    rcols = right.columns
+    payload = F.struct(*[F.col(c) for c in rcols if c != on])
+    r_tagged = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.col(tie_break).alias("__tie"),
+        payload.alias("__payload"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+    )
+    l_tagged = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(right.schema[tie_break].dataType).alias("__tie"),
+        F.lit(None).cast(r_tagged.schema["__payload"].dataType).alias("__payload"),
+        *[F.col(c) for c in lcols],
+    )
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc(), F.col("__tie").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = (
+        r_tagged.unionByName(l_tagged)
+        .withColumn("__carried", F.last("__payload", ignorenulls=True).over(w))
+        .where((F.col("__side") == 1) & F.col("__carried").isNotNull())
+    )
+    out_cols = [F.col(c) for c in lcols] + [
+        F.col(f"__carried.{c}").alias(c) for c in rcols if c != on
+    ]
+    return merged.select(*out_cols)

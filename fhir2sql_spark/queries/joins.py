@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from fhir2sql_spark.operators.asof import asof_join
+from fhir2sql_spark.operators.asof import asof_join, asof_join_sorted
 from fhir2sql_spark.registry import query
 from fhir2sql_spark.tables import load
 from fhir2sql_spark.queries.util import dec
@@ -257,7 +257,10 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: latest event per user at-or-before each probe time
     (tie-break: max event_id). Probe times are derived
     deterministically from orders onto the events calendar. Spark has
-    no native as-of; operators/asof.py composes it."""
+    no native as-of; operators/asof.py composes it (merge-sorted
+    form: one shuffle on the key, |left|+|right| intermediate — the
+    candidate-join form is kept as the contract reference and tested
+    equal)."""
     o = load(spark, sf_dir, "orders")
     e = load(spark, sf_dir, "events")
     probes = o.select(
@@ -269,7 +272,7 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("probe_ts"),
     )
     events = e.select("user_id", "event_id", F.col("ts").alias("event_ts"))
-    matched = asof_join(
+    matched = asof_join_sorted(
         probes,
         events,
         on="user_id",

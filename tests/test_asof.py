@@ -1,0 +1,73 @@
+"""As-of join: the candidate-join contract form and the merge-sorted
+scale form must agree exactly (same latest-at-or-before row, same
+tie-breaks), including the boundary cases a sort-order bug would flip:
+an event exactly AT the probe time, equal-timestamp tie-break by max
+id, and probes with no eligible event (dropped — inner flavor)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fhir2sql_spark.operators.asof import asof_join, asof_join_sorted
+from fhir2sql_spark.tables import load
+
+_KW = dict(
+    on="user_id",
+    left_ts="probe_ts",
+    right_ts="event_ts",
+    probe_key="probe_id",
+    tie_break="event_id",
+)
+
+
+def _collect(df):
+    return {
+        tuple(r)
+        for r in df.select(
+            "probe_id", "user_id", "probe_ts", "event_id", "event_ts"
+        ).collect()
+    }
+
+
+def test_asof_forms_agree_on_edge_cases(spark):
+    probes = spark.createDataFrame(
+        [
+            (1, 7, "2024-01-01 10:00:00"),  # event exactly at probe ts eligible
+            (2, 7, "2024-01-01 09:59:59"),  # strictly-before only
+            (3, 7, "2024-01-01 00:00:00"),  # no eligible event -> dropped
+            (4, 8, "2024-01-01 12:00:00"),  # tie: two events same ts, max id wins
+        ],
+        "probe_id long, user_id long, probe_ts string",
+    ).withColumn("probe_ts", F.col("probe_ts").cast("timestamp"))
+    events = spark.createDataFrame(
+        [
+            (100, 7, "2024-01-01 09:00:00"),
+            (101, 7, "2024-01-01 10:00:00"),
+            (200, 8, "2024-01-01 11:00:00"),
+            (201, 8, "2024-01-01 11:00:00"),
+        ],
+        "event_id long, user_id long, event_ts string",
+    ).withColumn("event_ts", F.col("event_ts").cast("timestamp"))
+
+    a = _collect(asof_join(probes, events, **_KW))
+    b = _collect(asof_join_sorted(probes, events, **_KW))
+    assert a == b
+    by_probe = {r[0]: r[3] for r in b}
+    assert by_probe == {1: 101, 2: 100, 4: 201}  # probe 3 dropped
+
+
+def test_asof_forms_agree_on_fixture(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    e = load(spark, sf_dir, "events")
+    probes = o.select(
+        F.col("o_orderkey").alias("probe_id"),
+        (F.col("o_custkey") % 150).alias("user_id"),
+        F.expr(
+            "timestamp '2024-01-01 00:00:00'"
+            " + make_interval(0, 0, 0, 0, cast(o_orderkey % 720 as int), 0, 0)"
+        ).alias("probe_ts"),
+    )
+    events = e.select("user_id", "event_id", F.col("ts").alias("event_ts"))
+    a = _collect(asof_join(probes, events, **_KW))
+    b = _collect(asof_join_sorted(probes, events, **_KW))
+    assert a == b and len(a) > 0
