@@ -459,3 +459,22 @@ def q_subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
                WHERE o.o_custkey = c.c_custkey)
         """
     )
+
+
+@query("q_agg_approx_percentile")  # sketch differs from DuckDB's: rows-only
+def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (Greenwald-Khanna sketch) — the mergeable
+    constant-memory quantile path that replaces q_agg_percentile's
+    exact per-group sort at 100 TB. Emits both approx and exact
+    quartiles; the tolerance test (tests/test_oracle_parity.py
+    companion in test_llm_ops) bounds the relative error. Rows-only
+    for the driver: the sketch is engine-specific by construction."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.expr(
+            "approx_percentile(o_totalprice, array(0.25D, 0.5D, 0.75D), 1000)"
+        ).alias("approx_qs"),
+        F.expr("percentile(o_totalprice, array(0.25D, 0.5D, 0.75D))").alias(
+            "exact_qs"
+        ),
+    )

@@ -152,3 +152,57 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", "lang", bucket.alias("bucket"))
         .where(F.col("bucket") < "33")
     )
+
+
+@query(
+    "q_text_tfidf",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    dfreq AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT t.doc_id, t.token, t.tf, d.df,
+             CAST(CAST(t.tf * n.n_docs AS DOUBLE) / CAST(d.df AS DOUBLE)
+                  AS DOUBLE) AS score
+      FROM tf t JOIN dfreq d USING (token), n
+    ),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, token) AS rn
+      FROM scored
+    )
+    SELECT doc_id, token, tf, df, score FROM r WHERE rn <= 5
+    """,
+)
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 salient tokens per document by tf-idf, rational variant:
+    score = tf * N / df (exact integer arithmetic -> one IEEE divide,
+    bit-identical across engines — ln(N/df) would differ in final ulp
+    between libm implementations and is monotonically equivalent for
+    fixed tf anyway). Two shuffles (tf and df aggregates) + a
+    broadcast of the scalar N; the per-doc top-5 plans a
+    WindowGroupLimit."""
+    from pyspark.sql import Window
+    from fhir2sql_spark.queries.util import exact_div
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (
+        toks.distinct().groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    )
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n))
+        .withColumn("score", exact_div(F.col("tf") * F.col("n_docs"), F.col("df")))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("token"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("doc_id", "token", "tf", "df", "score")
+    )

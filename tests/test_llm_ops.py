@@ -134,3 +134,14 @@ def test_connected_components_known_graph(spark):
         for r in connected_components(edges, max_rounds=10).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_approx_percentile_tolerance(spark, sf_dir):
+    from fhir2sql_spark import registry
+
+    registry.load_all()
+    rows = registry.QUERIES["q_agg_approx_percentile"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        for a, e in zip(r["approx_qs"], r["exact_qs"]):
+            assert abs(a - e) <= 0.02 * abs(e), (r["o_orderpriority"], a, e)
