@@ -123,3 +123,75 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     assert "2024-01-01 02:00:00" not in emitted
     # the 01:00 window from batch1 was finalized once the watermark passed
     assert emitted.get("2024-01-01 01:00:00") == 1
+
+
+def test_slide_stream_equals_batch(spark, sf_dir, events_dir):
+    def slide(df: DataFrame) -> DataFrame:
+        return (
+            df.groupBy(
+                F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+            )
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                    "window_start"
+                ),
+                "event_type",
+                "n_events",
+            )
+        )
+
+    batch = slide(
+        load(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        )
+    )
+    stream = run_stream_available_now(
+        spark, events_dir, EVENTS_SCHEMA, slide, output_mode="complete"
+    )
+    assert _rows(stream) == _rows(batch)
+
+
+def test_session_stream_equals_batch(spark, sf_dir, events_dir):
+    def session(df: DataFrame) -> DataFrame:
+        # streaming session_window requires a watermark; events are a
+        # bounded replay so an effectively-infinite horizon keeps every
+        # row while exercising the stateful merge path
+        return (
+            df.withWatermark("ts", "365 days")
+            .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(dec("value", 2)).cast("decimal(18,2)").alias("sum_value"),
+            )
+            .select(
+                "user_id",
+                F.date_format("w.start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                    "session_start"
+                ),
+                "n_events",
+                "sum_value",
+            )
+        )
+
+    batch = (
+        load(spark, sf_dir, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value", 2)).cast("decimal(18,2)").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_start"
+            ),
+            "n_events",
+            "sum_value",
+        )
+    )
+    stream = run_stream_available_now(
+        spark, events_dir, EVENTS_SCHEMA, session, output_mode="complete"
+    )
+    assert _rows(stream) == _rows(batch)
