@@ -195,3 +195,31 @@ def test_session_stream_equals_batch(spark, sf_dir, events_dir):
         spark, events_dir, EVENTS_SCHEMA, session, output_mode="complete"
     )
     assert _rows(stream) == _rows(batch)
+
+
+def test_rate_source_smoke(spark, tmp_path):
+    """rate-micro-batch source (deterministic rows/batch) — the
+    declared always-on source for load/soak testing (SURVEY §2.2)."""
+    import time as _time
+
+    q = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", 50)
+        .option("numPartitions", 4)
+        .load()
+        .writeStream.format("memory")
+        .queryName("rate_smoke")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        deadline = _time.time() + 60
+        while _time.time() < deadline and spark.table("rate_smoke").count() < 50:
+            _time.sleep(0.5)
+        got = spark.table("rate_smoke")
+        assert got.count() >= 50
+        assert set(got.columns) == {"timestamp", "value"}
+        vals = [r["value"] for r in got.select("value").collect()]
+        assert len(set(vals)) == len(vals)  # values are unique ticks
+    finally:
+        q.stop()
