@@ -109,3 +109,48 @@ def frame_sample(blobs: DataFrame, every_n_bytes: int = 256) -> DataFrame:
             F.col("content"), F.lit(1), F.lit(every_n_bytes)
         ).alias("frame_bytes"),
     )
+
+
+RESIZED_SCHEMA = (
+    "blob_id long, mime_type string, width int, height int, content binary"
+)
+
+
+def resize_images(
+    blobs: DataFrame, target_w: int = 32, target_h: int = 32
+) -> DataFrame:
+    """mapInPandas resize: image-typed binary payloads -> fixed-size
+    thumbnails. The kernel is a deterministic fake (stride-sampled
+    bytes to exactly target_w*target_h; a real implementation is
+    ``PIL.Image.open(...).resize((w, h))`` — unavailable in this
+    container, module docstring), but the Spark contract is the real
+    one: binary in / binary out, Arrow-batched, non-image rows
+    filtered upstream of the Python boundary so only decodable
+    payloads cross it."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n_out = target_w * target_h
+        for batch in batches:
+            out = []
+            for blob_id, mime, content in zip(
+                batch["blob_id"], batch["mime_type"], batch["content"]
+            ):
+                stride = max(1, len(content) // n_out)
+                sampled = content[::stride][:n_out]
+                sampled = sampled + b"\x00" * (n_out - len(sampled))
+                out.append(
+                    {
+                        "blob_id": blob_id,
+                        "mime_type": mime,
+                        "width": target_w,
+                        "height": target_h,
+                        "content": sampled,
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return (
+        blobs.where(F.col("mime_type").startswith("image/"))
+        .select("blob_id", "mime_type", "content")
+        .mapInPandas(fn, RESIZED_SCHEMA)
+    )

@@ -145,3 +145,17 @@ def test_approx_percentile_tolerance(spark, sf_dir):
     for r in rows:
         for a, e in zip(r["approx_qs"], r["exact_qs"]):
             assert abs(a - e) <= 0.02 * abs(e), (r["o_orderpriority"], a, e)
+
+
+def test_resize_images_contract(spark):
+    blobs = multimodal.synth_blobs(spark, n=40)
+    resized = multimodal.resize_images(blobs, target_w=8, target_h=8).collect()
+    n_images = blobs.where(F.col("mime_type").startswith("image/")).count()
+    assert len(resized) == n_images > 0
+    for r in resized:
+        assert (r["width"], r["height"]) == (8, 8)
+        assert len(r["content"]) == 64
+    # deterministic: same input -> same bytes
+    again = {r["blob_id"]: bytes(r["content"]) for r in
+             multimodal.resize_images(blobs, target_w=8, target_h=8).collect()}
+    assert {r["blob_id"]: bytes(r["content"]) for r in resized} == again
