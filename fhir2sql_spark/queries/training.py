@@ -206,3 +206,84 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 5)
         .select("doc_id", "token", "tf", "df", "score")
     )
+
+
+@query(
+    "q_corpus_carve",
+    oracle=f"""
+    WITH RECURSIVE
+    {_PAIRS_CTES},
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL
+        SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    reach(node, label) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    dupes AS (
+        SELECT node FROM reach GROUP BY node HAVING MIN(label) <> node
+    ),
+    f AS (
+        SELECT doc_id, lang,
+               len(text) AS n_chars_m,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(text) - len(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct,
+               len(list_filter(string_split(lower(text), ' '),
+                   x -> x IN ('the','and','of','to','a'))) AS en_hits
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, lang, n_tokens,
+               round(CASE WHEN n_tokens >= 10 THEN 0.4 ELSE 0.0 END
+                   + CASE WHEN CAST(n_chars_m AS DOUBLE)/greatest(n_tokens,1) >= 3
+                           AND CAST(n_chars_m AS DOUBLE)/greatest(n_tokens,1) <= 12
+                          THEN 0.3 ELSE 0.0 END
+                   + CASE WHEN CAST(n_punct AS DOUBLE)/greatest(n_chars_m,1) <= 0.1
+                          THEN 0.3 ELSE 0.0 END, 1) AS quality_score
+        FROM f
+    )
+    SELECT doc_id, lang, n_tokens, quality_score,
+           CASE WHEN substring(sha256('split|' || CAST(doc_id AS VARCHAR)), 1, 2)
+                     < '1a'
+                THEN 'heldout' ELSE 'train' END AS split
+    FROM scored
+    WHERE quality_score >= 0.7
+      AND doc_id NOT IN (SELECT node FROM dupes)
+    """,
+)
+def q_corpus_carve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus carve — the composition a training pipeline
+    actually runs: quality-score filter (>= 0.7) -> drop non-canonical
+    near-duplicates (cluster members that are not the min-id doc) ->
+    deterministic ~10 % held-out split by hash prefix. Every stage is
+    an already-verified fragment (q_text_quality, q_dedup_components,
+    q_sample_hash discipline) composed in one plan; Catalyst fuses the
+    scans and the anti-join against the (tiny) duplicate set
+    broadcasts."""
+    from fhir2sql_spark.operators import text as text_ops
+
+    d = load(spark, sf_dir, "documents")
+    feats = text_ops.quality_features(d)
+    pairs = dedup.jaccard_pairs(d, threshold_num=4, threshold_den=5)
+    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    dupes = comp.where(F.col("node") != F.col("component_id")).select(
+        F.col("node").alias("doc_id")
+    )
+    split = F.when(
+        F.substring(
+            F.sha2(F.concat(F.lit("split|"), F.col("doc_id").cast("string")), 256),
+            1,
+            2,
+        )
+        < "1a",
+        F.lit("heldout"),
+    ).otherwise(F.lit("train"))
+    return (
+        feats.where(F.col("quality_score") >= 0.7)
+        .join(dupes, "doc_id", "left_anti")
+        .join(d.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "lang", "n_tokens", "quality_score", split.alias("split"))
+    )
