@@ -478,3 +478,78 @@ def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_qs"
         ),
     )
+
+
+@query(
+    "q_event_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN ts END) AS view_ts
+      FROM events GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS click_ts
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.view_ts
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS purchase_ts
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.click_ts
+      GROUP BY e.user_id
+    )
+    SELECT v.user_id,
+           strftime(v.view_ts, '%Y-%m-%d %H:%M:%S.%f') AS view_time,
+           strftime(c.click_ts, '%Y-%m-%d %H:%M:%S.%f') AS click_time,
+           strftime(p.purchase_ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_time,
+           CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+                     WHEN c.user_id IS NOT NULL THEN 2
+                     WHEN v.view_ts IS NOT NULL THEN 1
+                     ELSE 0 END AS INT) AS stage
+    FROM v
+    LEFT JOIN c ON v.user_id = c.user_id
+    LEFT JOIN p ON v.user_id = p.user_id
+    """,
+)
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern funnel: first view -> earliest click strictly
+    after it -> earliest purchase strictly after that, per user, with
+    the stage reached. The staged-aggregate form (three grouped mins +
+    left joins) instead of a row-pattern engine: each stage is one
+    hash aggregate re-using the same user_id partitioning, so the
+    whole funnel is shuffle-aligned on one key — the shape that scales
+    to event streams sharded by user."""
+    e = load(spark, sf_dir, "events")
+    _FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    v = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("view_ts")
+    )
+    c = (
+        e.join(v, "user_id")
+        .where((F.col("event_type") == "click") & (F.col("ts") > F.col("view_ts")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    p = (
+        e.join(c, "user_id")
+        .where((F.col("event_type") == "purchase") & (F.col("ts") > F.col("click_ts")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            F.date_format("view_ts", _FMT).alias("view_time"),
+            F.date_format("click_ts", _FMT).alias("click_time"),
+            F.date_format("purchase_ts", _FMT).alias("purchase_time"),
+            F.when(F.col("purchase_ts").isNotNull(), 3)
+            .when(F.col("click_ts").isNotNull(), 2)
+            .when(F.col("view_ts").isNotNull(), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("stage"),
+        )
+    )
