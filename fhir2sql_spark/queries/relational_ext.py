@@ -553,3 +553,48 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("stage"),
         )
     )
+
+
+@query(
+    "q_cohort_retention",
+    oracle="""
+    WITH firstw AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    act AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS act_week FROM events
+    )
+    SELECT CAST(f.cohort_week AS DATE) AS cohort_week,
+           CAST(date_diff('day', f.cohort_week, a.act_week) // 7 AS INT)
+             AS week_offset,
+           COUNT(*) AS n_active
+    FROM firstw f JOIN act a ON f.user_id = a.user_id
+    GROUP BY 1, 2
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity ISO
+    week, distinct-active counts per week offset. Week truncation is
+    ISO-Monday in both engines; offsets are exact day-diffs div 7
+    (both week starts are aligned so the division is exact). Two
+    aggregates and a join all partitioned on user_id — one shuffle
+    key end-to-end until the final (tiny) matrix rollup."""
+    e = load(spark, sf_dir, "events")
+    firstw = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    act = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("act_week")
+    ).distinct()
+    return (
+        firstw.join(act, "user_id")
+        .select(
+            F.col("cohort_week").cast("date").alias("cohort_week"),
+            F.expr("datediff(act_week, cohort_week) div 7")
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
