@@ -49,6 +49,9 @@ CHECKS: list[tuple[str, str, str]] = [
     ("q_tpch_q6", "PushedFilters: [IsNotNull", "Q6 predicates reach the scan"),
     ("q_tpch_q14", "BroadcastHashJoin", "Q14 part dim broadcasts"),
     ("q_tpch_q18", "TakeOrderedAndProject", "Q18 top-100 must not global-sort"),
+    ("q_text_tfidf", "WindowGroupLimit", "tf-idf top-5 prunes pre-shuffle"),
+    ("q_corpus_carve", "BroadcastHashJoin", "dup-set anti-join broadcasts"),
+    ("q_event_funnel", "HashAggregate", "funnel stages are hash aggregates"),
 ]
 
 
