@@ -254,3 +254,37 @@ def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.get_json_object(roundtrip, "$.k").alias("k_roundtrip"),
         )
     )
+
+
+@query(
+    "q_hof_funcs",
+    oracle="""
+    WITH s AS (
+      SELECT o_orderkey, range(1, CAST(1 + o_orderkey % 8 AS INT) + 1) AS arr
+      FROM orders
+    )
+    SELECT o_orderkey,
+           list_transform(arr, x -> x * 2 + 1) AS doubled,
+           list_filter(arr, x -> x % 3 = 0) AS div3,
+           CAST(list_reduce(arr, (a, b) -> a + b) AS BIGINT) AS total,
+           len(list_filter(arr, x -> x % 7 = 0)) > 0 AS has_div7
+    FROM s
+    """,
+)
+def q_hof_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order-function surface over integer arrays derived from
+    keys (exact arithmetic — no float lambda divergence): transform,
+    filter, aggregate (fold), exists. HOF lambdas evaluate inside the
+    JVM per row with zero shuffles; arrays are bounded (<= 8 elems) so
+    row width stays constant at any scale."""
+    o = load(spark, sf_dir, "orders")
+    arr = F.sequence(F.lit(1), (F.lit(1) + F.col("o_orderkey") % 8).cast("int"))
+    return o.select(
+        "o_orderkey",
+        F.transform(arr, lambda x: x * 2 + 1).alias("doubled"),
+        F.filter(arr, lambda x: x % 3 == 0).alias("div3"),
+        F.aggregate(
+            arr, F.lit(0).cast("bigint"), lambda acc, x: acc + x
+        ).alias("total"),
+        F.exists(arr, lambda x: x % 7 == 0).alias("has_div7"),
+    )
