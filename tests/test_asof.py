@@ -71,3 +71,42 @@ def test_asof_forms_agree_on_fixture(spark, sf_dir):
     a = _collect(asof_join(probes, events, **_KW))
     b = _collect(asof_join_sorted(probes, events, **_KW))
     assert a == b and len(a) > 0
+
+
+def test_asof_forms_agree_random(spark):
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    ts = st.integers(min_value=0, max_value=50)
+    probe = st.tuples(st.integers(0, 5), ts)  # (user, probe second)
+    event = st.tuples(st.integers(0, 5), ts)  # (user, event second)
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        probes=st.lists(probe, min_size=1, max_size=15),
+        events=st.lists(event, min_size=1, max_size=15),
+    )
+    def inner(probes, events):
+        pdf = spark.createDataFrame(
+            [
+                (i, u, f"2024-01-01 00:00:{s:02d}")
+                for i, (u, s) in enumerate(probes)
+            ],
+            "probe_id long, user_id long, probe_ts string",
+        ).withColumn("probe_ts", F.col("probe_ts").cast("timestamp"))
+        edf = spark.createDataFrame(
+            [
+                (i, u, f"2024-01-01 00:00:{s:02d}")
+                for i, (u, s) in enumerate(events)
+            ],
+            "event_id long, user_id long, event_ts string",
+        ).withColumn("event_ts", F.col("event_ts").cast("timestamp"))
+        a = _collect(asof_join(pdf, edf, **_KW))
+        b = _collect(asof_join_sorted(pdf, edf, **_KW))
+        assert a == b
+
+    inner()

@@ -159,3 +159,47 @@ def test_resize_images_contract(spark):
     again = {r["blob_id"]: bytes(r["content"]) for r in
              multimodal.resize_images(blobs, target_w=8, target_h=8).collect()}
     assert {r["blob_id"]: bytes(r["content"]) for r in resized} == again
+
+
+def test_connected_components_matches_union_find(spark):
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from fhir2sql_spark.operators.components import connected_components
+
+    edge = st.tuples(
+        st.integers(min_value=0, max_value=30),
+        st.integers(min_value=0, max_value=30),
+    )
+
+    def union_find(edges):
+        parent: dict[int, int] = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {n: find(n) for n in parent}
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(edges=st.lists(edge, min_size=1, max_size=25))
+    def inner(edges):
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r["node"]: r["component_id"]
+            for r in connected_components(df, max_rounds=40).collect()
+        }
+        assert got == union_find(edges)
+
+    inner()
