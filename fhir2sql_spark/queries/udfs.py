@@ -14,6 +14,8 @@ cost model:
     JVM-side; prefer this whenever the logic is expressible.
   - q_udtf_python: the genuine Spark 4 @udtf class for opaque
     stateful-generator logic (ordered-dict vocabulary profile).
+  - q_udaf_pandas: grouped-agg pandas UDF (true UDAF) — whole group in
+    one series, no partial aggregation; decimal-exact internals.
 """
 
 from __future__ import annotations
@@ -172,4 +174,52 @@ def q_udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT d.doc_id, t.token, t.first_pos, t.n_occurrences
         FROM v_udtf_docs d, LATERAL f2s_vocab_profile(d.text) t
         """
+    )
+
+
+@query(
+    "q_udaf_pandas",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(CAST(SUM(CAST(round(CAST(l_extendedprice AS DECIMAL(18,4))
+                                    * CAST(l_quantity AS DECIMAL(18,4)), 2)
+                              AS DECIMAL(18,2))) AS DOUBLE)
+                / CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                AS DOUBLE) AS wavg_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_udaf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True UDAF: a grouped-agg pandas UDF computing the
+    quantity-weighted average price per return flag. Internals are
+    exact Decimal sums (inputs carry <=2 dp so Decimal(str(x)) is
+    lossless), each product quantized to 2 dp HALF_UP (= both engines'
+    ROUND) so every sum's UNSCALED value stays under 2^53 — above
+    that, decimal->double conversion double-rounds in DuckDB
+    (double(int)/double(10^scale)) while Python's float(Decimal)
+    rounds once, and the last ulp diverges (observed before this
+    quantize). Exact sums -> exact float conversions -> one IEEE
+    divide: bit-identical at any pandas iteration order. Scale note:
+    grouped-agg pandas UDFs receive the WHOLE group as one in-memory
+    series (no partial aggregation) — built-in decimal sums are the
+    hot-path form; this exists for logic no builtin expresses."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    _Q2 = Decimal("0.01")
+
+    @pandas_udf("double")
+    def wavg(price: pd.Series, qty: pd.Series) -> float:
+        num = Decimal(0)
+        den = Decimal(0)
+        for p, q in zip(price, qty):
+            dp, dq = Decimal(str(p)), Decimal(str(q))
+            num += (dp * dq).quantize(_Q2, rounding=ROUND_HALF_UP)
+            den += dq
+        return float(num) / float(den)
+
+    l = load(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        wavg("l_extendedprice", "l_quantity").alias("wavg_price")
     )
