@@ -49,7 +49,12 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
+
+    # Full per-query detail goes to a repo file; the stdout JSON line
+    # must stay under the driver's 2000-char tail capture (round 1:
+    # the full 103-query dict was ~2900 chars, the captured tail
+    # started mid-line, and the driver recorded "parsed": null).
+    (REPO / "BENCH_FULL.json").write_text(
         json.dumps(
             {
                 "metric": "suite_wall_seconds",
@@ -57,9 +62,29 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-            }
+            },
+            indent=1,
+            sort_keys=True,
         )
     )
+
+    headline = {
+        n: timings[n] for n in registry.SHOWCASE_BENCH if n in timings
+    }
+    line = json.dumps(
+        {
+            "metric": "suite_wall_seconds",
+            "value": total,
+            "unit": "sec",
+            "queries": headline,
+            "n_queries": len(timings),
+            "detail": "BENCH_FULL.json",
+            "sf": sf,
+        },
+        separators=(",", ":"),
+    )
+    assert len(line) < 1900, f"bench JSON line too long ({len(line)} chars)"
+    print(line)
 
 
 if __name__ == "__main__":

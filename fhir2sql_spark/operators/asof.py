@@ -26,6 +26,26 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _check_asof_contract(
+    left: DataFrame, right: DataFrame, on: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared contract for both as-of forms (round-1 advisor finding:
+    the forms diverged on NULL keys — Window.partitionBy groups NULLs
+    while the equi-join drops them — and overlapping column names
+    produced ambiguous outputs).
+
+    - non-key column names must be disjoint (rename before joining);
+    - NULL join keys never match (SQL equi-join semantics), enforced
+      identically in both forms by filtering them here."""
+    overlap = (set(left.columns) & set(right.columns)) - {on}
+    if overlap:
+        raise ValueError(
+            "asof join requires disjoint non-key column names; "
+            f"rename overlapping columns first: {sorted(overlap)}"
+        )
+    return left.where(F.col(on).isNotNull()), right.where(F.col(on).isNotNull())
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -40,6 +60,7 @@ def asof_join(
     key). O(probes x matching events) intermediate — prefer
     ``asof_join_sorted`` (same contract) when the right side is dense
     per key."""
+    left, right = _check_asof_contract(left, right, on)
     cand = left.join(
         right,
         (left[on] == right[on]) & (right[right_ts] <= left[left_ts]),
@@ -81,6 +102,7 @@ def asof_join_sorted(
     time is eligible (<=); right rows at equal ts are ordered by
     ``tie_break`` ascending so the carried last = largest tie-break.
     """
+    left, right = _check_asof_contract(left, right, on)
     lcols = left.columns
     rcols = right.columns
     payload = F.struct(*[F.col(c) for c in rcols if c != on])

@@ -101,13 +101,16 @@ def frame_sample(blobs: DataFrame, every_n_bytes: int = 256) -> DataFrame:
     blob into fixed-stride byte-window "frames" (a real impl would cut
     on container keyframes). Shows the binary -> many-rows explode
     shape with bounded row size."""
-    n_frames = (F.length("content") / every_n_bytes).cast("int") + 1
+    n = int(every_n_bytes)
+    n_frames = (F.length("content") / n).cast("int") + 1
     return blobs.select(
         "blob_id",
+        "content",
         F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_no"),
-        F.substring(
-            F.col("content"), F.lit(1), F.lit(every_n_bytes)
-        ).alias("frame_bytes"),
+    ).select(
+        "blob_id",
+        "frame_no",
+        F.expr(f"substring(content, frame_no * {n} + 1, {n})").alias("frame_bytes"),
     )
 
 

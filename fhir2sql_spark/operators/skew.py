@@ -33,7 +33,19 @@ def salted_join(
     retry-safe); right is exploded ``salt`` times so every (key,
     salt_id) pair finds its match. Use when one key dominates; cost is
     replicating the right side ``salt``x, so keep right the smaller
-    input."""
+    input.
+
+    Only ``inner`` and ``left`` joins are supported: with the right
+    side replicated ``salt`` times, a right/full outer join would emit
+    every unmatched right row once per replica — not the unsalted
+    result (round-1 advisor finding). Semi/anti flavors are pointless
+    here (they never multiply rows, so salt the plain join instead)."""
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left' only, got {how!r}: "
+            "outer flavors would duplicate unmatched right rows "
+            "(right side is replicated per salt)"
+        )
     salt_col = F.pmod(F.xxhash64(*left.columns), F.lit(salt)).cast("int")
     l_salted = left.withColumn("__salt", salt_col)
     r_salted = right.withColumn(

@@ -28,10 +28,10 @@ from fhir2sql_spark.queries.util import dec, exact_div
     "q_agg_basic",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
-                    * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(18,4)) AS sum_disc_price,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_qty,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_base_price,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_disc_price,
            CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
                 / COUNT(*) AS DOUBLE) AS avg_qty,
            COUNT(*) AS count_order
@@ -53,9 +53,9 @@ def q_agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.where(F.col("l_shipdate") <= "1998-09-02 00:00:00")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(qty).cast("decimal(18,4)").alias("sum_qty"),
-            F.sum(price).cast("decimal(18,4)").alias("sum_base_price"),
-            F.sum(disc_price).cast("decimal(18,4)").alias("sum_disc_price"),
+            F.sum(qty).cast("decimal(18,4)").cast("double").alias("sum_qty"),
+            F.sum(price).cast("decimal(18,4)").cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("decimal(18,4)").cast("double").alias("sum_disc_price"),
             exact_div(F.sum(qty), F.count(F.lit(1))).alias("avg_qty"),
             F.count(F.lit(1)).alias("count_order"),
         )
@@ -82,16 +82,33 @@ def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_agg_approx")  # no oracle: HLL sketch differs from DuckDB's; rows-only check
+@query(
+    "q_agg_approx",
+    oracle="""
+    SELECT COUNT(DISTINCT o_custkey) AS exact_custs, TRUE AS within_tol
+    FROM orders
+    """,
+)
 def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) — the constant-memory
     distinct path that replaces exact COUNT(DISTINCT) at 100 TB.
     Sketches merge associatively, so this is one shuffle of fixed-size
-    state regardless of cardinality."""
+    state regardless of cardinality.
+
+    DuckDB cannot reproduce Spark's HLL++ sketch bit-for-bit, so the
+    oracled contract is the sketch's accuracy guarantee: the estimate
+    must land within 5x the configured rsd (2%) of the exact count
+    (far looser than the ~3*rsd tail bound, so deterministically true
+    on this data), which the oracle asserts as a constant TRUE."""
     o = load(spark, sf_dir, "orders")
+    approx = F.approx_count_distinct("o_custkey", rsd=0.02)
+    exact = F.countDistinct("o_custkey")
     return o.agg(
-        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_custs"),
-        F.countDistinct("o_custkey").alias("exact_custs"),
+        exact.alias("exact_custs"),
+        (
+            F.abs(approx.cast("double") - exact.cast("double"))
+            <= 0.10 * exact.cast("double")
+        ).alias("within_tol"),
     )
 
 
@@ -102,7 +119,7 @@ def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
            CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
            COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
     """,
@@ -117,7 +134,7 @@ def q_agg_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(grouping(o_orderstatus) AS INT) AS g_status,
                CAST(grouping(o_orderpriority) AS INT) AS g_priority,
                COUNT(*) AS n_orders,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         FROM v_orders_sets
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """
@@ -131,7 +148,7 @@ def q_agg_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(GROUPING(r_name) AS INT) AS g_region,
            CAST(GROUPING(n_name) AS INT) AS g_nation,
            COUNT(*) AS n_custs,
-           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_bal
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
     FROM customer
     JOIN nation ON c_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
@@ -151,7 +168,7 @@ def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.grouping("r_name").cast("int").alias("g_region"),
         F.grouping("n_name").cast("int").alias("g_nation"),
         F.count(F.lit(1)).alias("n_custs"),
-        F.sum(dec("c_acctbal", 2)).cast("decimal(18,2)").alias("sum_bal"),
+        F.sum(dec("c_acctbal", 2)).cast("double").alias("sum_bal"),
     )
 
 
@@ -180,7 +197,7 @@ def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_suppkey,
            COUNT(*) AS n_items,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
     FROM lineitem
     GROUP BY l_suppkey
     HAVING COUNT(*) > 100
@@ -194,7 +211,7 @@ def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.groupBy("l_suppkey")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            F.sum(dec("l_quantity")).cast("decimal(18,4)").alias("sum_qty"),
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
         )
         .where(F.col("n_items") > 100)
     )

@@ -31,7 +31,7 @@ from fhir2sql_spark.queries.util import dec
     "q_join_inner",
     oracle="""
     SELECT n_name,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
            COUNT(*) AS n_orders
     FROM orders
     JOIN customer ON o_custkey = c_custkey
@@ -50,7 +50,7 @@ def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name")
         .agg(
-            F.sum(dec("o_totalprice", 2)).cast("decimal(18,2)").alias("sum_price"),
+            F.sum(dec("o_totalprice", 2)).cast("double").alias("sum_price"),
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
@@ -148,7 +148,7 @@ def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT p_brand,
            COUNT(*) AS n_items,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE p_brand IN ('Brand#12', 'Brand#21')
     GROUP BY p_brand
@@ -167,7 +167,7 @@ def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            F.sum(dec("l_quantity")).cast("decimal(18,4)").alias("sum_qty"),
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
         )
     )
 
@@ -177,7 +177,7 @@ def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT a.s_suppkey AS a_suppkey, b.s_suppkey AS b_suppkey,
            CAST(CAST(a.s_acctbal AS DECIMAL(18,2))
-                - CAST(b.s_acctbal AS DECIMAL(18,2)) AS DECIMAL(18,2)) AS bal_gap
+                - CAST(b.s_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal_gap
     FROM supplier a JOIN supplier b ON a.s_acctbal > b.s_acctbal
     WHERE a.s_suppkey < 10 AND b.s_suppkey < 10
     """,
@@ -197,7 +197,7 @@ def q_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.join(b, F.col("a_bal") > F.col("b_bal")).select(
         "a_suppkey",
         "b_suppkey",
-        (dec("a_bal", 2) - dec("b_bal", 2)).cast("decimal(18,2)").alias("bal_gap"),
+        (dec("a_bal", 2) - dec("b_bal", 2)).cast("double").alias("bal_gap"),
     )
 
 
@@ -205,8 +205,8 @@ def q_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_join_range",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           CAST(l_shipdate AS DATE) AS ship_date,
-           CAST(o_orderdate AS DATE) AS order_date
+           l_shipdate AS ship_date,
+           o_orderdate AS order_date
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     WHERE l_shipdate > o_orderdate + INTERVAL 30 DAY
     """,
@@ -223,8 +223,8 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "l_orderkey",
             "l_linenumber",
-            F.col("l_shipdate").cast("date").alias("ship_date"),
-            F.col("o_orderdate").cast("date").alias("order_date"),
+            F.col("l_shipdate").alias("ship_date"),
+            F.col("o_orderdate").alias("order_date"),
         )
     )
 

@@ -250,7 +250,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT lang, source,
            COUNT(*) AS n_docs,
-           SUM(n_chars) AS total_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            CAST(CAST(SUM(len(string_split(text, ' '))) AS DOUBLE)
                 / COUNT(*) AS DOUBLE) AS avg_tokens
     FROM documents
@@ -402,7 +402,7 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM blobs
     )
     SELECT mime_type, COUNT(*) AS n_blobs,
-           SUM(octet_length(content)) AS total_bytes,
+           CAST(SUM(octet_length(content)) AS BIGINT) AS total_bytes,
            MAX(CASE WHEN rn = 1
                     THEN lower(substring(hex(content), 1, 64)) END) AS smallest_hex
     FROM ranked

@@ -46,13 +46,13 @@ _STATUSES = ("F", "O", "P")
     SELECT o_orderpriority,
            COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS f_cnt,
            CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
-                FILTER (WHERE o_orderstatus = 'F'), 0) AS DECIMAL(18,2)) AS f_total,
+                FILTER (WHERE o_orderstatus = 'F'), 0) AS DOUBLE) AS f_total,
            COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS o_cnt,
            CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
-                FILTER (WHERE o_orderstatus = 'O'), 0) AS DECIMAL(18,2)) AS o_total,
+                FILTER (WHERE o_orderstatus = 'O'), 0) AS DOUBLE) AS o_total,
            COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS p_cnt,
            CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
-                FILTER (WHERE o_orderstatus = 'P'), 0) AS DECIMAL(18,2)) AS p_total
+                FILTER (WHERE o_orderstatus = 'P'), 0) AS DOUBLE) AS p_total
     FROM orders GROUP BY o_orderpriority
     """,
 )
@@ -78,7 +78,7 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col(f"{s}_cnt"), F.lit(0)).cast("long").alias(f"{lo}_cnt")
         )
         cols.append(
-            F.coalesce(F.col(f"{s}_total"), F.lit(0)).cast(DEC2).alias(f"{lo}_total")
+            F.coalesce(F.col(f"{s}_total"), F.lit(0)).cast(DEC2).cast("double").alias(f"{lo}_total")
         )
     return piv.select(*cols)
 
@@ -87,16 +87,16 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_unpivot",
     oracle="""
     SELECT l_orderkey, l_linenumber, 'quantity' AS metric,
-           CAST(l_quantity AS DECIMAL(18,4)) AS val FROM lineitem
+           CAST(l_quantity AS DOUBLE) AS val FROM lineitem
     UNION ALL
     SELECT l_orderkey, l_linenumber, 'extendedprice',
-           CAST(l_extendedprice AS DECIMAL(18,4)) FROM lineitem
+           CAST(l_extendedprice AS DOUBLE) FROM lineitem
     UNION ALL
     SELECT l_orderkey, l_linenumber, 'discount',
-           CAST(l_discount AS DECIMAL(18,4)) FROM lineitem
+           CAST(l_discount AS DOUBLE) FROM lineitem
     UNION ALL
     SELECT l_orderkey, l_linenumber, 'tax',
-           CAST(l_tax AS DECIMAL(18,4)) FROM lineitem
+           CAST(l_tax AS DOUBLE) FROM lineitem
     """,
 )
 def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -105,10 +105,10 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load(spark, sf_dir, "lineitem").select(
         "l_orderkey",
         "l_linenumber",
-        dec("l_quantity").alias("quantity"),
-        dec("l_extendedprice").alias("extendedprice"),
-        dec("l_discount").alias("discount"),
-        dec("l_tax").alias("tax"),
+        F.col("l_quantity").cast("double").alias("quantity"),
+        F.col("l_extendedprice").cast("double").alias("extendedprice"),
+        F.col("l_discount").cast("double").alias("discount"),
+        F.col("l_tax").cast("double").alias("tax"),
     )
     return l.unpivot(
         ["l_orderkey", "l_linenumber"],
@@ -216,7 +216,7 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderpriority,
            COUNT(*) FILTER (WHERE o_totalprice > 300000) AS n_high,
            CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
-                FILTER (WHERE o_orderstatus = 'F'), 0) AS DECIMAL(18,2)) AS f_total,
+                FILTER (WHERE o_orderstatus = 'F'), 0) AS DOUBLE) AS f_total,
            min_by(o_orderstatus, o_orderkey) AS first_status,
            max_by(o_orderstatus, o_orderkey) AS last_status,
            bool_or(o_totalprice > 450000) AS any_jumbo
@@ -236,6 +236,7 @@ def q_agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0),
         )
         .cast(DEC2)
+        .cast("double")
         .alias("f_total"),
         F.min_by("o_orderstatus", "o_orderkey").alias("first_status"),
         F.max_by("o_orderstatus", "o_orderkey").alias("last_status"),
@@ -356,7 +357,7 @@ def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
            CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 0)
-                AS DECIMAL(18,2)) AS total_spent
+                AS DOUBLE) AS total_spent
     FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
     GROUP BY c_custkey
     """,
@@ -374,6 +375,7 @@ def q_join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("o_orderkey").alias("n_orders"),
             F.coalesce(F.sum(dec("o_totalprice")), F.lit(0))
             .cast(DEC2)
+            .cast("double")
             .alias("total_spent"),
         )
     )
@@ -565,7 +567,7 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     act AS (
       SELECT DISTINCT user_id, date_trunc('week', ts) AS act_week FROM events
     )
-    SELECT CAST(f.cohort_week AS DATE) AS cohort_week,
+    SELECT CAST(f.cohort_week AS TIMESTAMP) AS cohort_week,
            CAST(date_diff('day', f.cohort_week, a.act_week) // 7 AS INT)
              AS week_offset,
            COUNT(*) AS n_active
@@ -590,7 +592,7 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         firstw.join(act, "user_id")
         .select(
-            F.col("cohort_week").cast("date").alias("cohort_week"),
+            F.col("cohort_week"),
             F.expr("datediff(act_week, cohort_week) div 7")
             .cast("int")
             .alias("week_offset"),

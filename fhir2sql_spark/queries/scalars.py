@@ -69,17 +69,19 @@ def q_str_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            year(o_orderdate) AS o_year,
            month(o_orderdate) AS o_month,
            dayofmonth(o_orderdate) AS o_day,
-           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
            date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS days_to_y2k,
-           CAST(o_orderdate AS DATE) + 30 AS due_date,
-           CAST(last_day(o_orderdate) AS DATE) AS month_end,
+           CAST(CAST(o_orderdate AS DATE) + 30 AS TIMESTAMP) AS due_date,
+           CAST(last_day(o_orderdate) AS TIMESTAMP) AS month_end,
            CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) AS epoch_s
     FROM orders
     """,
 )
 def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date/time functions anchored to fixed literals; all outputs are
-    DATE/INT (never raw timestamps — SURVEY determinism rules)."""
+    TIMESTAMP/INT (DATE would surface as datetime.date objects on the
+    Spark side of the driver's pandas compare vs datetime64 on the
+    DuckDB side — round-2 output-type policy)."""
     o = load(spark, sf_dir, "orders")
     d = F.col("o_orderdate")
     return o.select(
@@ -87,12 +89,12 @@ def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.year(d).alias("o_year"),
         F.month(d).alias("o_month"),
         F.dayofmonth(d).alias("o_day"),
-        F.date_trunc("month", d).cast("date").alias("month_start"),
+        F.date_trunc("month", d).alias("month_start"),
         F.datediff(F.lit("2000-01-01").cast("date"), d.cast("date")).alias(
             "days_to_y2k"
         ),
-        F.date_add(d.cast("date"), 30).alias("due_date"),
-        F.last_day(d).alias("month_end"),
+        F.date_add(d.cast("date"), 30).cast("timestamp").alias("due_date"),
+        F.last_day(d).cast("timestamp").alias("month_end"),
         F.unix_timestamp(d).alias("epoch_s"),
     )
 
@@ -101,13 +103,13 @@ def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_math_funcs",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           round(CAST(l_extendedprice AS DECIMAL(18,4)), 0) AS price_round,
-           abs(CAST(l_discount AS DECIMAL(18,4)) - 0.05) AS disc_dev,
+           CAST(round(CAST(l_extendedprice AS DECIMAL(18,4)), 0) AS DOUBLE) AS price_round,
+           CAST(abs(CAST(l_discount AS DECIMAL(18,4)) - 0.05) AS DOUBLE) AS disc_dev,
            CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
            CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
            l_orderkey % 7 AS key_mod,
-           CAST(CAST(l_quantity AS DECIMAL(18,4))
-                * CAST(l_quantity AS DECIMAL(18,4)) AS DECIMAL(18,4)) AS qty_sq,
+           CAST(CAST(CAST(l_quantity AS DECIMAL(18,4))
+                * CAST(l_quantity AS DECIMAL(18,4)) AS DECIMAL(18,4)) AS DOUBLE) AS qty_sq,
            sqrt(l_quantity) AS qty_sqrt,
            greatest(l_tax, l_discount) AS max_rate,
            least(l_tax, l_discount) AS min_rate
@@ -122,15 +124,16 @@ def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l.select(
         "l_orderkey",
         "l_linenumber",
-        F.round(dec("l_extendedprice"), 0).alias("price_round"),
-        F.abs(dec("l_discount") - F.lit("0.05").cast("decimal(18,4)")).alias(
-            "disc_dev"
-        ),
+        F.round(dec("l_extendedprice"), 0).cast("double").alias("price_round"),
+        F.abs(dec("l_discount") - F.lit("0.05").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("disc_dev"),
         F.ceil("l_quantity").cast("bigint").alias("qty_ceil"),
         F.floor("l_extendedprice").cast("bigint").alias("price_floor"),
         (F.col("l_orderkey") % 7).alias("key_mod"),
         (dec("l_quantity") * dec("l_quantity"))
         .cast("decimal(18,4)")
+        .cast("double")
         .alias("qty_sq"),
         F.sqrt("l_quantity").alias("qty_sqrt"),
         F.greatest("l_tax", "l_discount").alias("max_rate"),
@@ -173,16 +176,21 @@ def q_case_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT vec_id,
            len(embedding) AS dim,
            embedding[1] AS first_elem,
-           embedding[1:4] AS head4,
+           embedding[2] AS head_2,
+           embedding[3] AS head_3,
+           embedding[4] AS head_4,
            list_contains([vec_id % 5, vec_id % 7], CAST(label % 5 AS BIGINT)) AS has_label_mod,
-           list_sort([vec_id % 5, vec_id % 7, vec_id % 11]) AS mods_sorted
+           array_to_string(list_sort([vec_id % 5, vec_id % 7, vec_id % 11]), ',') AS mods_sorted
     FROM embeddings
     """,
 )
 def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array functions over the embedding column. Indexing emitted
     1-based (element_at/list index agree across engines); float32
-    values pass through unwidened-exactly."""
+    values pass through unwidened-exactly. Array-typed columns are
+    never emitted raw (the driver's pandas row-sort cannot hash
+    list cells — round-1 lesson); slices surface as scalar element
+    columns and int lists as joined strings."""
     e = load(spark, sf_dir, "embeddings")
     mods = F.array(F.col("vec_id") % 5, F.col("vec_id") % 7)
     mods3 = F.array(F.col("vec_id") % 5, F.col("vec_id") % 7, F.col("vec_id") % 11)
@@ -190,11 +198,14 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.size("embedding").alias("dim"),
         F.element_at("embedding", 1).alias("first_elem"),
-        F.slice("embedding", 1, 4).alias("head4"),
+        F.element_at("embedding", 2).alias("head_2"),
+        F.element_at("embedding", 3).alias("head_3"),
+        F.element_at("embedding", 4).alias("head_4"),
         F.array_contains(mods, (F.col("label") % 5).cast("bigint")).alias(
             "has_label_mod"
         ),
-        F.sort_array(mods3).alias("mods_sorted"),
+        F.array_join(F.transform(F.sort_array(mods3), lambda x: x.cast("string")), ",")
+        .alias("mods_sorted"),
     )
 
 
@@ -264,8 +275,8 @@ def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders
     )
     SELECT o_orderkey,
-           list_transform(arr, x -> x * 2 + 1) AS doubled,
-           list_filter(arr, x -> x % 3 = 0) AS div3,
+           array_to_string(list_transform(arr, x -> x * 2 + 1), ',') AS doubled,
+           COALESCE(array_to_string(list_filter(arr, x -> x % 3 = 0), ','), '') AS div3,
            CAST(list_reduce(arr, (a, b) -> a + b) AS BIGINT) AS total,
            len(list_filter(arr, x -> x % 7 = 0)) > 0 AS has_div7
     FROM s
@@ -281,8 +292,13 @@ def q_hof_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     arr = F.sequence(F.lit(1), (F.lit(1) + F.col("o_orderkey") % 8).cast("int"))
     return o.select(
         "o_orderkey",
-        F.transform(arr, lambda x: x * 2 + 1).alias("doubled"),
-        F.filter(arr, lambda x: x % 3 == 0).alias("div3"),
+        F.array_join(
+            F.transform(arr, lambda x: (x * 2 + 1).cast("string")), ","
+        ).alias("doubled"),
+        F.array_join(
+            F.transform(F.filter(arr, lambda x: x % 3 == 0), lambda x: x.cast("string")),
+            ",",
+        ).alias("div3"),
         F.aggregate(
             arr, F.lit(0).cast("bigint"), lambda acc, x: acc + x
         ).alias("total"),

@@ -15,7 +15,6 @@ from pyspark.sql import functions as F
 
 from fhir2sql_spark.registry import query
 from fhir2sql_spark.tables import load
-from fhir2sql_spark.queries.util import dec
 
 
 @query(
@@ -49,10 +48,10 @@ def q_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_filter_pred",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           CAST(l_quantity AS DECIMAL(18,4)) AS qty,
-           CAST(l_extendedprice AS DECIMAL(18,4)) AS price,
+           CAST(l_quantity AS DOUBLE) AS qty,
+           CAST(l_extendedprice AS DOUBLE) AS price,
            l_returnflag,
-           CAST(l_shipdate AS DATE) AS ship_date
+           l_shipdate AS ship_date
     FROM lineitem
     WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
                          AND TIMESTAMP '1997-12-31 00:00:00'
@@ -72,10 +71,10 @@ def q_filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "l_orderkey",
         "l_linenumber",
-        dec("l_quantity").alias("qty"),
-        dec("l_extendedprice").alias("price"),
+        F.col("l_quantity").cast("double").alias("qty"),
+        F.col("l_extendedprice").cast("double").alias("price"),
         "l_returnflag",
-        F.col("l_shipdate").cast("date").alias("ship_date"),
+        F.col("l_shipdate").alias("ship_date"),
     )
 
 

@@ -17,14 +17,13 @@ from pyspark.sql import functions as F
 
 from fhir2sql_spark.registry import query
 from fhir2sql_spark.tables import load
-from fhir2sql_spark.queries.util import dec
 
 
 @query(
     "q_sort_multi",
     oracle="""
-    SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
-           CAST(o_totalprice AS DECIMAL(18,2)) AS price
+    SELECT o_orderkey, o_orderdate AS order_date,
+           CAST(o_totalprice AS DOUBLE) AS price
     FROM orders
     ORDER BY o_orderdate DESC NULLS LAST, o_totalprice DESC, o_orderkey
     LIMIT 500
@@ -43,8 +42,8 @@ def q_sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(500)
         .select(
             "o_orderkey",
-            F.col("o_orderdate").cast("date").alias("order_date"),
-            dec("o_totalprice", 2).alias("price"),
+            F.col("o_orderdate").alias("order_date"),
+            F.col("o_totalprice").cast("double").alias("price"),
         )
     )
 
@@ -52,7 +51,7 @@ def q_sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_limit_topk",
     oracle="""
-    SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+    SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price
     FROM orders
     ORDER BY o_totalprice DESC, o_orderkey
     LIMIT 100
@@ -65,21 +64,21 @@ def q_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(100)
-        .select("o_orderkey", dec("o_totalprice", 2).alias("price"))
+        .select("o_orderkey", F.col("o_totalprice").cast("double").alias("price"))
     )
 
 
-_HIGH = "SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders WHERE o_totalprice > 300000"
-_VERY_HIGH = "SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders WHERE o_totalprice > 400000"
+_HIGH = "SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price FROM orders WHERE o_totalprice > 300000"
+_VERY_HIGH = "SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price FROM orders WHERE o_totalprice > 400000"
 
 
 def _slices(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     o = load(spark, sf_dir, "orders")
     high = o.where(F.col("o_totalprice") > 300000).select(
-        "o_orderkey", dec("o_totalprice", 2).alias("price")
+        "o_orderkey", F.col("o_totalprice").cast("double").alias("price")
     )
     very_high = o.where(F.col("o_totalprice") > 400000).select(
-        "o_orderkey", dec("o_totalprice", 2).alias("price")
+        "o_orderkey", F.col("o_totalprice").cast("double").alias("price")
     )
     return high, very_high
 

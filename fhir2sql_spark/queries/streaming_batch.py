@@ -29,7 +29,7 @@ _FMT = "yyyy-MM-dd HH:mm:ss"
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
            event_type,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -41,7 +41,7 @@ def q_tumble(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(dec("value", 2)).cast("decimal(18,2)").alias("sum_value"),
+            F.sum(dec("value", 2)).cast("double").alias("sum_value"),
         )
         .select(
             F.date_format("w.start", _FMT).alias("window_start"),
@@ -103,7 +103,7 @@ def q_slide(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
     FROM numbered
     GROUP BY user_id, session_no
     """,
@@ -118,7 +118,7 @@ def q_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(dec("value", 2)).cast("decimal(18,2)").alias("sum_value"),
+            F.sum(dec("value", 2)).cast("double").alias("sum_value"),
         )
         .select(
             "user_id",
@@ -131,10 +131,20 @@ def q_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_late_data")  # no oracle: watermark is a streaming-only effect
+@query(
+    "q_late_data",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
 def q_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """withWatermark + tumble. In batch execution the watermark is a
-    no-op (this equals q_tumble restricted to its columns); the actual
+    """withWatermark + tumble. In batch execution the watermark is
+    defined to be a no-op (Spark batch plans drop EventTimeWatermark),
+    so the exact oracle is the plain hourly rollup; the actual
     late-drop semantics are asserted in tests/test_streaming.py via a
     two-batch replay (SURVEY §5.2-3)."""
     e = load(spark, sf_dir, "events")
@@ -154,7 +164,7 @@ def q_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_stream_dedup",
     oracle="""
     SELECT event_id, event_type,
-           CAST(value AS DECIMAL(18,2)) AS value
+           CAST(value AS DOUBLE) AS value
     FROM events
     """,
 )
@@ -164,7 +174,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference (re-running a converged sync is all-noop,
     src/main.rs:159-164). Streaming twin: dropDuplicatesWithinWatermark."""
     e = load(spark, sf_dir, "events").select(
-        "event_id", "event_type", dec("value", 2).alias("value")
+        "event_id", "event_type", F.col("value").cast("double").alias("value")
     )
     doubled = e.unionByName(e)
     return doubled.dropDuplicates(["event_id"])

@@ -29,7 +29,7 @@ Physical-plan notes at scale (verified with .explain at sf0.1):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from fhir2sql_spark.registry import query
@@ -49,8 +49,8 @@ def _rev() -> F.Column:
     "q_tpch_q3",
     oracle=f"""
     SELECT l_orderkey,
-           CAST(SUM({_REV_SQL}) AS DECIMAL(18,4)) AS revenue,
-           CAST(o_orderdate AS DATE) AS o_orderdate
+           CAST(CAST(SUM({_REV_SQL}) AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
+           o_orderdate AS o_orderdate
     FROM customer
     JOIN orders ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -75,8 +75,8 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(o, c.c_custkey == o.o_custkey)
         .join(l, l.l_orderkey == o.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(F.sum(_rev()).cast("decimal(18,4)").alias("revenue"))
-        .select("l_orderkey", "revenue", F.col("o_orderdate").cast("date").alias("o_orderdate"))
+        .agg(F.sum(_rev()).cast("decimal(18,4)").cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
         .orderBy(F.desc("revenue"), "l_orderkey")
         .limit(10)
     )
@@ -118,7 +118,7 @@ def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tpch_q5",
     oracle=f"""
     SELECT n_name,
-           CAST(SUM({_REV_SQL}) AS DECIMAL(18,4)) AS revenue
+           CAST(CAST(SUM({_REV_SQL}) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
     FROM customer
     JOIN orders ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -151,15 +151,15 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(F.sum(_rev()).cast("decimal(18,4)").alias("revenue"))
+        .agg(F.sum(_rev()).cast("decimal(18,4)").cast("double").alias("revenue"))
     )
 
 
 @query(
     "q_tpch_q6",
     oracle="""
-    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
-                    * CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue,
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
            COUNT(*) AS n_rows
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -183,6 +183,7 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(dec("l_extendedprice") * dec("l_discount"))
             .cast("decimal(18,4)")
+            .cast("double")
             .alias("revenue"),
             F.count(F.lit(1)).alias("n_rows"),
         )
@@ -194,7 +195,7 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
            CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS l_year,
-           CAST(SUM({_REV_SQL}) AS DECIMAL(18,4)) AS revenue
+           CAST(CAST(SUM({_REV_SQL}) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
     FROM supplier
     JOIN lineitem ON s_suppkey = l_suppkey
     JOIN orders ON o_orderkey = l_orderkey
@@ -238,7 +239,7 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
             _rev().alias("rev"),
         )
         .groupBy("supp_nation", "cust_nation", "l_year")
-        .agg(F.sum("rev").cast("decimal(18,4)").alias("revenue"))
+        .agg(F.sum("rev").cast("decimal(18,4)").cast("double").alias("revenue"))
     )
 
 
@@ -297,8 +298,8 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tpch_q10",
     oracle=f"""
     SELECT c_custkey, c_name,
-           CAST(SUM({_REV_SQL}) AS DECIMAL(18,4)) AS revenue,
-           CAST(c_acctbal AS DECIMAL(18,2)) AS c_acctbal,
+           CAST(CAST(SUM({_REV_SQL}) AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
+           CAST(c_acctbal AS DOUBLE) AS c_acctbal,
            n_name
     FROM customer
     JOIN orders ON c_custkey = o_custkey
@@ -327,12 +328,12 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(l, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(F.sum(_rev()).cast("decimal(18,4)").alias("revenue"))
+        .agg(F.sum(_rev()).cast("decimal(18,4)").cast("double").alias("revenue"))
         .select(
             "c_custkey",
             "c_name",
             "revenue",
-            dec("c_acctbal", 2).alias("c_acctbal"),
+            F.col("c_acctbal").cast("double").alias("c_acctbal"),
             "n_name",
         )
         .orderBy(F.desc("revenue"), "c_custkey")
@@ -344,10 +345,10 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tpch_q12",
     oracle="""
     SELECT l_linestatus,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders
     JOIN lineitem ON o_orderkey = l_orderkey
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -407,9 +408,9 @@ def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_tpch_q14",
     oracle=f"""
-    SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_REV_SQL}
-                         ELSE CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(18,4)) AS promo_revenue,
-           CAST(SUM({_REV_SQL}) AS DECIMAL(18,4)) AS total_revenue,
+    SELECT CAST(CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_REV_SQL}
+                         ELSE CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(18,4)) AS DOUBLE) AS promo_revenue,
+           CAST(CAST(SUM({_REV_SQL}) AS DECIMAL(18,4)) AS DOUBLE) AS total_revenue,
            CAST(CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_REV_SQL}
                               ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
                 / CAST(SUM({_REV_SQL}) AS DOUBLE) AS DOUBLE) AS promo_share
@@ -431,8 +432,8 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.join(F.broadcast(p), p.p_partkey == l.l_partkey)
         .agg(
-            F.sum(promo).cast("decimal(18,4)").alias("promo_revenue"),
-            F.sum(_rev()).cast("decimal(18,4)").alias("total_revenue"),
+            F.sum(promo).cast("decimal(18,4)").cast("double").alias("promo_revenue"),
+            F.sum(_rev()).cast("decimal(18,4)").cast("double").alias("total_revenue"),
             exact_div(F.sum(promo), F.sum(_rev())).alias("promo_share"),
         )
     )
@@ -442,9 +443,9 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tpch_q18",
     oracle="""
     SELECT c_custkey, o_orderkey,
-           CAST(o_orderdate AS DATE) AS o_orderdate,
-           CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty
+           o_orderdate,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_qty
     FROM customer
     JOIN orders ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -466,13 +467,13 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(o, c.c_custkey == o.o_custkey)
         .join(l, l.l_orderkey == o.o_orderkey)
         .groupBy("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.sum(dec("l_quantity")).cast("decimal(18,4)").alias("sum_qty"))
+        .agg(F.sum(dec("l_quantity")).cast("decimal(18,4)").cast("double").alias("sum_qty"))
         .where(F.col("sum_qty") > 150)
         .select(
             "c_custkey",
             "o_orderkey",
-            F.col("o_orderdate").cast("date").alias("o_orderdate"),
-            dec("o_totalprice", 2).alias("o_totalprice"),
+            F.col("o_orderdate"),
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
             "sum_qty",
         )
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
@@ -484,7 +485,7 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tpch_q19",
     oracle=f"""
     SELECT COUNT(*) AS n_rows,
-           CAST(COALESCE(SUM({_REV_SQL}), CAST(0 AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue
+           CAST(COALESCE(SUM({_REV_SQL}), CAST(0 AS DECIMAL(18,4))) AS DOUBLE) AS revenue
     FROM lineitem
     JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 10
@@ -514,7 +515,7 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.where(pred).agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.coalesce(F.sum(_rev()).cast("decimal(18,4)"), zero)
-        .cast("decimal(18,4)")
+        .cast("double")
         .alias("revenue"),
     )
 
@@ -523,7 +524,7 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tpch_q22",
     oracle="""
     SELECT cntrycode, COUNT(*) AS numcust,
-           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS totacctbal
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
     FROM (
       SELECT c_nationkey % 5 AS cntrycode, c_acctbal, c_custkey
       FROM customer
@@ -551,7 +552,7 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load(spark, sf_dir, "customer").sparkSession.sql(
         """
         SELECT cntrycode, COUNT(*) AS numcust,
-               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS totacctbal
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
         FROM (
           SELECT c_nationkey % 5 AS cntrycode, c_acctbal, c_custkey
           FROM v_q22_customer
@@ -565,4 +566,216 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) t
         GROUP BY cntrycode
         """
+    )
+
+
+@query(
+    "q_tpch_q9",
+    oracle=f"""
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           CAST(CAST(SUM({_REV_SQL}) AS DECIMAL(18,4)) AS DOUBLE) AS sum_profit
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    JOIN orders ON o_orderkey = l_orderkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY n_name, year(o_orderdate)
+    """,
+)
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 product-type profit per nation/year, adapted: testdata has
+    no partsupp, so profit = revenue (the ps_supplycost term drops);
+    '%red%' replaces '%green%' (the color vocabulary of the driver's
+    p_name fixture).
+
+    Physical shape: part/supplier/nation all broadcast — lineitem
+    never shuffles for the three dim joins; the single shuffle is the
+    orders sort-merge on orderkey, then one partial+final hash agg on
+    (nation, year). At 100 TB the '%red%' filter on the broadcast
+    part side prunes most of lineitem before that shuffle via the
+    runtime broadcast filter."""
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    o = load(spark, sf_dir, "orders")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(F.sum(_rev()).cast("decimal(18,4)").cast("double").alias("sum_profit"))
+    )
+
+
+@query(
+    "q_tpch_q15",
+    oracle=f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(SUM({_REV_SQL}) AS DECIMAL(18,4)) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_rev = (SELECT max(total_rev) FROM revenue)
+    """,
+)
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 top supplier: quarterly revenue per supplier, keep the
+    max-revenue supplier(s). The max is computed as a 1-row aggregate
+    broadcast back against the revenue set (never an unpartitioned
+    window — that would serialize on one task at scale); equality is
+    on the exact DECIMAL sum, so ties are kept as TPC-H specifies."""
+    l = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    rev = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_rev()).cast("decimal(18,4)").alias("total_rev")
+    )
+    mx = rev.agg(F.max("total_rev").alias("mx"))
+    s = load(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(mx), rev.total_rev == mx.mx)
+        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_rev").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+@query(
+    "q_tpch_q16",
+    oracle="""
+    SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#45' AND p_type <> 'MEDIUM'
+      AND p_size IN (1,4,9,14,19,24,29,34,39,44,49)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 parts/supplier relationship, adapted: lineitem stands in
+    for the absent partsupp as the part-supplier relation, and
+    negative account balance stands in for the 'customer complaints'
+    supplier exclusion.
+
+    The exclusion list is an anti join against a broadcast dim; the
+    distinct count shuffles once on the (brand, type, size) grouping
+    key with partial distinct aggregation upstream."""
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#45")
+        & (F.col("p_type") != "MEDIUM")
+        & F.col("p_size").isin([1, 4, 9, 14, 19, 24, 29, 34, 39, 44, 49])
+    )
+    bad = load(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        l.join(F.broadcast(bad), l.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q_tpch_q17",
+    oracle="""
+    WITH agg AS (
+      SELECT l_partkey AS pk,
+             SUM(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty,
+             COUNT(*) AS cnt
+      FROM lineitem GROUP BY l_partkey)
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+                AS DECIMAL(18,4)) AS DOUBLE) / 7.0 AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN agg ON pk = l_partkey
+    WHERE p_brand = 'Brand#23'
+      AND 5 * CAST(l_quantity AS DECIMAL(18,4)) * cnt < sum_qty
+    """,
+)
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 small-quantity-order revenue: rows under 20% of their
+    part's mean quantity. The float threshold `l_quantity <
+    0.2*avg(qty)` is restated exactly as `5*qty*cnt < sum_qty` in
+    decimal/integer arithmetic — no IEEE rounding at the decision
+    boundary, so both engines pick identical rows.
+
+    The per-part mean is a window over the broadcast-filtered slice
+    (only Brand#23 partkeys survive before the shuffle), not a
+    self-join of full lineitem — one narrow shuffle of the filtered
+    rows instead of two wide ones."""
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#23")
+    w = Window.partitionBy("l_partkey")
+    joined = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .withColumn("sum_qty", F.sum(dec("l_quantity")).over(w))
+        .withColumn("cnt", F.count(F.lit(1)).over(w))
+    )
+    return (
+        joined.where(F.lit(5) * dec("l_quantity") * F.col("cnt") < F.col("sum_qty"))
+        .agg(
+            (
+                F.sum(dec("l_extendedprice")).cast("decimal(18,4)").cast("double")
+                / F.lit(7.0)
+            ).alias("avg_yearly")
+        )
+    )
+
+
+@query(
+    "q_tpch_q20",
+    oracle="""
+    SELECT s_suppkey, s_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_3' AND s_suppkey IN (
+      SELECT l_suppkey
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE 'red%'
+        AND l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY l_suppkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 300)
+    """,
+)
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 potential part promotion, adapted: suppliers in one nation
+    who shipped >300 total quantity of 'red%'-named parts in a year
+    (partsupp availability-vs-stock halves into a shipped-quantity
+    HAVING over lineitem).
+
+    Shape: broadcast part filter prunes lineitem, one grouped HAVING
+    on suppkey (100s of rows at any scale), then a semi join that
+    broadcasts INTO the supplier dim."""
+    l = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    p = load(spark, sf_dir, "part").where(F.col("p_name").like("red%"))
+    eligible = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum(dec("l_quantity")).alias("tot_qty"))
+        .where(F.col("tot_qty") > 300)
+        .select("l_suppkey")
+    )
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_3")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(eligible), s.s_suppkey == eligible.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
     )

@@ -45,9 +45,9 @@ def _charge(price, tax, disc):
     "q_udf_scalar",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+           CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
                 * (1 - CAST(l_discount AS DECIMAL(8,4)))
-                * (1 + CAST(l_tax AS DECIMAL(8,4))) AS DECIMAL(18,6)) AS charge
+                * (1 + CAST(l_tax AS DECIMAL(8,4))) AS DECIMAL(18,6)) AS DOUBLE) AS charge
     FROM lineitem
     """,
 )
@@ -68,7 +68,7 @@ def q_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_extendedprice").cast("decimal(12,2)"),
             F.col("l_tax").cast("decimal(8,4)"),
             F.col("l_discount").cast("decimal(8,4)"),
-        ).alias("charge"),
+        ).cast("double").alias("charge"),
     )
 
 

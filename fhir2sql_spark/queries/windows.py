@@ -19,7 +19,7 @@ from fhir2sql_spark.queries.util import dec
 
 _RANK_ORACLE = """
     SELECT o_custkey, o_orderkey,
-           CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+           CAST(o_totalprice AS DOUBLE) AS price,
            rn, rnk, drnk
     FROM (
         SELECT o_custkey, o_orderkey, o_totalprice,
@@ -44,7 +44,7 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.select(
             "o_custkey",
             "o_orderkey",
-            dec("o_totalprice", 2).alias("price"),
+            F.col("o_totalprice").cast("double").alias("price"),
             F.row_number().over(w).alias("rn"),
             F.rank().over(w).alias("rnk"),
             F.dense_rank().over(w).alias("drnk"),
@@ -60,7 +60,7 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(CAST(value AS DECIMAL(18,2))
                 - CAST(COALESCE(LAG(value, 1) OVER
                     (PARTITION BY user_id ORDER BY ts, event_id), 0)
-                  AS DECIMAL(18,2)) AS DECIMAL(18,2)) AS delta
+                  AS DECIMAL(18,2)) AS DOUBLE) AS delta
     FROM events
     """,
 )
@@ -73,7 +73,7 @@ def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         (dec("value", 2) - prev.cast("decimal(18,2)"))
-        .cast("decimal(18,2)")
+        .cast("double")
         .alias("delta"),
     )
 
@@ -85,7 +85,7 @@ def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER
                 (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-            AS DECIMAL(18,2)) AS running_sum
+            AS DOUBLE) AS running_sum
     FROM events
     """,
 )
@@ -100,7 +100,7 @@ def q_window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "event_id",
         "user_id",
-        F.sum(dec("value", 2)).over(w).cast("decimal(18,2)").alias("running_sum"),
+        F.sum(dec("value", 2)).over(w).cast("double").alias("running_sum"),
     )
 
 
@@ -112,7 +112,7 @@ def q_window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (PARTITION BY user_id
                  ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)
                  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
-            AS DECIMAL(18,2)) AS hour_sum
+            AS DOUBLE) AS hour_sum
     FROM events
     """,
 )
@@ -129,7 +129,7 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "event_id",
         "user_id",
-        F.sum(dec("value", 2)).over(w).cast("decimal(18,2)").alias("hour_sum"),
+        F.sum(dec("value", 2)).over(w).cast("double").alias("hour_sum"),
     )
 
 
@@ -137,7 +137,7 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_topk_pergroup",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           CAST(o_totalprice AS DECIMAL(18,2)) AS price, rn
+           CAST(o_totalprice AS DOUBLE) AS price, rn
     FROM (
         SELECT o_custkey, o_orderkey, o_totalprice,
                ROW_NUMBER() OVER (PARTITION BY o_custkey
@@ -158,7 +158,7 @@ def q_topk_pergroup(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.select(
             "o_custkey",
             "o_orderkey",
-            dec("o_totalprice", 2).alias("price"),
+            F.col("o_totalprice").cast("double").alias("price"),
             F.row_number().over(w).alias("rn"),
         )
         .where(F.col("rn") <= 3)

@@ -16,54 +16,57 @@ grouping key.
 from __future__ import annotations
 
 from collections.abc import Iterator
-from typing import Any
+from typing import Any, Callable
 
 import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-# Idle-eviction is opt-in: ProcessingTimeTimeout keeps an AvailableNow
-# query ALIVE after draining (it waits for future timeout triggers),
-# so batch-drain usage must run with NoTimeout. Long-running
-# continuous jobs flip this on (module constant keeps the closure
-# picklable).
-_TIMEOUTS_ENABLED = False
-
 OUTPUT_SCHEMA = "user_id long, n_events long, value_cents long, last_ts timestamp"
 STATE_SCHEMA = "n_events long, value_cents long"
 
 
-def _update_user_totals(
-    key: tuple[Any, ...],
-    pdfs: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    """Accumulate (count, value-in-cents) per user. Values convert to
-    integer cents before summation — the streaming rendering of the
-    engine-wide decimal determinism rule (float accumulation across
-    micro-batches would drift)."""
-    if state.hasTimedOut:
-        state.remove()
-        return
-    n, cents = state.get if state.exists else (0, 0)
-    last_ts = None
-    for pdf in pdfs:
-        n += len(pdf)
-        cents += int((pdf["value"] * 100).round().astype("int64").sum())
-        batch_max = pdf["ts"].max()
-        last_ts = batch_max if last_ts is None else max(last_ts, batch_max)
-    state.update((n, cents))
-    if _TIMEOUTS_ENABLED:
-        state.setTimeoutDuration(3600 * 1000)  # evict after 1h idle
-    yield pd.DataFrame(
-        {
-            "user_id": [key[0]],
-            "n_events": [n],
-            "value_cents": [cents],
-            "last_ts": [last_ts],
-        }
-    )
+def _make_update_fn(idle_timeout: bool) -> Callable[..., Iterator[pd.DataFrame]]:
+    """Build the per-group update function with the timeout flag bound
+    into the closure. The flag MUST be captured this way: a module
+    global mutated on the driver is not shipped to executors — workers
+    re-import the module and see the default, so setTimeoutDuration
+    would never run and idle state would grow unboundedly (round-1
+    advisor finding)."""
+
+    def update_user_totals(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        """Accumulate (count, value-in-cents) per user. Values convert
+        to integer cents before summation — the streaming rendering of
+        the engine-wide decimal determinism rule (float accumulation
+        across micro-batches would drift)."""
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n, cents = state.get if state.exists else (0, 0)
+        last_ts = None
+        for pdf in pdfs:
+            n += len(pdf)
+            cents += int((pdf["value"] * 100).round().astype("int64").sum())
+            batch_max = pdf["ts"].max()
+            last_ts = batch_max if last_ts is None else max(last_ts, batch_max)
+        state.update((n, cents))
+        if idle_timeout:
+            state.setTimeoutDuration(3600 * 1000)  # evict after 1h idle
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "value_cents": [cents],
+                "last_ts": [last_ts],
+            }
+        )
+
+    return update_user_totals
 
 
 def user_totals_stream(
@@ -79,8 +82,6 @@ def user_totals_stream(
     continuous jobs; leave False for AvailableNow drains (a
     ProcessingTimeTimeout query never self-terminates after the drain
     — it waits for the next timeout trigger)."""
-    global _TIMEOUTS_ENABLED
-    _TIMEOUTS_ENABLED = idle_timeout
     conf = (
         GroupStateTimeout.ProcessingTimeTimeout
         if idle_timeout
@@ -89,7 +90,7 @@ def user_totals_stream(
     return (
         events.groupBy("user_id")
         .applyInPandasWithState(
-            _update_user_totals,
+            _make_update_fn(idle_timeout),
             outputStructType=OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="append",

@@ -25,6 +25,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from fhir2sql_spark.sinks import jdbc_upsert
+
+# Parallelism of insert-pk allocation (buckets = concurrent tasks).
+_PK_BUCKETS = 64
 from fhir2sql_spark.sync.diff import OP_DELETE, OP_INSERT, OP_NOOP, OP_UPDATE, diff_snapshots
 from fhir2sql_spark.sync.fhir import extract_versions, partition_malformed
 
@@ -108,15 +111,36 @@ def sync_resources(
 
     # New pks for inserts: allocated deterministically above the
     # current max (the reference lets SERIAL do this; a distributed
-    # sink needs explicit allocation to stay parallel).
+    # sink needs explicit allocation to stay parallel). Allocation is
+    # bucket-parallel: an unpartitioned row_number would pull every
+    # insert through ONE task — on an initial full load that
+    # serializes the whole dataset (round-1 advisor finding). Instead
+    # hash res_key into _PK_BUCKETS buckets, row_number inside each
+    # bucket (distributed), and add per-bucket offsets computed from
+    # bucket counts (a _PK_BUCKETS-row driver-side cumsum). Ids are
+    # dense in (bucket, res_key) order — deterministic across runs
+    # and retries, just not globally res_key-sorted.
     max_pk = (mirror.agg(F.max("pk_id")).collect()[0][0]) or 0
+    bucketed = tagged.where(F.col("op") == OP_INSERT).withColumn(
+        "__bucket", F.pmod(F.xxhash64("res_key"), F.lit(_PK_BUCKETS)).cast("int")
+    )
+    counts = {
+        r["__bucket"]: r["n"]
+        for r in bucketed.groupBy("__bucket").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
+    offset_col = F.coalesce(
+        *[F.when(F.col("__bucket") == b, F.lit(off)) for b, off in offsets.items()],
+        F.lit(0),
+    ) if offsets else F.lit(0)
+    w_bucket = Window.partitionBy("__bucket").orderBy("res_key")
     inserts = (
-        tagged.where(F.col("op") == OP_INSERT)
-        .withColumn(
+        bucketed.withColumn(
             "pk_id",
-            (F.row_number().over(Window.orderBy("res_key")) + F.lit(max_pk)).cast(
-                "int"
-            ),
+            (F.row_number().over(w_bucket) + offset_col + F.lit(max_pk)).cast("int"),
         )
         .select("pk_id", "resource")
     )

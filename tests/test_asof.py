@@ -6,6 +6,10 @@ id, and probes with no eligible event (dropped — inner flavor)."""
 
 from __future__ import annotations
 
+from datetime import datetime
+
+import pytest
+
 from pyspark.sql import functions as F
 
 from fhir2sql_spark.operators.asof import asof_join, asof_join_sorted
@@ -110,3 +114,30 @@ def test_asof_forms_agree_random(spark):
         assert a == b
 
     inner()
+
+
+def test_asof_contract_null_keys_and_overlap(spark):
+    """Both forms must agree on NULL join keys (dropped, SQL equi-join
+    semantics) and reject overlapping non-key column names — round-1
+    advisor finding: the window form used to group NULL keys while the
+    join form dropped them."""
+    left = spark.createDataFrame(
+        [(None, datetime(2024, 1, 2), 1), (5, datetime(2024, 1, 2), 2)],
+        "k int, lts timestamp, probe_id int",
+    )
+    right = spark.createDataFrame(
+        [(None, datetime(2024, 1, 1), 100), (5, datetime(2024, 1, 1), 200)],
+        "k int, rts timestamp, rid int",
+    )
+    a = asof_join(left, right, "k", "lts", "rts", "probe_id", "rid").collect()
+    b = asof_join_sorted(left, right, "k", "lts", "rts", "probe_id", "rid").collect()
+    assert sorted(r["probe_id"] for r in a) == [2]
+    assert sorted((r["probe_id"], r["rid"]) for r in a) == sorted(
+        (r["probe_id"], r["rid"]) for r in b
+    )
+
+    clash = right.withColumnRenamed("rts", "lts")
+    with pytest.raises(ValueError, match="disjoint non-key"):
+        asof_join(left, clash, "k", "lts", "lts", "probe_id", "rid")
+    with pytest.raises(ValueError, match="disjoint non-key"):
+        asof_join_sorted(left, clash, "k", "lts", "lts", "probe_id", "rid")

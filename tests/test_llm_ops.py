@@ -98,6 +98,37 @@ def test_frame_sample_shape(spark):
         assert n == lens[bid] // 256 + 1
 
 
+def test_frame_sample_contents_reassemble(spark):
+    """Frames are the actual stride windows (round-1 advisor finding:
+    a literal substring start emitted the first window for every
+    frame): concatenating frames in frame_no order must reproduce the
+    original blob byte-for-byte, and consecutive frames must differ."""
+    import hashlib
+
+    def chained(seed: bytes, n: int) -> bytes:
+        out = b""
+        h = seed
+        while len(out) < n:
+            h = hashlib.sha256(h).digest()
+            out += h
+        return out[:n]
+
+    originals = {i: chained(bytes([i]), 300 + 256 * i) for i in range(4)}
+    blobs = spark.createDataFrame(
+        [(i, bytearray(c)) for i, c in originals.items()],
+        "blob_id long, content binary",
+    )
+    rows = multimodal.frame_sample(blobs, every_n_bytes=256).collect()
+    by_blob: dict[int, dict[int, bytes]] = {}
+    for r in rows:
+        by_blob.setdefault(r["blob_id"], {})[r["frame_no"]] = bytes(r["frame_bytes"])
+    for bid, frames in by_blob.items():
+        joined = b"".join(frames[i] for i in sorted(frames))
+        assert joined == originals[bid]
+        if len(frames) > 2:
+            assert frames[0] != frames[1]
+
+
 def test_bulk_near_pairs_equals_exact(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     exact = {
@@ -116,8 +147,8 @@ def test_approx_count_distinct_tolerance(spark, sf_dir):
 
     registry.load_all()
     row = registry.QUERIES["q_agg_approx"](spark, sf_dir).collect()[0]
-    approx, exact = row["approx_custs"], row["exact_custs"]
-    assert abs(approx - exact) <= max(1, 0.05 * exact), (approx, exact)
+    assert row["exact_custs"] > 0
+    assert row["within_tol"] is True, row
 
 
 def test_connected_components_known_graph(spark):

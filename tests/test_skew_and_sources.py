@@ -111,3 +111,11 @@ def test_health_check_retries_bounded():
         sleep=sleeps.append,
     )
     assert len(sleeps) == 3  # no sleep after the final attempt
+
+
+def test_salted_join_rejects_outer_flavors(spark):
+    df = spark.range(5).withColumnRenamed("id", "k")
+    right = spark.range(5).withColumnRenamed("id", "k")
+    for how in ("right", "full", "full_outer", "left_semi"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(df, right, "k", salt=4, how=how)
