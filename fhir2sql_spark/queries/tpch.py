@@ -6,7 +6,8 @@ multi-join decision-support surface a user switching a warehouse
 workload onto this engine expects, in the canonical TPC-H shapes —
 adapted to the driver's star schema (TESTDATA.md has no partsupp
 table and no l_commitdate/l_receiptdate/l_shipmode/c_phone columns,
-so Q2/Q9/Q11/Q15/Q16/Q17/Q20/Q21 are out of scope and Q4/Q12/Q19/Q22
+so Q2/Q11/Q21 are out of scope, Q9/Q15/Q16/Q17/Q20 are adapted with
+lineitem standing in for partsupp, and Q4/Q12/Q19/Q22
 substitute equivalent predicates over existing columns; Q1 is already
 declared as q_agg_basic).
 
