@@ -265,6 +265,37 @@ def lsh_candidate_pairs(
     )
 
 
+def ngram_contamination(
+    corpus: DataFrame, benchmark: DataFrame, n: int = 5
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing >= 1 word
+    n-gram with any benchmark document (the standard eval-leakage scan
+    before training).
+
+    Shape chosen for 100 TB: the benchmark side is small by definition
+    (eval suites are thousands of docs, not billions), so its distinct
+    n-gram set is BROADCAST — the corpus side streams through a
+    broadcast hash join with no shuffle of corpus data; the only
+    exchange is the final per-doc count on doc_id. Lang is ignored:
+    contamination across languages still counts.
+
+    Emits one row per contaminated corpus doc:
+    (doc_id, n_matched_grams = distinct shared n-grams)."""
+    bench_grams = (
+        shingles(benchmark, n=n, distinct=True)
+        .select(F.col("shingle").alias("gram"))
+        .distinct()
+    )
+    corpus_grams = shingles(corpus, n=n, distinct=True).select(
+        "doc_id", F.col("shingle").alias("gram")
+    )
+    return (
+        corpus_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_matched_grams"))
+    )
+
+
 def simhash(docs: DataFrame, text_col: str = "text", bits: int = 64) -> DataFrame:
     """64-bit SimHash over word features: per-bit majority vote of
     xxhash64(token). Expressed as explode -> per-bit sums -> pack;

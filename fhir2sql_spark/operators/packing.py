@@ -1,0 +1,95 @@
+"""Sequence packing and shard balancing for training-data export.
+
+Two operators a 100 TB pretraining pipeline needs between "corpus is
+curated" and "tokens hit the trainer":
+
+  - ``pack_greedy``: greedy sequential packing of documents into
+    context-window-sized bins (capacity in tokens). Packing is
+    inherently a sequential fold over an ordered stream, so it runs as
+    ``applyInPandas`` per stream key (here ``lang``) — each stream's
+    docs arrive as one Arrow batch, the fold is O(stream) in pandas.
+    At 100 TB the stream key must be a composite (e.g. lang x shard)
+    so no single group exceeds executor memory; packing quality is
+    unaffected because bins never cross stream keys anyway.
+
+  - ``shard_assign``: deterministic balanced sharding by serpentine
+    (boustrophedon) rank assignment — sort docs by token count
+    descending, deal ranks 0..N-1 forward then N-1..0 backward, so
+    every shard gets one doc from each "size band". Deterministic
+    (tie-broken by doc_id), reproducible, and within one band of
+    optimal for LPT-style balancing. The global row_number here is a
+    single-task window at local scale; the 100 TB form computes the
+    same rank distributively (sort -> per-partition counts -> offset
+    add, the same pattern as sync/pipeline.py pk allocation).
+
+The reference (samply/fhir2sql) has no counterpart; these exist for
+the LLM-pipeline surface (BASELINE.json north star).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+PACKED_SCHEMA = "doc_id long, lang string, n_tokens int, bin_id int"
+
+
+def _pack_stream(pdf: pd.DataFrame, capacity: int) -> pd.DataFrame:
+    """Greedy fold: docs in doc_id order; open a new bin when the
+    running total would exceed capacity. An oversized doc (> capacity
+    alone) occupies its own bin. Matches the recursive-CTE oracle
+    exactly: first doc -> bin 0 with acc = its tokens."""
+    pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+    bins, acc, bin_id = [], 0, 0
+    for i, tok in enumerate(pdf["n_tokens"]):
+        if i > 0 and acc + tok > capacity:
+            bin_id += 1
+            acc = tok
+        else:
+            acc += tok
+        bins.append(bin_id)
+    pdf["bin_id"] = pd.Series(bins, dtype="int32")
+    return pdf[["doc_id", "lang", "n_tokens", "bin_id"]]
+
+
+def pack_greedy(
+    docs: DataFrame,
+    capacity: int = 256,
+    stream_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pack documents into token bins of ``capacity`` per stream key.
+
+    Token counts are whitespace counts (JVM-side) so only (id, key,
+    int) rows cross the Arrow boundary — never the text itself."""
+    sized = docs.select(
+        "doc_id",
+        F.col(stream_col).alias("lang"),
+        F.size(F.split(F.col(text_col), " ")).cast("int").alias("n_tokens"),
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _pack_stream(pdf, capacity)
+
+    return sized.groupBy("lang").applyInPandas(fn, PACKED_SCHEMA)
+
+
+def shard_assign(
+    docs: DataFrame, n_shards: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """Serpentine shard assignment: rank docs by (n_tokens DESC,
+    doc_id), shard = pos on even passes, N-1-pos on odd passes."""
+    sized = docs.select(
+        "doc_id",
+        F.size(F.split(F.col(text_col), " ")).cast("int").alias("n_tokens"),
+    )
+    w = Window.orderBy(F.desc("n_tokens"), F.asc("doc_id"))
+    ranked = sized.withColumn("rnk", F.row_number().over(w) - 1)
+    pas = (F.col("rnk") / n_shards).cast("int")
+    pos = F.pmod(F.col("rnk"), F.lit(n_shards))
+    shard = F.when(pas % 2 == 0, pos).otherwise(n_shards - 1 - pos)
+    return ranked.select(
+        "doc_id", "n_tokens", shard.cast("int").alias("shard")
+    )

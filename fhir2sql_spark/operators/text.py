@@ -107,6 +107,62 @@ def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_features(
+    docs: DataFrame, n: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """N-gram repetition ratio — the standard "loopy text" quality
+    filter (boilerplate, keyboard mash, degenerate generations repeat
+    n-grams far above natural-text rates).
+
+    rep_ratio = (total n-grams - distinct n-grams) / total n-grams,
+    computed per document entirely JVM-side (array transform + size +
+    array_distinct): zero shuffles, pipelines with the parquet scan.
+    Docs shorter than n words carry no signal and are filtered (also
+    guards sequence()'s descending-range behavior for start > stop)."""
+    toks = F.split(F.col(text_col), " ")
+    grams = F.expr(
+        f"transform(sequence(1, size(split({text_col}, ' ')) - {n - 1}),"
+        f" i -> concat_ws(' ', slice(split({text_col}, ' '), i, {n})))"
+    )
+    sized = docs.where(F.size(toks) >= n).select(
+        "doc_id",
+        F.size(grams).alias("n_grams"),
+        F.size(F.array_distinct(grams)).alias("n_distinct"),
+    )
+    ratio = (F.col("n_grams") - F.col("n_distinct")).cast("double") / F.col(
+        "n_grams"
+    ).cast("double")
+    return sized.select(
+        "doc_id",
+        "n_grams",
+        "n_distinct",
+        F.round(ratio, 6).alias("rep_ratio"),
+        (ratio > 0.1).alias("is_repetitive"),
+    )
+
+
+# PII patterns kept inside the Java-regex/RE2 common subset (explicit
+# character classes, bounded quantifiers — no backrefs, no lookaround).
+EMAIL_RE = "[a-zA-Z0-9._]+@[a-zA-Z0-9.]+[a-zA-Z0-9]"
+PHONE_RE = "[0-9]{3}-[0-9]{4}"
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII scrubbing: replace email/phone matches with typed tags and
+    count what was removed. Pure regexp_replace / regexp_extract_all —
+    JVM-side, no shuffle, safe to pipeline ahead of tokenization."""
+    c = F.col(text_col)
+    redacted = F.regexp_replace(
+        F.regexp_replace(c, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(c, F.lit(EMAIL_RE), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all(c, F.lit(PHONE_RE), F.lit(0))).alias("n_phones"),
+        redacted.alias("redacted"),
+    )
+
+
 def fingerprint(col: Column, prime: int = 31, mod: int = (1 << 31) - 1) -> Column:
     """Polynomial rolling hash over characters, mod 2^31-1.
 

@@ -18,6 +18,7 @@ _MODULES = (
     "relational_ext",
     "tpch",
     "training",
+    "curation",
 )
 
 

@@ -1,0 +1,233 @@
+"""Corpus-curation queries (round 2): repetition filtering, PII
+redaction, benchmark decontamination, sequence packing, shard
+balancing, and value-checked multimodal frame sampling.
+
+These extend the LLM-pipeline surface (SURVEY.md §2.4) between
+"corpus is deduplicated" (queries/llm.py, queries/training.py) and
+"tokens reach the trainer". Every query here has an exact DuckDB
+oracle — including the two that are NOT plain column algebra
+(q_pack_sequences folds sequentially per stream and is oracled by a
+recursive CTE; q_multimodal_frames value-checks binary frame bytes
+against pure-SQL hex arithmetic).
+
+The reference (samply/fhir2sql, /root/reference/src/main.rs) has no
+counterpart for any of these; they exist for the north-star
+training-data pipeline (BASELINE.json).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fhir2sql_spark.operators import packing, text
+from fhir2sql_spark.operators.dedup import ngram_contamination
+from fhir2sql_spark.operators.multimodal import frame_sample, synth_blobs
+from fhir2sql_spark.registry import query
+from fhir2sql_spark.tables import load
+
+
+@query(
+    "q_text_repetition",
+    oracle="""
+    WITH s AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    g AS (
+        SELECT doc_id,
+               toks[CAST(i AS INT)] || ' ' || toks[CAST(i+1 AS INT)]
+                 || ' ' || toks[CAST(i+2 AS INT)] AS gram
+        FROM s, range(1, 2000) t(i) WHERE i <= len(toks) - 2
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_grams,
+           COUNT(DISTINCT gram) AS n_distinct,
+           round(CAST(COUNT(*) - COUNT(DISTINCT gram) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS rep_ratio,
+           (CAST(COUNT(*) - COUNT(DISTINCT gram) AS DOUBLE)
+            / CAST(COUNT(*) AS DOUBLE)) > 0.1 AS is_repetitive
+    FROM g GROUP BY doc_id
+    """,
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-gram repetition-ratio quality filter: (total - distinct) /
+    total n-grams per doc, flag > 0.1. All JVM-side array ops — zero
+    shuffles (operators/text.py:repetition_features); the flag uses
+    the UNROUNDED IEEE ratio of exact ints in both engines."""
+    rep = text.repetition_features(load(spark, sf_dir, "documents"), n=3)
+    return rep.select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        "rep_ratio",
+        "is_repetitive",
+    )
+
+
+# Synthetic PII injection shared by the Spark plan and the oracle:
+# deterministic, built from doc_id only, so both engines construct the
+# byte-identical pre-redaction text (the fixture corpus itself carries
+# no PII to scrub).
+_PII_SQL = """
+        CASE WHEN doc_id % 7 = 0
+             THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com now'
+             ELSE text END
+        || CASE WHEN doc_id % 5 = 0
+                THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                ELSE '' END
+"""
+
+
+@query(
+    "q_text_redact",
+    oracle=f"""
+    WITH p AS (
+      SELECT doc_id, {_PII_SQL} AS t FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{text.EMAIL_RE}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '{text.PHONE_RE}')) AS INT) AS n_phones,
+           regexp_replace(regexp_replace(t, '{text.EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{text.PHONE_RE}', '<PHONE>', 'g') AS redacted
+    FROM p
+    """,
+)
+def q_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: tag-replace emails/phones and count removals
+    (operators/text.py:redact_pii). PII is injected in-plan from
+    doc_id so the pre-redaction text is identical in both engines;
+    patterns stay inside the Java-regex/RE2 common subset."""
+    docs = load(spark, sf_dir, "documents")
+    with_pii = docs.select(
+        "doc_id", F.expr(_PII_SQL.replace("AS VARCHAR", "AS STRING")).alias("text")
+    )
+    out = text.redact_pii(with_pii)
+    return out.select(
+        "doc_id",
+        F.col("n_emails").cast("int").alias("n_emails"),
+        F.col("n_phones").cast("int").alias("n_phones"),
+        "redacted",
+    )
+
+
+@query(
+    "q_decontaminate",
+    oracle="""
+    WITH s AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    g AS (
+        SELECT DISTINCT doc_id,
+               toks[CAST(i AS INT)] || ' ' || toks[CAST(i+1 AS INT)]
+                 || ' ' || toks[CAST(i+2 AS INT)] || ' ' || toks[CAST(i+3 AS INT)]
+                 || ' ' || toks[CAST(i+4 AS INT)] AS gram
+        FROM s, range(1, 2000) t(i) WHERE i <= len(toks) - 4
+    ),
+    bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 7 = 0),
+    corpus AS (SELECT doc_id, gram FROM g WHERE doc_id % 7 <> 0)
+    SELECT c.doc_id, COUNT(*) AS n_matched_grams
+    FROM corpus c JOIN bench b USING (gram)
+    GROUP BY c.doc_id
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing >= 1 word 5-gram
+    with the benchmark slice (doc_id % 7 = 0 stands in for an eval
+    suite). The benchmark n-gram set is broadcast — the corpus never
+    shuffles (operators/dedup.py:ngram_contamination)."""
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 7 == 0)
+    corpus = docs.where(F.col("doc_id") % 7 != 0)
+    return ngram_contamination(corpus, bench, n=5)
+
+
+@query(
+    "q_pack_sequences",
+    oracle="""
+    WITH RECURSIVE t AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+        FROM documents
+    ),
+    pack(lang, rn, doc_id, n_tokens, acc, bin) AS (
+        SELECT lang, rn, doc_id, n_tokens, n_tokens, 0 FROM t WHERE rn = 1
+        UNION ALL
+        SELECT t.lang, t.rn, t.doc_id, t.n_tokens,
+               CASE WHEN p.acc + t.n_tokens > 256
+                    THEN t.n_tokens ELSE p.acc + t.n_tokens END,
+               CASE WHEN p.acc + t.n_tokens > 256
+                    THEN p.bin + 1 ELSE p.bin END
+        FROM pack p JOIN t ON t.lang = p.lang AND t.rn = p.rn + 1
+    )
+    SELECT doc_id, lang, n_tokens, CAST(bin AS INT) AS bin_id FROM pack
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequential context-window packing (capacity 256 tokens)
+    per lang stream, docs in doc_id order — the bin-assignment step of
+    training-sequence packing. Inherently a sequential fold, so it
+    runs as applyInPandas per stream (operators/packing.py); the
+    oracle replays the identical fold as a recursive CTE."""
+    return packing.pack_greedy(
+        load(spark, sf_dir, "documents"), capacity=256, stream_col="lang"
+    )
+
+
+@query(
+    "q_shard_balance",
+    oracle="""
+    WITH sized AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, n_tokens,
+               ROW_NUMBER() OVER (ORDER BY n_tokens DESC, doc_id) - 1 AS rnk
+        FROM sized
+    )
+    SELECT doc_id, n_tokens,
+           CAST(CASE WHEN (rnk // 8) % 2 = 0
+                     THEN rnk % 8 ELSE 7 - (rnk % 8) END AS INT) AS shard
+    FROM ranked
+    """,
+)
+def q_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic balanced sharding for training export: serpentine
+    rank-dealing over (n_tokens DESC, doc_id) into 8 shards
+    (operators/packing.py:shard_assign — see its docstring for the
+    distributed-rank form the global window becomes at 100 TB)."""
+    return packing.shard_assign(load(spark, sf_dir, "documents"), n_shards=8)
+
+
+@query(
+    "q_multimodal_frames",
+    oracle="""
+    WITH blobs AS (
+      SELECT range AS blob_id,
+             CAST(64 + (range * 131) % 4033 AS INT) AS blob_len,
+             substring(repeat(sha256('blob-' || CAST(range AS VARCHAR)), 130),
+                       1, CAST((64 + (range * 131) % 4033) * 2 AS INT)) AS hx
+      FROM range(0, 200)
+    )
+    SELECT blob_id, CAST(i AS INT) AS frame_no,
+           substring(hx, CAST(i * 512 + 1 AS INT), 512) AS frame_hex,
+           CAST(length(substring(hx, CAST(i * 512 + 1 AS INT), 512)) // 2
+                AS INT) AS frame_len
+    FROM blobs, range(0, 20) t(i)
+    WHERE i <= FLOOR(blob_len / 256.0)
+    """,
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-stride frame sampling over binary payloads
+    (operators/multimodal.py:frame_sample, stride 256 B), frame BYTES
+    value-checked: the blob fixture is pure SQL both engines reproduce
+    byte-identically, so each frame's hex must equal the oracle's
+    substring arithmetic — this pins the per-frame offset (ADVICE r1:
+    frame_sample previously emitted the first window for every
+    frame_no)."""
+    frames = frame_sample(synth_blobs(spark, n=200), every_n_bytes=256)
+    return frames.select(
+        "blob_id",
+        F.col("frame_no").cast("int").alias("frame_no"),
+        F.lower(F.hex("frame_bytes")).alias("frame_hex"),
+        F.length("frame_bytes").cast("int").alias("frame_len"),
+    )

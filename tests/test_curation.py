@@ -1,0 +1,167 @@
+"""Unit/property tests for the round-2 corpus-curation operators
+(packing, sharding, repetition, redaction, decontamination, frame
+sampling) beyond the oracle checks in test_oracle_parity.py."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+
+from fhir2sql_spark.operators import packing, text
+from fhir2sql_spark.operators.dedup import ngram_contamination
+from fhir2sql_spark.operators.multimodal import frame_sample, synth_blobs
+from tests.conftest import SF_SMALL
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+
+
+class TestPackGreedy:
+    def test_invariants(self, spark):
+        docs = _docs(spark)
+        packed = packing.pack_greedy(docs, capacity=256).cache()
+        rows = packed.collect()
+        assert len(rows) == docs.count()  # every doc assigned exactly once
+
+        # per (lang, bin): total <= capacity unless the bin is a single
+        # oversized doc; bin ids start at 0 and are contiguous
+        by_bin = (
+            packed.groupBy("lang", "bin_id")
+            .agg(F.sum("n_tokens").alias("tot"), F.count("*").alias("n"))
+            .collect()
+        )
+        for r in by_bin:
+            assert r.tot <= 256 or r.n == 1
+        for lang_row in packed.groupBy("lang").agg(
+            F.min("bin_id").alias("lo"),
+            F.max("bin_id").alias("hi"),
+            F.countDistinct("bin_id").alias("nd"),
+        ).collect():
+            assert lang_row.lo == 0
+            assert lang_row.nd == lang_row.hi + 1
+
+    def test_greedy_fold_exact(self, spark):
+        # hand-checked stream: capacity 10, tokens 4,5,3,10,12,1
+        pdf = packing._pack_stream(
+            pd.DataFrame(
+                {
+                    "doc_id": [1, 2, 3, 4, 5, 6],
+                    "lang": ["en"] * 6,
+                    "n_tokens": [4, 5, 3, 10, 12, 1],
+                }
+            ),
+            capacity=10,
+        )
+        # 4+5=9 | 3 -> would be 12 > 10: new bin, 3+... 3+10>10: new bin
+        # 10 alone | 12 oversized alone | 1
+        assert list(pdf["bin_id"]) == [0, 0, 1, 2, 3, 4]
+
+
+class TestShardAssign:
+    def test_balance(self, spark):
+        docs = _docs(spark)
+        shards = packing.shard_assign(docs, n_shards=8).cache()
+        stats = (
+            shards.groupBy("shard")
+            .agg(F.count("*").alias("n"), F.sum("n_tokens").alias("tok"))
+            .collect()
+        )
+        assert len(stats) == 8
+        counts = [r.n for r in stats]
+        assert max(counts) - min(counts) <= 1
+        toks = [r.tok for r in stats]
+        max_doc = shards.agg(F.max("n_tokens")).first()[0]
+        # serpentine dealing keeps shard token totals within one
+        # largest-doc of each other
+        assert max(toks) - min(toks) <= max_doc
+
+
+class TestRepetition:
+    def test_known_values(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "a b c a b c a b c"),  # grams: 7 total, 3 distinct
+                (2, "one two three four"),  # 2 grams, both distinct
+                (3, "x y"),  # too short: filtered
+            ],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in text.repetition_features(df).collect()}
+        assert set(out) == {1, 2}
+        assert out[1].n_grams == 7 and out[1].n_distinct == 3
+        assert out[1].is_repetitive
+        assert out[2].n_grams == 2 and not out[2].is_repetitive
+
+
+class TestRedact:
+    def test_known_values(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "mail a.b@x.io and c@d.org now"),
+                (2, "call 555-1234 or 555-9999"),
+                (3, "clean text only"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in text.redact_pii(df).collect()}
+        assert out[1].n_emails == 2 and out[1].n_phones == 0
+        assert out[1].redacted == "mail <EMAIL> and <EMAIL> now"
+        assert out[2].n_phones == 2
+        assert out[2].redacted == "call <PHONE> or <PHONE>"
+        assert out[3].redacted == "clean text only"
+
+
+class TestDecontaminate:
+    def test_shared_ngram_flagged(self, spark):
+        mk = lambda rows: spark.createDataFrame(  # noqa: E731
+            rows, "doc_id long, lang string, text string"
+        )
+        secret = "alpha beta gamma delta epsilon"
+        bench = mk([(100, "en", f"prefix {secret} suffix")])
+        corpus = mk(
+            [
+                (1, "en", f"stolen {secret} verbatim here"),
+                (2, "en", "completely unrelated words go here now"),
+            ]
+        )
+        out = ngram_contamination(corpus, bench, n=5).collect()
+        assert [r.doc_id for r in out] == [1]
+        assert out[0].n_matched_grams >= 1
+
+    def test_cross_lang_counts(self, spark):
+        mk = lambda rows: spark.createDataFrame(  # noqa: E731
+            rows, "doc_id long, lang string, text string"
+        )
+        secret = "uno dos tres cuatro cinco"
+        bench = mk([(100, "es", secret)])
+        corpus = mk([(1, "en", f"pad {secret} pad")])
+        assert ngram_contamination(corpus, bench, n=5).count() == 1
+
+
+class TestFrameSample:
+    def test_frames_reassemble(self, spark):
+        blobs = synth_blobs(spark, n=20).cache()
+        frames = frame_sample(blobs, every_n_bytes=256)
+        # order inside the aggregate (array_sort on frame_no), not via
+        # a pre-shuffle orderBy collect_list ordering assumption
+        rebuilt = frames.groupBy("blob_id").agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                "frame_no",
+                                F.lower(F.hex("frame_bytes")).alias("hx"),
+                            )
+                        )
+                    ),
+                    lambda s: s.getField("hx"),
+                ),
+            ).alias("hx")
+        )
+        orig = blobs.select("blob_id", F.lower(F.hex("content")).alias("hx"))
+        assert rebuilt.exceptAll(orig).count() == 0
+        assert orig.exceptAll(rebuilt).count() == 0
