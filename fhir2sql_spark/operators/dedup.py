@@ -77,24 +77,26 @@ def jaccard_pairs(docs: DataFrame, threshold_num: int, threshold_den: int, n: in
     The threshold is applied in exact integer arithmetic
     (den*common >= num*union) — no float boundary; the emitted `jac`
     double is the IEEE ratio of exact ints (bit-stable cross-engine).
+
+    The inverted-index self-join runs on xxhash64(lang, shingle)
+    LONGS, not shingle strings: the shuffled posting payload drops
+    from ~25 string bytes to 8, and the join/group compares are
+    integer. Hash equality stands in for (lang, shingle) equality; a
+    64-bit collision across the corpus' distinct shingles (birthday
+    ~n^2/2^65) would perturb one `common` count — vanishing, and
+    deterministic for a given corpus (the sf0.01 oracle gate
+    re-verifies exact counts every round).
     """
-    sh = shingles(docs, n=n)
+    sh = (
+        shingles(docs, n=n, distinct=False)
+        .select("doc_id", F.xxhash64("lang", "shingle").alias("sid"))
+        .distinct()
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    a = sh.select(
-        F.col("lang"), F.col("shingle"), F.col("doc_id").alias("doc_a")
-    )
-    b = sh.select(
-        F.col("lang").alias("lang_b"),
-        F.col("shingle").alias("shingle_b"),
-        F.col("doc_id").alias("doc_b"),
-    )
+    a = sh.select(F.col("sid"), F.col("doc_id").alias("doc_a"))
+    b = sh.select(F.col("sid").alias("sid_b"), F.col("doc_id").alias("doc_b"))
     common = (
-        a.join(
-            b,
-            (a.lang == b.lang_b)
-            & (a.shingle == b.shingle_b)
-            & (a.doc_a < b.doc_b),
-        )
+        a.join(b, (a.sid == b.sid_b) & (a.doc_a < b.doc_b))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("common"))
     )
@@ -135,7 +137,18 @@ def verify_candidate_pairs(
     This is the second half of the LSH pipeline: per-doc shingle SETS
     (collect_set, one shuffle) joined to the (tiny) candidate list on
     both sides, intersection via array_intersect — cost O(candidates),
-    never O(all pairs). Output contract matches jaccard_pairs."""
+    never O(all pairs). Output contract matches jaccard_pairs.
+
+    Sets hold shingle STRINGS here, unlike jaccard_pairs' hashed
+    postings: with the broadcast semi-join pruning to candidate docs
+    before the explode, the set build is tiny either way, and the
+    measured string form beats a hash-projected variant (the extra
+    projection blocked the semi-join pushdown below the generate)."""
+    # The candidate list is referenced three times below (both sides
+    # of the doc-id union + the final broadcast join); without a
+    # lineage barrier the whole upstream LSH pipeline re-executes for
+    # each reference. Candidates are tiny by construction — pin them.
+    candidates = candidates.localCheckpoint(eager=True)
     cand_docs = (
         candidates.select(F.col("doc_a").alias("doc_id"))
         .unionByName(candidates.select(F.col("doc_b").alias("doc_id")))
@@ -214,52 +227,40 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Band the signatures and emit candidate pairs that collide in
     >=1 band. Banding turns the all-pairs problem into an equi-join on
-    (band_id, band_hash) — the 100 TB-safe shape. Callers verify
-    candidates with exact Jaccard (cheap: candidate set is tiny)."""
-    n = bands * rows_per_band
+    a single band-key long — the 100 TB-safe shape. Callers verify
+    candidates with exact Jaccard (cheap: candidate set is tiny).
+
+    The band key is xxhash64(lang, band_id, sig[i..j]) — one 8-byte
+    join key folding the band id, the language partition, and the
+    band's signature rows together (the earlier sha2-over-concat form
+    built 64-char strings per band; hashing is both cheaper to compute
+    and 8x lighter to shuffle, with the usual negligible-collision
+    argument: a collision only ever ADDS a candidate pair, which exact
+    verification then rejects)."""
     banded = signatures.select(
         "doc_id",
-        "lang",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.sha2(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col("signature").getItem(i).cast("string")
-                                    for i in range(
-                                        b * rows_per_band, (b + 1) * rows_per_band
-                                    )
-                                ],
-                            ),
-                            256,
-                        ).alias("band_hash"),
+                    F.xxhash64(
+                        "lang",
+                        F.lit(b),
+                        *[
+                            F.col("signature").getItem(i)
+                            for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+                        ],
                     )
                     for b in range(bands)
                 ]
             )
-        ).alias("bh"),
-    ).select("doc_id", "lang", "bh.band", "bh.band_hash")
-    a = banded.select(
-        "lang", "band", "band_hash", F.col("doc_id").alias("doc_a")
+        ).alias("band_key"),
     )
+    a = banded.select("band_key", F.col("doc_id").alias("doc_a"))
     b_ = banded.select(
-        F.col("lang").alias("lang_b"),
-        F.col("band").alias("band_b"),
-        F.col("band_hash").alias("band_hash_b"),
-        F.col("doc_id").alias("doc_b"),
+        F.col("band_key").alias("band_key_b"), F.col("doc_id").alias("doc_b")
     )
     return (
-        a.join(
-            b_,
-            (a.lang == b_.lang_b)
-            & (a.band == b_.band_b)
-            & (a.band_hash == b_.band_hash_b)
-            & (a.doc_a < b_.doc_b),
-        )
+        a.join(b_, (a.band_key == b_.band_key_b) & (a.doc_a < b_.doc_b))
         .select("doc_a", "doc_b")
         .distinct()
     )
