@@ -13,7 +13,7 @@ Mirrors /root/reference/src/main.rs:227-248 (classification),
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from fhir2sql_spark.registry import query
@@ -122,6 +122,82 @@ def q_sync_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
         src.join(mir, "res_key")
         .where(F.col("src_version") != F.col("mir_version"))
         .select("res_key", "pk_id", "src_version", "mir_version")
+    )
+
+
+@query(
+    "q_cdc_scd2",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               CASE WHEN lag(event_type) OVER w IS NULL
+                      OR lag(event_type) OVER w <> event_type
+                    THEN 1 ELSE 0 END AS chg
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    runs AS (
+        SELECT user_id, event_type, ts,
+               SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS run_id
+        FROM ordered
+    ),
+    hist AS (
+        SELECT user_id, run_id, MIN(event_type) AS event_type,
+               MIN(ts) AS valid_from, COUNT(*) AS n_events
+        FROM runs GROUP BY user_id, run_id
+    )
+    SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY run_id)
+             AS valid_to,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY run_id)
+             IS NULL AS is_current,
+           n_events
+    FROM hist
+    """,
+)
+def q_cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 history build — the CDC diff
+    (R5) projected into time: per user, collapse consecutive runs of
+    equal event_type into validity intervals [valid_from, valid_to)
+    with an is_current flag. The reference only ever materializes the
+    LATEST state (source-wins overwrite, src/main.rs:229-238); this is
+    what replacing its UPDATE with an interval-close + insert yields.
+
+    Shape: one shuffle on user_id, then three window passes over the
+    same (user_id | ts, event_id) ordering — Spark keeps them in a
+    single sort within one exchange. Deterministic: the (ts, event_id)
+    tie-break totally orders each partition."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = F.when(
+        F.lag("event_type").over(w).isNull()
+        | (F.lag("event_type").over(w) != F.col("event_type")),
+        1,
+    ).otherwise(0)
+    runs = e.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.sum(chg).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("run_id"),
+    )
+    hist = runs.groupBy("user_id", "run_id").agg(
+        F.min("event_type").alias("event_type"),
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("run_id")
+    valid_to = F.lead("valid_from").over(w2)
+    return hist.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        valid_to.alias("valid_to"),
+        valid_to.isNull().alias("is_current"),
+        "n_events",
     )
 
 

@@ -60,3 +60,18 @@ def test_json_corrupt_record_tolerance(spark, tmp_path):
     good = df.where(F.col("_corrupt_record").isNull())
     bad = df.where(F.col("_corrupt_record").isNotNull())
     assert good.count() == 2 and bad.count() == 1
+
+
+def test_orc_roundtrip(spark, sf_dir, tmp_path):
+    """ORC is the other columnar format Spark ships natively (hive
+    ecosystems land it); exact round-trip under the same contract as
+    parquet, including predicate pushdown on read."""
+    out = str(tmp_path / "docs_orc")
+    docs = load(spark, sf_dir, "documents")
+    docs.write.mode("overwrite").orc(out)
+    back = spark.read.schema(_SCHEMA).orc(out)
+    assert _rows(back) == _rows(docs)
+    pushed = back.where(F.col("doc_id") < 10)
+    plan = pushed._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "LessThan(doc_id,10)" in plan
+    assert pushed.count() == docs.where(F.col("doc_id") < 10).count()
