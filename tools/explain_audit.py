@@ -52,7 +52,21 @@ CHECKS: list[tuple[str, str, str]] = [
     ("q_text_tfidf", "WindowGroupLimit", "tf-idf top-5 prunes pre-shuffle"),
     ("q_corpus_carve", "BroadcastHashJoin", "dup-set anti-join broadcasts"),
     ("q_event_funnel", "HashAggregate", "funnel stages are hash aggregates"),
+    # round 2 additions. "!" prefix = the substring must be ABSENT.
+    ("q_decontaminate", "BroadcastHashJoin", "benchmark n-gram set broadcasts"),
+    ("q_text_repetition", "!Exchange", "repetition features shuffle nothing"),
+    ("q_text_redact", "!Exchange", "redaction shuffles nothing"),
+    ("q_multimodal_frames", "!Exchange", "frame explode stays map-side"),
+    ("q_pack_sequences", "FlatMapGroupsInPandas", "packing folds per stream in Arrow"),
+    ("q_cdc_scd2", "WindowGroupLimit", ""),  # placeholder replaced below
 ]
+# q_cdc_scd2's property is structural, not a substring: all three
+# window passes + the run groupBy must share ONE user_id exchange.
+CHECKS[-1] = (
+    "q_cdc_scd2",
+    "#1:Exchange hashpartitioning(user_id",
+    "SCD2's windows/groupBy share a single user_id shuffle",
+)
 
 
 def main() -> int:
@@ -66,7 +80,13 @@ def main() -> int:
             .executedPlan()
             .toString()
         )
-        ok = needle in plan
+        if needle.startswith("!"):
+            ok = needle[1:] not in plan
+        elif needle.startswith("#"):
+            count, _, sub = needle[1:].partition(":")
+            ok = plan.count(sub) == int(count)
+        else:
+            ok = needle in plan
         print(f"  {'PASS' if ok else 'FAIL'}  {name:20s} {why}")
         if not ok:
             failures.append((name, needle))
