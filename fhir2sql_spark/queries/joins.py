@@ -288,3 +288,28 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.date_format("event_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("event_time"),
     )
+
+
+@query(
+    "q_join_salted",
+    oracle="""
+    SELECT e.user_id, e.event_id, c.c_name AS name
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated equi join (operators/skew.py:salted_join, 8-way
+    scatter): events carry ~20 hot user keys (10k rows over 20 users —
+    the celebrity-key shape), the customer dim side is replicated per
+    salt so every (key, salt) pair matches. The oracle is the PLAIN
+    join — salting must change only the physical distribution, never
+    the result rows."""
+    from fhir2sql_spark.operators.skew import salted_join
+
+    e = load(spark, sf_dir, "events").select("user_id", "event_id")
+    dim = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_name").alias("name")
+    )
+    return salted_join(e, dim, key="user_id", salt=8, how="inner").select(
+        "user_id", "event_id", "name"
+    )

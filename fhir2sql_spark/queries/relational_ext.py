@@ -600,3 +600,43 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "week_offset")
         .agg(F.count(F.lit(1)).alias("n_active"))
     )
+
+
+@query(
+    "q_agg_mode",
+    oracle="""
+    WITH c AS (
+        SELECT o_orderpriority, o_orderstatus, COUNT(*) AS cnt
+        FROM orders GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                     ORDER BY cnt DESC, o_orderstatus) AS rn
+        FROM c
+    )
+    SELECT o_orderpriority, o_orderstatus AS mode_status, cnt AS n_rows
+    FROM r WHERE rn = 1
+    """,
+)
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modal value per group (most frequent o_orderstatus per
+    priority), tie-broken by status ascending — count-then-rank, the
+    distributed MODE() form: the count aggregate shrinks the data to
+    (#priorities x #statuses) rows BEFORE the window, so the rank
+    window sorts a handful of rows however large the input."""
+    o = load(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("cnt"), F.asc("o_orderstatus")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "o_orderpriority",
+            F.col("o_orderstatus").alias("mode_status"),
+            F.col("cnt").alias("n_rows"),
+        )
+    )
