@@ -114,6 +114,36 @@ def frame_sample(blobs: DataFrame, every_n_bytes: int = 256) -> DataFrame:
     )
 
 
+HIST_SCHEMA = (
+    "blob_id long, h0 int, h1 int, h2 int, h3 int, h4 int, h5 int, h6 int, h7 int"
+)
+
+
+def byte_histogram_features(blobs: DataFrame) -> DataFrame:
+    """Feature-extraction plumbing: binary payload -> fixed-width
+    feature vector (8-bucket byte histogram, bucket = byte >> 5) via
+    mapInPandas + numpy. This is the decode->featurize shape a real
+    pipeline runs with an image/audio model in the kernel; the
+    histogram stand-in keeps it exact-integer so the whole Arrow path
+    is oracle-checkable (DuckDB recomputes the buckets from the hex
+    text's leading nibbles). Features emit as typed columns, not an
+    array, so downstream engines see a plain relational schema."""
+    import numpy as np
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for blob_id, content in zip(batch["blob_id"], batch["content"]):
+                arr = np.frombuffer(bytes(content), dtype=np.uint8)
+                hist = np.bincount(arr >> 5, minlength=8)[:8]
+                rows.append([int(blob_id), *(int(x) for x in hist)])
+            yield pd.DataFrame(
+                rows, columns=["blob_id"] + [f"h{i}" for i in range(8)]
+            )
+
+    return blobs.select("blob_id", "content").mapInPandas(fn, HIST_SCHEMA)
+
+
 RESIZED_SCHEMA = (
     "blob_id long, mime_type string, width int, height int, content binary"
 )

@@ -76,17 +76,58 @@ def pack_greedy(
     return sized.groupBy("lang").applyInPandas(fn, PACKED_SCHEMA)
 
 
+def distributed_rank(
+    df: DataFrame, order_exprs: list, n_parts: int = 32, out_col: str = "rnk"
+) -> DataFrame:
+    """0-based dense global rank without a single-task window.
+
+    Window.orderBy() with no partition moves ALL rows to one task —
+    fine at fixture scale, fatal at 100 TB. This is the distributed
+    form (same pattern as sync/pipeline.py's pk allocation):
+    range-repartition on the sort key so partition i holds the i-th
+    key range, rank within each partition (parallel windows), then add
+    per-partition offsets computed from the (tiny, n_parts-row) count
+    table. Output ranks are identical to the global window's."""
+    ranged = df.repartitionByRange(n_parts, *order_exprs).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    counts = ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
+    w_off = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # n_parts rows: single-task here is O(partitions), not O(rows)
+    offsets = counts.select(
+        "__pid",
+        F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off"),
+    )
+    w_in = Window.partitionBy("__pid").orderBy(*order_exprs)
+    return (
+        ranged.join(F.broadcast(offsets), "__pid")
+        .withColumn(out_col, F.row_number().over(w_in) - 1 + F.col("__off"))
+        .drop("__pid", "__off")
+    )
+
+
 def shard_assign(
-    docs: DataFrame, n_shards: int = 8, text_col: str = "text"
+    docs: DataFrame,
+    n_shards: int = 8,
+    text_col: str = "text",
+    distributed: bool = False,
 ) -> DataFrame:
     """Serpentine shard assignment: rank docs by (n_tokens DESC,
-    doc_id), shard = pos on even passes, N-1-pos on odd passes."""
+    doc_id), shard = pos on even passes, N-1-pos on odd passes.
+
+    ``distributed=True`` ranks via distributed_rank (the 100 TB form);
+    the default global window is kept for oracle-parity plans. Both
+    produce identical output (property-tested)."""
     sized = docs.select(
         "doc_id",
         F.size(F.split(F.col(text_col), " ")).cast("int").alias("n_tokens"),
     )
-    w = Window.orderBy(F.desc("n_tokens"), F.asc("doc_id"))
-    ranked = sized.withColumn("rnk", F.row_number().over(w) - 1)
+    order = [F.desc("n_tokens"), F.asc("doc_id")]
+    if distributed:
+        ranked = distributed_rank(sized, order)
+    else:
+        ranked = sized.withColumn("rnk", F.row_number().over(Window.orderBy(*order)) - 1)
     pas = (F.col("rnk") / n_shards).cast("int")
     pos = F.pmod(F.col("rnk"), F.lit(n_shards))
     shard = F.when(pas % 2 == 0, pos).otherwise(n_shards - 1 - pos)

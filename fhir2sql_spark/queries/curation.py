@@ -231,3 +231,46 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lower(F.hex("frame_bytes")).alias("frame_hex"),
         F.length("frame_bytes").cast("int").alias("frame_len"),
     )
+
+
+@query(
+    "q_multimodal_embed",
+    oracle="""
+    WITH blobs AS (
+      SELECT range AS blob_id,
+             CAST(64 + (range * 131) % 4033 AS INT) AS blob_len,
+             substring(repeat(sha256('blob-' || CAST(range AS VARCHAR)), 130),
+                       1, CAST((64 + (range * 131) % 4033) * 2 AS INT)) AS hx
+      FROM range(0, 200)
+    ),
+    nib AS (
+      -- bucket = byte >> 5 depends only on the byte's FIRST hex
+      -- nibble: (16*n1 + n2) // 32 == n1 // 2 because n2 <= 15
+      SELECT blob_id,
+             (strpos('0123456789abcdef',
+                     substring(hx, CAST(i * 2 + 1 AS INT), 1)) - 1) // 2 AS b
+      FROM blobs, range(0, 4100) t(i)
+      WHERE i < blob_len
+    )
+    SELECT blob_id,
+           CAST(SUM(CASE WHEN b = 0 THEN 1 ELSE 0 END) AS INT) AS h0,
+           CAST(SUM(CASE WHEN b = 1 THEN 1 ELSE 0 END) AS INT) AS h1,
+           CAST(SUM(CASE WHEN b = 2 THEN 1 ELSE 0 END) AS INT) AS h2,
+           CAST(SUM(CASE WHEN b = 3 THEN 1 ELSE 0 END) AS INT) AS h3,
+           CAST(SUM(CASE WHEN b = 4 THEN 1 ELSE 0 END) AS INT) AS h4,
+           CAST(SUM(CASE WHEN b = 5 THEN 1 ELSE 0 END) AS INT) AS h5,
+           CAST(SUM(CASE WHEN b = 6 THEN 1 ELSE 0 END) AS INT) AS h6,
+           CAST(SUM(CASE WHEN b = 7 THEN 1 ELSE 0 END) AS INT) AS h7
+    FROM nib GROUP BY blob_id
+    """,
+)
+def q_multimodal_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary -> feature-vector extraction through the real Arrow
+    path (operators/multimodal.py:byte_histogram_features): numpy
+    byte-bucket histogram per blob via mapInPandas, value-checked
+    against DuckDB recomputing the buckets from hex nibbles. The
+    stand-in kernel is exact-integer; a production pipeline swaps in
+    an image/audio model with the same plumbing."""
+    from fhir2sql_spark.operators.multimodal import byte_histogram_features
+
+    return byte_histogram_features(synth_blobs(spark, n=200))

@@ -190,6 +190,19 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_near_pairs(emb, threshold=0.45)
 
 
+@query("q_dedup_embed_bulk")  # numpy accumulation order: rows-only
+def q_dedup_embed_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production-throughput form of q_dedup_embed: BLAS blocked
+    matmul per partition against a broadcast normalized matrix
+    (operators/similarity.py:cosine_near_pairs_bulk). Emits the same
+    pair set as the exact fold (asserted in tests); the cosine VALUES
+    can differ in the last ulp because numpy's pairwise accumulation
+    reorders the additions, so the driver check is rows-only — the
+    pair-set equality test is the correctness evidence."""
+    emb = load(spark, sf_dir, "embeddings").where(F.col("vec_id") < 1000)
+    return similarity.cosine_near_pairs_bulk(emb, threshold=0.45)
+
+
 @query("q_embed_ivf")  # probabilistic (codebook recall): rows-only
 def q_embed_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: coarse-quantize to 16 cells, probe the 4 nearest

@@ -44,19 +44,21 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 SHOWCASE = (
     "q_scan_count", "q_scan_project", "q_filter_pred", "q_project_json",
     "q_sync_diff_full", "q_sync_inserts", "q_sync_deletes", "q_sync_updates",
-    "q_count_reconcile",
-    "q_join_inner", "q_join_left", "q_join_full", "q_join_semi", "q_join_anti",
+    "q_count_reconcile", "q_cdc_scd2",
+    "q_join_inner", "q_join_left", "q_join_semi", "q_join_anti",
     "q_join_broadcast", "q_join_range", "q_join_asof",
     "q_agg_basic", "q_agg_distinct", "q_agg_approx", "q_agg_rollup",
-    "q_agg_having", "q_agg_percentile",
-    "q_window_rank", "q_window_lag", "q_window_frame", "q_topk_pergroup",
+    "q_agg_percentile",
+    "q_window_rank", "q_topk_pergroup",
     "q_limit_topk", "q_union_all",
     "q_str_funcs", "q_date_funcs", "q_hof_funcs",
     "q_tumble", "q_session", "q_late_data", "q_stream_dedup",
     "q_udf_scalar", "q_udaf_pandas", "q_udtf_python",
     "q_dedup_exact", "q_dedup_near", "q_dedup_components", "q_dedup_embed",
     "q_embed_topk", "q_text_langid", "q_text_tfidf",
-    "q_multimodal_meta", "q_pivot", "q_subquery_correlated", "q_tpch_q3",
+    "q_decontaminate", "q_pack_sequences",
+    "q_multimodal_meta", "q_multimodal_frames",
+    "q_pivot", "q_subquery_correlated", "q_tpch_q3",
 )
 
 
@@ -70,7 +72,8 @@ SHOWCASE_BENCH = (
     "q_join_broadcast", "q_agg_basic", "q_agg_rollup", "q_agg_percentile",
     "q_window_rank", "q_topk_pergroup", "q_limit_topk", "q_tumble",
     "q_session", "q_stream_dedup", "q_udf_pandas", "q_udaf_pandas",
-    "q_dedup_exact", "q_dedup_minhash", "q_dedup_embed", "q_embed_topk",
+    "q_dedup_exact", "q_dedup_minhash", "q_dedup_embed",
+    "q_dedup_embed_bulk", "q_embed_topk",
     "q_embed_ivf", "q_text_langid", "q_text_tfidf", "q_tpch_q3",
     "q_tpch_q5", "q_tpch_q18",
 )

@@ -165,3 +165,31 @@ class TestFrameSample:
         orig = blobs.select("blob_id", F.lower(F.hex("content")).alias("hx"))
         assert rebuilt.exceptAll(orig).count() == 0
         assert orig.exceptAll(rebuilt).count() == 0
+
+
+class TestDistributedRank:
+    def test_matches_global_window(self, spark):
+        docs = _docs(spark)
+        via_window = {
+            (r.doc_id): (r.n_tokens, r.shard)
+            for r in packing.shard_assign(docs, n_shards=8).collect()
+        }
+        via_dist = {
+            (r.doc_id): (r.n_tokens, r.shard)
+            for r in packing.shard_assign(
+                docs, n_shards=8, distributed=True
+            ).collect()
+        }
+        assert via_window == via_dist
+
+    def test_rank_is_dense_and_ordered(self, spark):
+        df = spark.createDataFrame(
+            [(i, (i * 37) % 100) for i in range(500)], "id long, v long"
+        )
+        from pyspark.sql import functions as SF
+
+        ranked = packing.distributed_rank(df, [SF.desc("v"), SF.asc("id")], n_parts=7)
+        rows = sorted(ranked.collect(), key=lambda r: r.rnk)
+        assert [r.rnk for r in rows] == list(range(500))
+        keys = [(-r.v, r.id) for r in rows]
+        assert keys == sorted(keys)

@@ -234,3 +234,24 @@ def test_connected_components_matches_union_find(spark):
         assert got == union_find(edges)
 
     inner()
+
+
+def test_bulk_cosine_pairs_match_exact_fold(spark):
+    """The numpy bulk path must find the SAME near-dup pairs as the
+    exact sequential-fold form; only last-ulp cosine values may
+    differ (threshold knife-edges are absent from the fixture)."""
+    from fhir2sql_spark.operators import similarity
+    from fhir2sql_spark.tables import load
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    exact = {
+        (r.id_a, r.id_b): r.cosine
+        for r in similarity.cosine_near_pairs(emb, threshold=0.45).collect()
+    }
+    bulk = {
+        (r.id_a, r.id_b): r.cosine
+        for r in similarity.cosine_near_pairs_bulk(emb, threshold=0.45).collect()
+    }
+    assert set(exact) == set(bulk)
+    for k in exact:
+        assert abs(exact[k] - bulk[k]) <= 1e-4
