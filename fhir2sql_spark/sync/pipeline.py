@@ -87,8 +87,16 @@ def sync_resources(
     table: str,
     batch_size: int = 10_000,
     strategy: str = "batched",
+    apply_deletes: bool = True,
 ) -> SyncStats:
     """One full sync of raw source resources into the mirror table.
+
+    ``apply_deletes=False`` is the INCREMENTAL form: when the source
+    DataFrame is one micro-batch (a page window, not the full
+    snapshot), absence from the batch does not mean deletion, so
+    mirror-only rows are left untouched and reported as 0 deletes.
+    Continuous pipelines (streaming/continuous_sync.py) run upsert-only
+    micro-batches plus a periodic full-snapshot pass for deletes.
 
     Source-wins semantics: ANY version difference overwrites with the
     source copy (the reference's `<`||`>`, src/main.rs:229-230).
@@ -146,11 +154,15 @@ def sync_resources(
     )
     updates = tagged.where(F.col("op") == OP_UPDATE).select("resource", "pk_id")
     deletes = tagged.where(F.col("op") == OP_DELETE).select("pk_id")
+    if not apply_deletes:
+        deletes = deletes.limit(0)
 
     stats_rows = {
         r["op"]: r["n"]
         for r in tagged.groupBy("op").agg(F.count(F.lit(1)).alias("n")).collect()
     }
+    if not apply_deletes:
+        stats_rows[OP_DELETE] = 0
 
     if strategy == "merge":
         stage = f"{table}__stage"

@@ -1,0 +1,102 @@
+"""Continuous (streaming) sync: micro-batch upsert-only diffs through
+foreachBatch, deletes deferred to a full-snapshot pass — the streaming
+form of the reference's daily loop."""
+
+from __future__ import annotations
+
+import json
+import sqlite3
+
+import pytest
+
+from fhir2sql_spark.streaming.continuous_sync import stream_sync
+from fhir2sql_spark.sync.pipeline import sync_resources
+
+
+def _resource(rid: str, version: int) -> str:
+    return json.dumps(
+        {
+            "resourceType": "Patient",
+            "id": rid,
+            "meta": {"versionId": str(version)},
+        }
+    )
+
+
+@pytest.fixture()
+def sqlite_db(tmp_path):
+    path = str(tmp_path / "mirror.db")
+
+    def connect():
+        return sqlite3.connect(path, timeout=60, check_same_thread=False)
+
+    return connect
+
+
+def _mirror_versions(connect) -> dict[str, int]:
+    conn = connect()
+    try:
+        rows = conn.cursor().execute("SELECT resource FROM patient").fetchall()
+    finally:
+        conn.close()
+    out = {}
+    for (res,) in rows:
+        d = json.loads(res)
+        out[d["id"]] = int(d["meta"]["versionId"])
+    return out
+
+
+def test_stream_sync_upserts_and_defers_deletes(spark, tmp_path, sqlite_db):
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        _run(spark, tmp_path, sqlite_db)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def _run(spark, tmp_path, sqlite_db):
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        stream = (
+            spark.readStream.format("text")
+            .load(str(in_dir))
+            .withColumnRenamed("value", "resource")
+        )
+        q = stream_sync(stream, sqlite_db, "patient", ckpt)
+        q.awaitTermination(120)
+        q.stop()
+
+    # micro-batch 1: three inserts
+    (in_dir / "b1.jsonl").write_text(
+        "\n".join(_resource(f"p{i}", 1) for i in range(3)) + "\n"
+    )
+    drain()
+    assert _mirror_versions(sqlite_db) == {"p0": 1, "p1": 1, "p2": 1}
+
+    # micro-batch 2: p0 bumped to v2, p3 new; p1/p2 ABSENT from the
+    # batch and must survive (incremental batches never delete)
+    (in_dir / "b2.jsonl").write_text(
+        _resource("p0", 2) + "\n" + _resource("p3", 1) + "\n"
+    )
+    drain()
+    assert _mirror_versions(sqlite_db) == {"p0": 2, "p1": 1, "p2": 1, "p3": 1}
+
+    # replay tolerance: re-delivering batch 2's content converges
+    # (all rows classify as noop against the mirror)
+    (in_dir / "b3.jsonl").write_text(
+        _resource("p0", 2) + "\n" + _resource("p3", 1) + "\n"
+    )
+    drain()
+    assert _mirror_versions(sqlite_db) == {"p0": 2, "p1": 1, "p2": 1, "p3": 1}
+
+    # periodic full-snapshot pass reconciles deletions: p1/p2 gone
+    snapshot = spark.createDataFrame(
+        [(_resource("p0", 2),), (_resource("p3", 1),)], "resource string"
+    )
+    stats = sync_resources(spark, snapshot, sqlite_db, "patient")
+    assert stats.deletes == 2 and stats.noops == 2
+    assert _mirror_versions(sqlite_db) == {"p0": 2, "p3": 1}
