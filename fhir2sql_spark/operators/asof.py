@@ -1,9 +1,11 @@
 """As-of join — an operator Spark lacks natively (SURVEY.md §4.3-3).
 
-Semantics: for each left row, attach the single right row with the
-largest ``right_ts <= left_ts`` within the same ``on`` key (ties on
-``right_ts`` broken by the largest ``tie_break``). Inner flavor: left
-rows with no eligible right row are dropped.
+Semantics (``direction="backward"``, the default): for each left row,
+attach the single right row with the largest ``right_ts <= left_ts``
+within the same ``on`` key (ties on ``right_ts`` broken by the largest
+``tie_break``). ``direction="forward"`` mirrors it: the SMALLEST
+``right_ts >= left_ts``, ties broken by the smallest ``tie_break``.
+Inner flavor: left rows with no eligible right row are dropped.
 
 Implementation is the canonical composition: equi-join on the key with
 the range predicate as a residual, then one window to keep the latest
@@ -24,6 +26,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _check_direction(direction: str) -> None:
+    if direction not in ("backward", "forward"):
+        raise ValueError(
+            f"direction must be 'backward' or 'forward', got {direction!r}"
+        )
 
 
 def _check_asof_contract(
@@ -54,21 +63,23 @@ def asof_join(
     right_ts: str,
     probe_key: str,
     tie_break: str,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Latest-at-or-before join, candidate-join form. ``probe_key``
-    must uniquely identify left rows (it becomes the window partition
-    key). O(probes x matching events) intermediate — prefer
+    """As-of join, candidate-join form. ``probe_key`` must uniquely
+    identify left rows (it becomes the window partition key).
+    O(probes x matching events) intermediate — prefer
     ``asof_join_sorted`` (same contract) when the right side is dense
     per key."""
+    _check_direction(direction)
     left, right = _check_asof_contract(left, right, on)
-    cand = left.join(
-        right,
-        (left[on] == right[on]) & (right[right_ts] <= left[left_ts]),
-    ).drop(right[on])
-    w = (
-        Window.partitionBy(probe_key)
-        .orderBy(F.col(right_ts).desc(), F.col(tie_break).desc())
-    )
+    if direction == "backward":
+        cond = right[right_ts] <= left[left_ts]
+        order = [F.col(right_ts).desc(), F.col(tie_break).desc()]
+    else:
+        cond = right[right_ts] >= left[left_ts]
+        order = [F.col(right_ts).asc(), F.col(tie_break).asc()]
+    cand = left.join(right, (left[on] == right[on]) & cond).drop(right[on])
+    w = Window.partitionBy(probe_key).orderBy(*order)
     return (
         cand.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
@@ -84,9 +95,9 @@ def asof_join_sorted(
     right_ts: str,
     probe_key: str,
     tie_break: str,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Latest-at-or-before join, merge-sorted form (same contract as
-    ``asof_join``).
+    """As-of join, merge-sorted form (same contract as ``asof_join``).
 
     Union both sides tagged by role, sort each key's rows by (ts,
     side, tie), and carry the last-seen right row forward with
@@ -122,14 +133,23 @@ def asof_join_sorted(
         F.lit(None).cast(r_tagged.schema["__payload"].dataType).alias("__payload"),
         *[F.col(c) for c in lcols],
     )
-    w = (
-        Window.partitionBy("__k")
-        .orderBy(F.col("__ts").asc(), F.col("__side").asc(), F.col("__tie").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    if direction == "backward":
+        w = (
+            Window.partitionBy("__k")
+            .orderBy(F.col("__ts").asc(), F.col("__side").asc(), F.col("__tie").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carried = F.last("__payload", ignorenulls=True).over(w)
+    else:
+        w = (
+            Window.partitionBy("__k")
+            .orderBy(F.col("__ts").asc(), F.col("__side").desc(), F.col("__tie").asc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        carried = F.first("__payload", ignorenulls=True).over(w)
     merged = (
         r_tagged.unionByName(l_tagged)
-        .withColumn("__carried", F.last("__payload", ignorenulls=True).over(w))
+        .withColumn("__carried", carried)
         .where((F.col("__side") == 1) & F.col("__carried").isNotNull())
     )
     out_cols = [F.col(c) for c in lcols] + [

@@ -313,3 +313,62 @@ def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_join(e, dim, key="user_id", salt=8, how="inner").select(
         "user_id", "event_id", "name"
     )
+
+
+@query(
+    "q_join_asof_fwd",
+    oracle="""
+    WITH probes AS (
+        SELECT o_orderkey,
+               o_custkey % 150 AS user_id,
+               TIMESTAMP '2024-01-01 00:00:00'
+                 + INTERVAL (o_orderkey % 720) HOUR AS probe_ts
+        FROM orders
+    ), cand AS (
+        SELECT p.o_orderkey, p.user_id, p.probe_ts, e.event_id,
+               e.ts AS event_ts,
+               ROW_NUMBER() OVER (PARTITION BY p.o_orderkey
+                                  ORDER BY e.ts ASC, e.event_id ASC) AS rn
+        FROM probes p
+        JOIN events e ON e.user_id = p.user_id AND e.ts >= p.probe_ts
+    )
+    SELECT o_orderkey, user_id,
+           strftime(probe_ts, '%Y-%m-%d %H:%M:%S') AS probe_time,
+           event_id,
+           strftime(event_ts, '%Y-%m-%d %H:%M:%S.%f') AS event_time
+    FROM cand WHERE rn = 1
+    """,
+)
+def q_join_asof_fwd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: EARLIEST event at-or-after each probe
+    (direction='forward' of operators/asof.py — same merge-sorted
+    single-shuffle plan, frame looking ahead instead of behind). The
+    backward twin is q_join_asof."""
+    o = load(spark, sf_dir, "orders")
+    e = load(spark, sf_dir, "events")
+    probes = o.select(
+        "o_orderkey",
+        (F.col("o_custkey") % 150).alias("user_id"),
+        F.expr(
+            "timestamp '2024-01-01 00:00:00'"
+            " + make_interval(0, 0, 0, 0, cast(o_orderkey % 720 as int), 0, 0)"
+        ).alias("probe_ts"),
+    )
+    events = e.select("user_id", "event_id", F.col("ts").alias("event_ts"))
+    matched = asof_join_sorted(
+        probes,
+        events,
+        on="user_id",
+        left_ts="probe_ts",
+        right_ts="event_ts",
+        probe_key="o_orderkey",
+        tie_break="event_id",
+        direction="forward",
+    )
+    return matched.select(
+        "o_orderkey",
+        "user_id",
+        F.date_format("probe_ts", "yyyy-MM-dd HH:mm:ss").alias("probe_time"),
+        "event_id",
+        F.date_format("event_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("event_time"),
+    )

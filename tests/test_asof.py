@@ -141,3 +141,63 @@ def test_asof_contract_null_keys_and_overlap(spark):
         asof_join(left, clash, "k", "lts", "lts", "probe_id", "rid")
     with pytest.raises(ValueError, match="disjoint non-key"):
         asof_join_sorted(left, clash, "k", "lts", "lts", "probe_id", "rid")
+
+
+def test_asof_forward_forms_agree_random(spark):
+    """direction='forward': candidate and merge-sorted forms agree,
+    including equal-ts eligibility (>=) and min-tie-break selection."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    ts = st.integers(min_value=0, max_value=50)
+    probe = st.tuples(st.integers(0, 5), ts)
+    event = st.tuples(st.integers(0, 5), ts)
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        probes=st.lists(probe, min_size=1, max_size=15),
+        events=st.lists(event, min_size=1, max_size=15),
+    )
+    def inner(probes, events):
+        pdf = spark.createDataFrame(
+            [
+                (i, u, f"2024-01-01 00:00:{s:02d}")
+                for i, (u, s) in enumerate(probes)
+            ],
+            "probe_id long, user_id long, probe_ts string",
+        ).withColumn("probe_ts", F.col("probe_ts").cast("timestamp"))
+        edf = spark.createDataFrame(
+            [
+                (i, u, f"2024-01-01 00:00:{s:02d}")
+                for i, (u, s) in enumerate(events)
+            ],
+            "event_id long, user_id long, event_ts string",
+        ).withColumn("event_ts", F.col("event_ts").cast("timestamp"))
+        a = _collect(asof_join(pdf, edf, direction="forward", **_KW))
+        b = _collect(asof_join_sorted(pdf, edf, direction="forward", **_KW))
+        assert a == b
+
+    inner()
+
+
+def test_asof_forward_picks_earliest_at_or_after(spark):
+    pdf = spark.createDataFrame(
+        [(1, 7, "2024-01-01 00:00:10")],
+        "probe_id long, user_id long, probe_ts string",
+    ).withColumn("probe_ts", F.col("probe_ts").cast("timestamp"))
+    edf = spark.createDataFrame(
+        [
+            (1, 7, "2024-01-01 00:00:05"),  # before: ineligible
+            (2, 7, "2024-01-01 00:00:10"),  # AT probe: eligible
+            (3, 7, "2024-01-01 00:00:10"),  # equal ts: larger id loses
+            (4, 7, "2024-01-01 00:00:20"),
+        ],
+        "event_id long, user_id long, event_ts string",
+    ).withColumn("event_ts", F.col("event_ts").cast("timestamp"))
+    for fn in (asof_join, asof_join_sorted):
+        rows = fn(pdf, edf, direction="forward", **_KW).collect()
+        assert len(rows) == 1 and rows[0]["event_id"] == 2
