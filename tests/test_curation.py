@@ -193,3 +193,58 @@ class TestDistributedRank:
         assert [r.rnk for r in rows] == list(range(500))
         keys = [(-r.v, r.id) for r in rows]
         assert keys == sorted(keys)
+
+
+def test_redact_is_idempotent(spark):
+    """Redaction tags must not themselves match any PII pattern —
+    redact(redact(x)) == redact(x)."""
+    df = spark.createDataFrame(
+        [(1, "a.b@x.io then 555-1234 then c@d.net")],
+        "doc_id long, text string",
+    )
+    once = text.redact_pii(df).select(
+        "doc_id", F.col("redacted").alias("text")
+    )
+    twice = text.redact_pii(once).collect()[0]
+    assert twice.redacted == "<EMAIL> then <PHONE> then <EMAIL>"
+    assert twice.n_emails == 0 and twice.n_phones == 0
+
+
+def test_pack_stream_invariants_random():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        toks=st.lists(st.integers(1, 40), min_size=1, max_size=60),
+        cap=st.integers(5, 30),
+    )
+    def inner(toks, cap):
+        pdf = packing._pack_stream(
+            pd.DataFrame(
+                {
+                    "doc_id": range(len(toks)),
+                    "lang": ["xx"] * len(toks),
+                    "n_tokens": toks,
+                }
+            ),
+            capacity=cap,
+        )
+        bins = list(pdf["bin_id"])
+        # bin ids nondecreasing in doc order, starting at 0, no gaps
+        assert bins[0] == 0
+        assert all(b2 - b1 in (0, 1) for b1, b2 in zip(bins, bins[1:]))
+        # every bin within capacity unless it is a single oversized doc
+        by_bin: dict[int, list[int]] = {}
+        for b, t in zip(bins, pdf["n_tokens"]):
+            by_bin.setdefault(b, []).append(int(t))
+        for members in by_bin.values():
+            assert sum(members) <= cap or len(members) == 1
+        # greedy tightness: first doc of bin k+1 would NOT have fit bin k
+        firsts = {}
+        for b, t in zip(bins, pdf["n_tokens"]):
+            firsts.setdefault(b, int(t))
+        for k in range(1, len(by_bin)):
+            assert sum(by_bin[k - 1]) + firsts[k] > cap
+
+    inner()
