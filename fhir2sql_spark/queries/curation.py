@@ -274,3 +274,45 @@ def q_multimodal_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fhir2sql_spark.operators.multimodal import byte_histogram_features
 
     return byte_histogram_features(synth_blobs(spark, n=200))
+
+
+@query(
+    "q_multimodal_resize",
+    oracle="""
+    WITH blobs AS (
+      SELECT range AS blob_id,
+             CAST(64 + (range * 131) % 4033 AS INT) AS blob_len,
+             substring(repeat(sha256('blob-' || CAST(range AS VARCHAR)), 130),
+                       1, CAST((64 + (range * 131) % 4033) * 2 AS INT)) AS hx
+      FROM range(0, 200)
+    ),
+    img AS (SELECT blob_id, blob_len, hx FROM blobs WHERE blob_id % 4 = 0)
+    SELECT blob_id,
+           CAST(8 AS INT) AS width,
+           CAST(8 AS INT) AS height,
+           string_agg(
+             substring(hx, CAST(i * (blob_len // 64) * 2 + 1 AS INT), 2),
+             '' ORDER BY i) AS resized_hex
+    FROM img, range(0, 64) t(i)
+    GROUP BY blob_id
+    """,
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize plumbing (operators/multimodal.py:resize_images,
+    8x8 target) with the output BYTES value-checked: the deterministic
+    stand-in kernel stride-samples source bytes (position i*stride,
+    stride = len//64 >= 1 since every fixture blob is >= 64 B, so the
+    64-byte thumbnail never pads), and the oracle replays exactly that
+    arithmetic over the fixture's hex text. Only image/* rows cross
+    the Python boundary — the mime filter sits upstream of
+    mapInPandas. A production pipeline swaps the kernel for
+    PIL.Image.resize behind the same Arrow contract."""
+    from fhir2sql_spark.operators.multimodal import resize_images
+
+    resized = resize_images(synth_blobs(spark, n=200), target_w=8, target_h=8)
+    return resized.select(
+        "blob_id",
+        "width",
+        "height",
+        F.lower(F.hex("content")).alias("resized_hex"),
+    )

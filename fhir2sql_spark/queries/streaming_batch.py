@@ -161,6 +161,61 @@ def q_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_join",
+    oracle="""
+    SELECT v.user_id,
+           v.event_id AS view_id,
+           c.event_id AS click_id,
+           CAST(FLOOR(epoch(c.ts)) - FLOOR(epoch(v.ts)) AS BIGINT) AS secs_after
+    FROM events v JOIN events c
+      ON v.user_id = c.user_id
+     AND c.ts >= v.ts AND c.ts < v.ts + INTERVAL 1 HOUR
+    WHERE v.event_type = 'view' AND c.event_type = 'click'
+    """,
+)
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join, batch-checked: each view pairs
+    with the same user's clicks inside the following hour. The
+    streaming twin (tests/test_streaming.py) runs the identical plan
+    through two watermarked ``readStream`` sides — the equi key
+    (user_id) co-partitions both streams so state lives on the
+    matching task, and the watermark + time-range condition bound
+    that state (Spark evicts buffered rows once they can no longer
+    join) — the scale answer to an unbounded-state self-join. In
+    batch, Catalyst plans the equi key as a sort-merge join with the
+    range predicate as a residual filter; nothing shuffles twice.
+    ``secs_after`` floors both timestamps to epoch seconds (cast to
+    long in Spark, FLOOR(epoch()) in DuckDB) so the microsecond
+    payloads of the TIMESTAMP(NANOS) column never reach the compare.
+    """
+    e = load(spark, sf_dir, "events")
+    views = e.where(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("click_user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    joined = views.join(
+        clicks,
+        (F.col("user_id") == F.col("click_user_id"))
+        & (F.col("click_ts") >= F.col("view_ts"))
+        & (F.col("click_ts") < F.col("view_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    return joined.select(
+        "user_id",
+        "view_id",
+        "click_id",
+        (F.col("click_ts").cast("long") - F.col("view_ts").cast("long")).alias(
+            "secs_after"
+        ),
+    )
+
+
+@query(
     "q_stream_dedup",
     oracle="""
     SELECT event_id, event_type,

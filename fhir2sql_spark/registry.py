@@ -40,7 +40,8 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 # windows, streaming shapes, all three UDF kinds, the training-data
 # operators (dedup / embeddings / text), and a TPC-H representative —
 # rather than whichever modules imported first. Every name here has an
-# exact DuckDB oracle.
+# exact DuckDB oracle except q_agg_approx, kept in as the visible
+# representative of the weaker tolerance-checked path.
 SHOWCASE = (
     "q_scan_count", "q_scan_project", "q_filter_pred", "q_project_json",
     "q_sync_diff_full", "q_sync_inserts", "q_sync_deletes", "q_sync_updates",
@@ -52,7 +53,7 @@ SHOWCASE = (
     "q_window_rank", "q_topk_pergroup",
     "q_limit_topk", "q_union_all",
     "q_str_funcs", "q_date_funcs", "q_hof_funcs",
-    "q_tumble", "q_session", "q_late_data", "q_stream_dedup",
+    "q_tumble", "q_session", "q_stream_join", "q_stream_dedup",
     "q_udf_scalar", "q_udaf_pandas", "q_udtf_python",
     "q_dedup_exact", "q_dedup_near", "q_dedup_components", "q_dedup_embed",
     "q_embed_topk", "q_text_langid", "q_text_tfidf",

@@ -223,3 +223,117 @@ def test_rate_source_smoke(spark, tmp_path):
         assert len(set(vals)) == len(vals)  # values are unique ticks
     finally:
         q.stop()
+
+
+def _interval_join(df: DataFrame) -> DataFrame:
+    """The q_stream_join plan over a single source stream: filter into
+    two watermarked sides, equi-join on user_id with a one-hour
+    time-range residual. Watermark + range condition bound the join
+    state (Spark evicts buffered rows that can no longer match)."""
+    views = (
+        df.where(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "1 hour")
+    )
+    clicks = (
+        df.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("click_user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    return views.join(
+        clicks,
+        (F.col("user_id") == F.col("click_user_id"))
+        & (F.col("click_ts") >= F.col("view_ts"))
+        & (F.col("click_ts") < F.col("view_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select("user_id", "view_id", "click_id")
+
+
+def test_stream_join_equals_batch(spark, sf_dir, events_dir):
+    """Stream-stream interval join drains to the same pairs the batch
+    plan (q_stream_join) produces over the same events."""
+    batch = _interval_join(
+        load(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        )
+    )
+    stream = run_stream_available_now(
+        spark, events_dir, EVENTS_SCHEMA, _interval_join, output_mode="append"
+    )
+    assert _rows(stream) == _rows(batch)
+
+
+def test_stream_join_outer_emits_nulls_after_watermark(spark, tmp_path):
+    """Left-outer stream-stream join: a view with no click inside its
+    hour must surface with a NULL click_id — but only once the
+    watermark has passed the end of its join window, which takes a
+    second batch to advance event time. Two-batch replay makes that
+    deterministic."""
+    base = datetime(2024, 1, 1, 0, 0, 0)
+
+    def mk(rows):
+        return spark.createDataFrame(rows, EVENTS_SCHEMA)
+
+    # batch 1: one view with a click inside the hour, one view without
+    batch1 = mk(
+        [
+            (1, base, 7, "view", 1.0),
+            (2, base + timedelta(minutes=10), 7, "click", 1.0),
+            (3, base + timedelta(hours=2), 8, "view", 1.0),
+        ]
+    )
+    # batch 2: far-future rows push the watermark past both windows
+    batch2 = mk(
+        [
+            (4, base + timedelta(hours=30), 9, "view", 1.0),
+            (5, base + timedelta(hours=30), 9, "click", 1.0),
+        ]
+    )
+
+    def outer(df: DataFrame) -> DataFrame:
+        views = (
+            df.where(F.col("event_type") == "view")
+            .select(
+                "user_id",
+                F.col("event_id").alias("view_id"),
+                F.col("ts").alias("view_ts"),
+            )
+            .withWatermark("view_ts", "10 minutes")
+        )
+        clicks = (
+            df.where(F.col("event_type") == "click")
+            .select(
+                F.col("user_id").alias("click_user_id"),
+                F.col("event_id").alias("click_id"),
+                F.col("ts").alias("click_ts"),
+            )
+            .withWatermark("click_ts", "10 minutes")
+        )
+        return views.join(
+            clicks,
+            (F.col("user_id") == F.col("click_user_id"))
+            & (F.col("click_ts") >= F.col("view_ts"))
+            & (F.col("click_ts") < F.col("view_ts") + F.expr("INTERVAL 1 HOUR")),
+            "left_outer",
+        ).select("view_id", "click_id")
+
+    out = replay_two_batches(
+        spark,
+        batch1,
+        batch2,
+        EVENTS_SCHEMA,
+        outer,
+        input_dir=str(tmp_path / "in"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        output_mode="append",
+    )
+    got = {(r["view_id"], r["click_id"]) for r in out.collect()}
+    assert (1, 2) in got  # matched pair
+    assert (3, None) in got  # unmatched view emitted as outer NULL
