@@ -184,9 +184,9 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     join) — the scale answer to an unbounded-state self-join. In
     batch, Catalyst plans the equi key as a sort-merge join with the
     range predicate as a residual filter; nothing shuffles twice.
-    ``secs_after`` floors both timestamps to epoch seconds (cast to
-    long in Spark, FLOOR(epoch()) in DuckDB) so the microsecond
-    payloads of the TIMESTAMP(NANOS) column never reach the compare.
+    ``secs_after`` floors both timestamps to epoch seconds
+    (unix_timestamp in Spark, FLOOR(epoch()) in DuckDB) so sub-second
+    payloads of the timestamp column never reach the compare.
     """
     e = load(spark, sf_dir, "events")
     views = e.where(F.col("event_type") == "view").select(
@@ -209,7 +209,7 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "view_id",
         "click_id",
-        (F.col("click_ts").cast("long") - F.col("view_ts").cast("long")).alias(
+        (F.unix_timestamp("click_ts") - F.unix_timestamp("view_ts")).alias(
             "secs_after"
         ),
     )

@@ -39,11 +39,15 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # oracle hash breaks (caught by a Pacific/Kiritimati preflight).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which the Spark reader
-        # rejects. Read nanos as long, then integer-divide to micros
-        # (exact: the generator emits whole-microsecond values; and
+        # events.ts may be parquet TIMESTAMP(NANOS) (round-1 generator),
+        # which the Spark reader rejects unless read as long — then
+        # integer-divided to micros (exact: whole-microsecond values;
         # int64 `DIV` avoids double rounding at ~1.7e18 ns epochs).
+        # Newer generators emit TIMESTAMP(MICROS), which reads natively;
+        # branch on the actual read type so both vintages work.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        return df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
