@@ -49,27 +49,16 @@ class SyncStats:
         return self.source_count == self.mirror_count_after
 
 
-def read_mirror_versions(
-    spark: SparkSession, connect_fn: Callable[[], object], table: str
-) -> DataFrame:
-    """Mirror snapshot (pk_id, res_key, mir_version) — the reference's
-    full-scan + BTreeMap build (src/main.rs:49-75), as a DataFrame.
-
-    For the in-process test databases this collects through the driver
-    (they are not visible to executors); against a real warehouse this
-    is ``spark.read.jdbc(partitionColumn='id', ...)`` — partitioned,
-    never driver-materialized. Unparseable rows are skipped
-    (src/main.rs:60-63) via the same null-extraction filter."""
-    conn = connect_fn()
-    try:
-        cur = conn.cursor()
-        cur.execute(f"SELECT id, resource FROM {table}")  # noqa: S608
-        rows = cur.fetchall()
-    finally:
-        conn.close()
-    df = spark.createDataFrame(rows or [], "pk_id int, resource string")
-    ext = df.select(
-        "pk_id",
+def extract_mirror_versions(mirror_raw: DataFrame) -> DataFrame:
+    """(pk_id|id, resource) -> (pk_id, res_key, mir_version), fully
+    distributed — the version-extraction half of the reference's
+    full-scan + BTreeMap build (src/main.rs:49-75). Accepts either
+    column name for the pk so a raw ``SELECT id, resource`` JDBC frame
+    plugs in unchanged. Unparseable rows are skipped (src/main.rs:60-63)
+    via the null-extraction filter."""
+    id_col = "pk_id" if "pk_id" in mirror_raw.columns else "id"
+    ext = mirror_raw.select(
+        F.col(id_col).cast("int").alias("pk_id"),
         F.get_json_object("resource", "$.id").alias("res_key"),
         F.get_json_object("resource", "$.meta.versionId")
         .try_cast("long")
@@ -80,6 +69,28 @@ def read_mirror_versions(
     )
 
 
+def read_mirror_versions(
+    spark: SparkSession, connect_fn: Callable[[], object], table: str
+) -> DataFrame:
+    """TEST-ONLY mirror snapshot: fetches the whole table through one
+    driver-side connection (the in-process sqlite/duckdb databases are
+    not visible to executors). This inherits the reference's BTreeMap
+    scale ceiling by construction — production syncs must pass
+    ``mirror_df`` to ``sync_resources`` (built from
+    ``sources.jdbc.mirror_reader``'s range-partitioned read, or any
+    distributed source) so the mirror never materializes on the
+    driver."""
+    conn = connect_fn()
+    try:
+        cur = conn.cursor()
+        cur.execute(f"SELECT id, resource FROM {table}")  # noqa: S608
+        rows = cur.fetchall()
+    finally:
+        conn.close()
+    df = spark.createDataFrame(rows or [], "pk_id int, resource string")
+    return extract_mirror_versions(df)
+
+
 def sync_resources(
     spark: SparkSession,
     source_resources: DataFrame,
@@ -88,8 +99,20 @@ def sync_resources(
     batch_size: int = 10_000,
     strategy: str = "batched",
     apply_deletes: bool = True,
+    mirror_df: DataFrame | None = None,
 ) -> SyncStats:
     """One full sync of raw source resources into the mirror table.
+
+    ``mirror_df`` is the PRODUCTION mirror-read seam: a distributed
+    (pk_id|id, resource) DataFrame — typically
+    ``sources.jdbc.mirror_reader(spark, cfg, lo, hi).load()``, a
+    range-partitioned parallel JDBC scan — from which versions are
+    extracted executor-side. When omitted, the test-only
+    ``read_mirror_versions`` driver fetch is used (in-process
+    databases are invisible to executors). This seam is what kills
+    the reference's driver-memory BTreeMap ceiling (src/main.rs:49-75):
+    with it, no step of the diff ever materializes the mirror on the
+    driver.
 
     ``apply_deletes=False`` is the INCREMENTAL form: when the source
     DataFrame is one micro-batch (a page window, not the full
@@ -111,7 +134,10 @@ def sync_resources(
     well_formed, malformed = partition_malformed(extracted)
     n_malformed = malformed.count()
 
-    mirror = read_mirror_versions(spark, connect_fn, table)
+    if mirror_df is not None:
+        mirror = extract_mirror_versions(mirror_df)
+    else:
+        mirror = read_mirror_versions(spark, connect_fn, table)
     tagged = diff_snapshots(
         well_formed.select("res_key", "src_version", "resource"),
         mirror.select("res_key", "mir_version", "pk_id"),
@@ -233,16 +259,23 @@ def run_sync(
     connect_fn: Callable[[], object],
     table_prefix: str = "",
     batch_size: int = 10_000,
+    mirror_by_type: dict[str, DataFrame] | None = None,
 ) -> dict[str, SyncStats]:
     """Per-type orchestration (R10, src/main.rs:303-339): bootstrap
     DDL idempotently, then sync each resource type. The reference is
     strictly sequential; types are independent, so a cluster deployment
-    can submit them as parallel jobs."""
+    can submit them as parallel jobs. ``mirror_by_type`` optionally
+    supplies a distributed mirror DataFrame per resource type (the
+    production JDBC-read path — see ``sync_resources``)."""
     tables = {
         rt: f"{table_prefix}{rt.lower()}" for rt in sources_by_type
     }  # lowercase table naming, src/main.rs:185
     jdbc_upsert.create_mirror_tables(connect_fn, list(tables.values()))
+    mirrors = mirror_by_type or {}
     return {
-        rt: sync_resources(spark, df, connect_fn, tables[rt], batch_size)
+        rt: sync_resources(
+            spark, df, connect_fn, tables[rt], batch_size,
+            mirror_df=mirrors.get(rt),
+        )
         for rt, df in sources_by_type.items()
     }

@@ -265,3 +265,101 @@ def test_typed_parse_and_cross_resource_join(spark):
     # malformed documents parse to NULL fields, never fail (PERMISSIVE)
     bad = spark.createDataFrame([("not json at all",)], "resource string")
     assert parse_patients(bad).where(F.col("patient_id").isNull()).count() == 1
+
+
+def _dump_mirror_parquet(spark, connect_fn, table, path) -> None:
+    """Simulate the production range-partitioned JDBC read: the mirror
+    table lands as a multi-partition (id, resource) DataFrame that was
+    never driver-materialized inside the pipeline (here the dump goes
+    through the driver only because sqlite is in-process)."""
+    conn = connect_fn()
+    rows = conn.execute(f"SELECT id, resource FROM {table}").fetchall()
+    conn.close()
+    df = spark.createDataFrame(rows or [], "id int, resource string").repartition(8)
+    df.write.mode("overwrite").parquet(path)
+
+
+def test_partitioned_mirror_df_seam_applies_cdc(spark, sqlite_db, tmp_path):
+    """VERDICT r2 #1: the production path — mirror supplied as a
+    distributed DataFrame (jdbc.mirror_reader-shaped) — must run the
+    identical CDC as the driver-fetch fallback."""
+    pages = _bundle_fixture(n=100, page_size=40)
+    src1 = read_bundles(
+        spark, "http://blaze/fhir/Patient?page=0", fetch=lambda u: pages[u]
+    )
+    jdbc_upsert.create_mirror_tables(sqlite_db, ["patient"])
+    sync_resources(spark, src1, sqlite_db, "patient")
+
+    # snapshot the mirror to parquet and re-read it as the partitioned
+    # mirror frame (stand-in for spark.read.jdbc(partitionColumn='id'))
+    mpath = str(tmp_path / "mirror_snapshot")
+    _dump_mirror_parquet(spark, sqlite_db, "patient", mpath)
+    mirror_df = spark.read.parquet(mpath)
+    assert mirror_df.rdd.getNumPartitions() > 1  # genuinely distributed
+
+    res2 = [
+        _resource(f"pat-{i:06d}", (1 + i % 3) + (1 if i % 3 == 0 else 0))
+        for i in range(100)
+        if i % 10 != 0
+    ] + [_resource(f"new-{i:06d}", 1) for i in range(10)]
+    src2 = spark.createDataFrame(
+        [(json.dumps(r, sort_keys=True),) for r in res2], "resource string"
+    )
+    stats = sync_resources(spark, src2, sqlite_db, "patient", mirror_df=mirror_df)
+    expected_updates = sum(1 for i in range(100) if i % 10 != 0 and i % 3 == 0)
+    assert stats.inserts == 10
+    assert stats.deletes == 10
+    assert stats.updates == expected_updates
+    assert stats.counts_match
+
+    conn = sqlite_db()
+    rows = conn.execute("SELECT resource FROM patient").fetchall()
+    conn.close()
+    mirror_ids = sorted(json.loads(r[0])["id"] for r in rows)
+    assert mirror_ids == sorted(r["id"] for r in res2)
+
+
+def test_mirror_df_seam_converges_and_is_idempotent(spark, sqlite_db, tmp_path):
+    """Convergence + idempotence (src/main.rs:159-175) through the
+    partitioned-mirror path: after one sync via mirror_df the next
+    mirror_df-driven sync must be all-noop."""
+    pages = _bundle_fixture(n=60, page_size=25)
+    src = read_bundles(
+        spark, "http://blaze/fhir/Patient?page=0", fetch=lambda u: pages[u]
+    )
+    jdbc_upsert.create_mirror_tables(sqlite_db, ["patient"])
+    # initial load through the seam too: empty-mirror parquet frame
+    empty = spark.createDataFrame([], "id int, resource string")
+    stats1 = sync_resources(spark, src, sqlite_db, "patient", mirror_df=empty)
+    assert stats1.inserts == 60 and stats1.counts_match
+
+    mpath = str(tmp_path / "mirror_snapshot2")
+    _dump_mirror_parquet(spark, sqlite_db, "patient", mpath)
+    stats2 = sync_resources(
+        spark, src, sqlite_db, "patient", mirror_df=spark.read.parquet(mpath)
+    )
+    assert stats2.inserts == stats2.updates == stats2.deletes == 0
+    assert stats2.noops == 60 and stats2.counts_match
+
+
+def test_run_sync_accepts_mirror_by_type(spark, sqlite_db):
+    srcs = {
+        "Patient": spark.createDataFrame(
+            [(json.dumps(_resource(f"p-{i}", 1), sort_keys=True),) for i in range(5)],
+            "resource string",
+        ),
+        "Observation": spark.createDataFrame(
+            [
+                (json.dumps(_resource(f"o-{i}", 1, rtype="Observation"), sort_keys=True),)
+                for i in range(3)
+            ],
+            "resource string",
+        ),
+    }
+    empty = spark.createDataFrame([], "id int, resource string")
+    stats = run_sync(
+        spark, srcs, sqlite_db, mirror_by_type={"Patient": empty, "Observation": empty}
+    )
+    assert stats["Patient"].inserts == 5
+    assert stats["Observation"].inserts == 3
+    assert all(s.counts_match for s in stats.values())
