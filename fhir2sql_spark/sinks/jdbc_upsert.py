@@ -193,10 +193,20 @@ def merge_stage_into_target(
 ) -> None:
     """One set-based transaction applying a staged change-set. The
     stage table holds (pk_id, op, resource) loaded in parallel by
-    ``df.write`` beforehand."""
+    ``df.write`` beforehand.
+
+    The guarded BEGIN makes the three statements one transaction on
+    autocommit-by-default engines (DuckDB's DBAPI); python sqlite3
+    auto-begins on DML, and drivers that reject a redundant BEGIN
+    simply keep their own transaction semantics (verified atomic for
+    both local engines in tests/test_merge_duckdb.py)."""
     conn = connect_fn()
     try:
         cur = conn.cursor()
+        try:
+            cur.execute("BEGIN")
+        except Exception:
+            pass
         cur.execute(MERGE_FROM_STAGE_SQL.format(table=table, stage=stage))
         cur.execute(INSERT_FROM_STAGE_SQL.format(table=table, stage=stage))
         cur.execute(DELETE_FROM_STAGE_SQL.format(table=table, stage=stage))
