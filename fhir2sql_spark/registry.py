@@ -34,15 +34,46 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 
 
 # Registration order is module-import order, but the driver's
-# correctness gate samples a PREFIX of the dict (50 queries in round
-# 1), so the first 50 must span the engine's whole surface — scans,
-# the reference's sync/CDC suite, every join flavor, aggregates,
-# windows, streaming shapes, all three UDF kinds, the training-data
-# operators (dedup / embeddings / text), and a TPC-H representative —
-# rather than whichever modules imported first. Every name here has an
-# exact DuckDB oracle except q_agg_approx, kept in as the visible
-# representative of the weaker tolerance-checked path.
+# correctness gate samples a PREFIX of the dict (50 queries), so the
+# prefix is a ROTATING window: each round it leads with queries that
+# have not yet received the driver's hard row/schema/hash signal, so
+# cumulative driver-confirmed coverage grows round over round (the
+# repo's own tools/drivercheck.py sweeps all oracled queries every
+# session regardless).
+#
+# Round-2 gate (CORRECTNESS_r02.json): the 50 listed in
+# SHOWCASE_DRIVER_CONFIRMED below — all green. Round-3 window: 50 of
+# the 66 exact-oracle queries that sat outside that gate; the 16
+# deferred to round 4 are TPC-H variants (q4/q6/q8/q9/q10/q12/q13/q14/
+# q15/q16/q17/q19/q20/q22) whose join/agg shapes q5+q18 represent,
+# plus q_sample_hash (twin q_sample_stratified kept) and q_tpch_q7.
 SHOWCASE = (
+    # §2.3 never-driver-checked (23)
+    "q_join_full", "q_join_theta",
+    "q_agg_sets", "q_agg_cube", "q_agg_having",
+    "q_window_lag", "q_window_frame", "q_window_range_frame",
+    "q_sort_multi", "q_union_distinct", "q_intersect", "q_except",
+    "q_math_funcs", "q_case_coalesce", "q_array_funcs", "q_map_funcs",
+    "q_json_funcs",
+    "q_slide", "q_late_data",
+    "q_text_stats", "q_text_lang_profile",
+    "q_udf_pandas", "q_udtf_explode",
+    # §2.4 never-driver-checked (27)
+    "q_text_quality", "q_text_tokens", "q_text_fingerprint",
+    "q_unpivot", "q_agg_stats", "q_agg_conditional", "q_agg_mode",
+    "q_window_ntile", "q_window_firstlast", "q_string_agg",
+    "q_join_right", "q_join_cross", "q_join_salted", "q_join_asof_fwd",
+    "q_subquery_scalar",
+    "q_event_funnel", "q_cohort_retention",
+    "q_text_chunks", "q_corpus_carve", "q_sample_stratified",
+    "q_text_repetition", "q_text_redact", "q_shard_balance",
+    "q_multimodal_embed", "q_multimodal_resize",
+    "q_tpch_q5", "q_tpch_q18",
+)
+
+# Green in CORRECTNESS_r02.json (round-2 driver gate) — kept here so
+# future rotations know what is already driver-confirmed.
+SHOWCASE_DRIVER_CONFIRMED = (
     "q_scan_count", "q_scan_project", "q_filter_pred", "q_project_json",
     "q_sync_diff_full", "q_sync_inserts", "q_sync_deletes", "q_sync_updates",
     "q_count_reconcile", "q_cdc_scd2",
