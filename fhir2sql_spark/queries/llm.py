@@ -203,6 +203,40 @@ def q_dedup_embed_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_near_pairs_bulk(emb, threshold=0.45)
 
 
+@query(
+    "q_dedup_embed_bucketed",
+    oracle="""
+    SELECT vec_id AS id_a, vec_id + 100000 AS id_b, 1.0 AS cosine
+    FROM embeddings WHERE vec_id < 500
+    """,
+)
+def q_dedup_embed_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB embed-dedup shape: hyperplane-LSH bucketing ->
+    per-bucket BLAS matmul (operators/similarity.py
+    cosine_near_pairs_bucketed_bulk) — no all-pairs join, no driver
+    collect, no broadcast matrix; the only shuffle is on
+    (table, bucket).
+
+    The contract input unions a 500-vector slice with EXACT clones
+    (vec_id + 100000): clones share every LSH signature (theta = 0),
+    so recall on the planted pairs is deterministically 1.0 and the
+    oracle is exact — (id, id+100000, 1.0) per slice vector, random
+    gaussian cross-pairs sitting ~7 sigma below the 0.9 threshold.
+    Noisy near-dup recall (not exact clones) is tolerance-tested in
+    tests/test_llm_ops.py against the exact fold with the default
+    8-table amplification; the contract runs 2 tables (clones collide
+    in every table, so extra tables buy nothing here and each table
+    adds n_planes dot-product expression trees to compile)."""
+    emb = load(spark, sf_dir, "embeddings").where(F.col("vec_id") < 500)
+    clones = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(clones)
+    return similarity.cosine_near_pairs_bucketed_bulk(
+        corpus, threshold=0.9, n_planes=8, n_tables=2
+    )
+
+
 @query("q_embed_ivf")  # probabilistic (codebook recall): rows-only
 def q_embed_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: coarse-quantize to 16 cells, probe the 4 nearest

@@ -255,3 +255,50 @@ def test_bulk_cosine_pairs_match_exact_fold(spark):
     assert set(exact) == set(bulk)
     for k in exact:
         assert abs(exact[k] - bulk[k]) <= 1e-4
+
+
+def test_bulk_guard_rejects_oversized_corpus(spark):
+    """VERDICT r2: the broadcast-matrix path must fail fast instead of
+    collecting an oversized corpus onto the driver."""
+    import pytest as _pytest
+
+    from fhir2sql_spark.operators import similarity
+    from fhir2sql_spark.tables import load
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    with _pytest.raises(ValueError, match="max_broadcast_rows"):
+        similarity.cosine_near_pairs_bulk(
+            emb, threshold=0.45, max_broadcast_rows=10
+        )
+
+
+def test_bucketed_bulk_matches_exact_on_near_dup_corpus(spark):
+    """The LSH-bucketed per-bucket-matmul composition must find the
+    SAME pair set as the exact all-pairs fold on a corpus in the
+    near-duplicate regime (planted clones at cosine ~0.999; the
+    operator's documented domain is cosine >= ~0.95)."""
+    import numpy as np
+
+    from fhir2sql_spark.operators import similarity
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(60, 64))
+    noisy = base[:30] + 0.02 * rng.normal(size=(30, 64))  # cosine ~0.9998
+    rows = [
+        (i, [float(x) for x in v])
+        for i, v in enumerate(np.vstack([base, noisy]))
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    exact = {
+        (r.id_a, r.id_b)
+        for r in similarity.cosine_near_pairs(df, threshold=0.98).collect()
+    }
+    assert len(exact) == 30  # every planted clone pair, nothing else
+    bucketed = {
+        (r.id_a, r.id_b)
+        for r in similarity.cosine_near_pairs_bucketed_bulk(
+            df, threshold=0.98, n_planes=6, n_tables=8
+        ).collect()
+    }
+    assert bucketed == exact

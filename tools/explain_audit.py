@@ -58,6 +58,10 @@ CHECKS: list[tuple[str, str, str]] = [
     ("q_text_redact", "!Exchange", "redaction shuffles nothing"),
     ("q_multimodal_frames", "!Exchange", "frame explode stays map-side"),
     ("q_pack_sequences", "FlatMapGroupsInPandas", "packing folds per stream in Arrow"),
+    # round 3 additions
+    ("q_dedup_embed_bucketed", "!BroadcastNestedLoopJoin", "bucketed dedup has no all-pairs join"),
+    ("q_dedup_embed_bucketed", "!CartesianProduct", "bucketed dedup has no cross join"),
+    ("q_dedup_embed_bucketed", "FlatMapGroupsInPandas", "per-bucket matmul runs in Arrow groups"),
     ("q_cdc_scd2", "WindowGroupLimit", ""),  # placeholder replaced below
 ]
 # q_cdc_scd2's property is structural, not a substring: all three
