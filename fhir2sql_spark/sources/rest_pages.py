@@ -115,6 +115,69 @@ def read_bundles(
     return out
 
 
+def search_url(
+    base_url: str,
+    resource_type: str,
+    page_resource_count: int = 5_000,
+    history: str = "current",
+) -> str:
+    """The reference's search URL with ``_count``/``_history``
+    pushdown (src/main.rs:194-195): page size and version filtering
+    evaluate server-side, so the walker never over-fetches.
+    ``page_resource_count=5000`` is the reference default
+    (src/main.rs:358)."""
+    return (
+        f"{base_url}/fhir/{resource_type}"
+        f"?_count={page_resource_count}&_history={history}"
+    )
+
+
+def health_url(base_url: str) -> str:
+    """The reference's liveness endpoint (src/db_utils.rs:44)."""
+    return f"{base_url}/health"
+
+
+def http_fetch(
+    timeout_s: float = 30.0, headers: dict[str, str] | None = None
+) -> Callable[[str], dict]:
+    """Batteries-included production transport: stdlib urllib (no
+    extra dependency), JSON-decoding, raising on HTTP error status,
+    timeout, or malformed JSON so the callers' bounded retries
+    (iter_bundle_entries / check_source_health) govern recovery —
+    the reference's reqwest GET + serde decode
+    (src/main.rs:150-157)."""
+    import urllib.request
+
+    hdrs = {"Accept": "application/fhir+json", **(headers or {})}
+
+    def fetch(url: str) -> dict:
+        req = urllib.request.Request(url, headers=hdrs)
+        with urllib.request.urlopen(req, timeout=timeout_s) as resp:  # noqa: S310
+            return json.load(resp)
+
+    return fetch
+
+
+def http_probe(timeout_s: float = 30.0) -> Callable[[str], bool]:
+    """Liveness transport with the reference's semantics: ANY HTTP
+    response — including 4xx/5xx — counts as alive (the reference
+    only fails on transport errors and deliberately never inspects
+    the status, src/db_utils.rs:45-48). Raises only on connection/
+    timeout errors, so check_source_health's 20x60s retry loop
+    matches the reference exactly."""
+    import urllib.error
+    import urllib.request
+
+    def probe(url: str) -> bool:
+        try:
+            with urllib.request.urlopen(url, timeout=timeout_s):  # noqa: S310
+                return True
+        except urllib.error.HTTPError:
+            return True  # got a response; status deliberately ignored
+
+    return probe
+
+
 def check_source_health(
     fetch: Callable[[str], object],
     url: str,
