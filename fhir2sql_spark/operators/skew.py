@@ -53,3 +53,54 @@ def salted_join(
     )
     out = l_salted.join(r_salted, [key, "__salt"], how)
     return out.drop("__salt")
+
+
+def banded_inequality_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_val: str,
+    right_val: str,
+    max_gap,
+    band_width=None,
+) -> DataFrame:
+    """Bounded-gap inequality join as equi-join + residual — the
+    scale rewrite of the theta join (0 < left_val - right_val <=
+    max_gap) that BroadcastNestedLoopJoin cannot survive at 100 TB.
+
+    Each row maps to band = floor(value / band_width) (computed in
+    DECIMAL so banding is exact on money-typed columns); the right
+    side replicates into ceil(max_gap / band_width) + 1 consecutive
+    band keys, the join becomes an EQUI-join on the band, and the
+    original predicate runs as a post-match residual filter. Coverage:
+    left_val in (right_val, right_val + max_gap] implies
+    band(left) in [band(right), band(right) + ceil(gap/width)], so no
+    qualifying pair crosses outside the replicated keys; each pair
+    matches exactly one band key, so no dedup is needed.
+
+    Cost model: candidates ~ |right| * (extra+1) rows shuffled on an
+    8-byte key vs the nested loop's |left| x |right| comparisons.
+    ``band_width`` trades residual waste (wide bands) against key
+    cardinality and replication (narrow bands); a hot band (value
+    skew) composes with ``salted_join``'s scattering or AQE skew
+    splitting since the band key is a plain equi key.
+
+    The UNBOUNDED form (no max_gap) is inherently quadratic in its
+    OUTPUT, so no physical plan fixes it; bound the gap or use the
+    contract-only BNLJ form (queries/joins.py q_join_theta)."""
+    w = band_width or max_gap
+    extra = -(-max_gap // w)  # ceil
+    lb = F.floor(F.col(left_val).cast("decimal(18,2)") / F.lit(w)).cast("long")
+    rb = F.floor(F.col(right_val).cast("decimal(18,2)") / F.lit(w)).cast("long")
+    a = left.withColumn("__band", lb)
+    b = right.withColumn(
+        "__band",
+        F.explode(F.sequence(rb, rb + F.lit(int(extra)))),
+    )
+    gap = F.col(left_val).cast("decimal(18,2)") - F.col(right_val).cast(
+        "decimal(18,2)"
+    )
+    return (
+        a.join(b, "__band")
+        .where((F.col(left_val) > F.col(right_val)) & (gap <= max_gap))
+        .drop("__band")
+    )

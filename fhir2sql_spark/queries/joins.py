@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fhir2sql_spark.operators.asof import asof_join, asof_join_sorted
+from fhir2sql_spark.operators.skew import banded_inequality_join
 from fhir2sql_spark.registry import query
 from fhir2sql_spark.tables import load
 from fhir2sql_spark.queries.util import dec
@@ -195,6 +196,41 @@ def q_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_suppkey").alias("b_suppkey"), F.col("s_acctbal").alias("b_bal")
     )
     return a.join(b, F.col("a_bal") > F.col("b_bal")).select(
+        "a_suppkey",
+        "b_suppkey",
+        (dec("a_bal", 2) - dec("b_bal", 2)).cast("double").alias("bal_gap"),
+    )
+
+
+@query(
+    "q_join_theta_banded",
+    oracle="""
+    SELECT a.s_suppkey AS a_suppkey, b.s_suppkey AS b_suppkey,
+           CAST(CAST(a.s_acctbal AS DECIMAL(18,2))
+                - CAST(b.s_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal_gap
+    FROM supplier a JOIN supplier b
+      ON a.s_acctbal > b.s_acctbal
+     AND CAST(a.s_acctbal AS DECIMAL(18,2))
+         - CAST(b.s_acctbal AS DECIMAL(18,2)) <= 100
+    """,
+)
+def q_join_theta_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale form of the theta join (VERDICT r2 item 6): bounded
+    gap 0 < a.bal - b.bal <= 100 over the FULL supplier table,
+    rewritten by operators/skew.py banded_inequality_join into an
+    equi-join on floor(bal/100) bands with the inequality as a
+    residual — plan-audited to contain no BroadcastNestedLoopJoin.
+    The oracle runs the plain inequality join; equality of results is
+    the proof the banding loses and invents nothing."""
+    s = load(spark, sf_dir, "supplier")
+    a = s.select(
+        F.col("s_suppkey").alias("a_suppkey"), F.col("s_acctbal").alias("a_bal")
+    )
+    b = s.select(
+        F.col("s_suppkey").alias("b_suppkey"), F.col("s_acctbal").alias("b_bal")
+    )
+    joined = banded_inequality_join(a, b, "a_bal", "b_bal", max_gap=100)
+    return joined.select(
         "a_suppkey",
         "b_suppkey",
         (dec("a_bal", 2) - dec("b_bal", 2)).cast("double").alias("bal_gap"),

@@ -119,3 +119,54 @@ def test_salted_join_rejects_outer_flavors(spark):
     for how in ("right", "full", "full_outer", "left_semi"):
         with pytest.raises(ValueError, match="salted_join supports"):
             salted_join(df, right, "k", salt=4, how=how)
+
+
+def test_banded_inequality_join_equals_nested_loop(spark):
+    """banded_inequality_join must produce EXACTLY the nested-loop
+    result for the same bounded-gap predicate — on a 2k x 2k input
+    where the BNLJ already hurts — and must plan as an equi-join."""
+    from fhir2sql_spark.operators.skew import banded_inequality_join
+
+    df = spark.range(2000).selectExpr(
+        "id", "CAST((id * 37) % 1500 AS DOUBLE) + (id % 7) * 0.25 AS val"
+    )
+    a = df.selectExpr("id AS a_id", "val AS a_val")
+    b = df.selectExpr("id AS b_id", "val AS b_val")
+
+    plain = a.join(
+        b,
+        (F.col("a_val") > F.col("b_val"))
+        & (
+            F.col("a_val").cast("decimal(18,2)")
+            - F.col("b_val").cast("decimal(18,2)")
+            <= 10
+        ),
+    )
+    banded = banded_inequality_join(a, b, "a_val", "b_val", max_gap=10)
+
+    key = lambda r: (r["a_id"], r["b_id"])  # noqa: E731
+    got = sorted(key(r) for r in banded.collect())
+    want = sorted(key(r) for r in plain.collect())
+    assert got == want and len(got) > 10_000
+
+    plan = banded._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_banded_inequality_join_narrow_bands(spark):
+    """band_width < max_gap replicates more keys but must not change
+    the result (coverage math in the operator docstring)."""
+    from fhir2sql_spark.operators.skew import banded_inequality_join
+
+    df = spark.range(500).selectExpr("id", "CAST(id % 97 AS DOUBLE) AS val")
+    a = df.selectExpr("id AS a_id", "val AS a_val")
+    b = df.selectExpr("id AS b_id", "val AS b_val")
+    wide = banded_inequality_join(a, b, "a_val", "b_val", max_gap=12)
+    narrow = banded_inequality_join(
+        a, b, "a_val", "b_val", max_gap=12, band_width=5
+    )
+    key = lambda r: (r["a_id"], r["b_id"])  # noqa: E731
+    assert sorted(key(r) for r in wide.collect()) == sorted(
+        key(r) for r in narrow.collect()
+    )

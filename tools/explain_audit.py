@@ -59,6 +59,8 @@ CHECKS: list[tuple[str, str, str]] = [
     ("q_multimodal_frames", "!Exchange", "frame explode stays map-side"),
     ("q_pack_sequences", "FlatMapGroupsInPandas", "packing folds per stream in Arrow"),
     # round 3 additions
+    ("q_join_theta_banded", "!BroadcastNestedLoopJoin", "banded theta join has no nested loop"),
+    ("q_join_theta_banded", "!CartesianProduct", "banded theta join has no cross join"),
     ("q_dedup_embed_bucketed", "!BroadcastNestedLoopJoin", "bucketed dedup has no all-pairs join"),
     ("q_dedup_embed_bucketed", "!CartesianProduct", "bucketed dedup has no cross join"),
     ("q_dedup_embed_bucketed", "FlatMapGroupsInPandas", "per-bucket matmul runs in Arrow groups"),
