@@ -55,6 +55,14 @@ def _check_asof_contract(
     return left.where(F.col(on).isNotNull()), right.where(F.col(on).isNotNull())
 
 
+def _tolerance_interval(tolerance: str) -> "F.Column":
+    """Parse a tolerance like '12 hours' / '3 days' into an interval
+    column. Kept to literal `<n> <unit>` so both as-of forms and the
+    DuckDB oracle (`INTERVAL '<n>' <unit>`) agree exactly."""
+    n, unit = tolerance.split()
+    return F.expr(f"INTERVAL {int(n)} {unit.upper()}")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -64,19 +72,32 @@ def asof_join(
     probe_key: str,
     tie_break: str,
     direction: str = "backward",
+    tolerance: str | None = None,
 ) -> DataFrame:
     """As-of join, candidate-join form. ``probe_key`` must uniquely
     identify left rows (it becomes the window partition key).
     O(probes x matching events) intermediate — prefer
     ``asof_join_sorted`` (same contract) when the right side is dense
-    per key."""
+    per key.
+
+    ``tolerance`` (e.g. ``"12 hours"``) bounds staleness: a backward
+    match must satisfy ``right_ts >= left_ts - tolerance`` (forward:
+    ``right_ts <= left_ts + tolerance``); probes whose nearest match
+    falls outside the bound are dropped (inner flavor), the
+    feature-store join contract. As a bonus it also bounds the
+    candidate fan-out, which is exactly the pre-bucketing scale note
+    above realized as a predicate."""
     _check_direction(direction)
     left, right = _check_asof_contract(left, right, on)
     if direction == "backward":
         cond = right[right_ts] <= left[left_ts]
+        if tolerance is not None:
+            cond &= right[right_ts] >= left[left_ts] - _tolerance_interval(tolerance)
         order = [F.col(right_ts).desc(), F.col(tie_break).desc()]
     else:
         cond = right[right_ts] >= left[left_ts]
+        if tolerance is not None:
+            cond &= right[right_ts] <= left[left_ts] + _tolerance_interval(tolerance)
         order = [F.col(right_ts).asc(), F.col(tie_break).asc()]
     cand = left.join(right, (left[on] == right[on]) & cond).drop(right[on])
     w = Window.partitionBy(probe_key).orderBy(*order)
@@ -96,8 +117,11 @@ def asof_join_sorted(
     probe_key: str,
     tie_break: str,
     direction: str = "backward",
+    tolerance: str | None = None,
 ) -> DataFrame:
-    """As-of join, merge-sorted form (same contract as ``asof_join``).
+    """As-of join, merge-sorted form (same contract as ``asof_join``,
+    including ``tolerance`` — here enforced as a post-filter on the
+    carried match's timestamp, preserving the one-shuffle plan).
 
     Union both sides tagged by role, sort each key's rows by (ts,
     side, tie), and carry the last-seen right row forward with
@@ -141,17 +165,35 @@ def asof_join_sorted(
         )
         carried = F.last("__payload", ignorenulls=True).over(w)
     else:
+        # Forward = backward over REVERSED sort order, so the frame is
+        # still the O(n) running frame (unboundedPreceding..currentRow,
+        # incrementally maintained). The naive rendering — first() over
+        # currentRow..unboundedFollowing — is recomputed from scratch
+        # per row by Spark (UnboundedFollowingWindowFunctionFrame),
+        # O(n^2) per key: 68 s vs 1.1 s for the backward twin at sf1.
+        # Scanning ts DESCENDING, the last-seen right row is the
+        # smallest ts >= probe ts; right rows sort before probes at
+        # equal ts (side asc) so an event AT the probe time is
+        # eligible, and equal-ts right rows sort by tie_break DESC so
+        # the carried last = smallest tie-break.
         w = (
             Window.partitionBy("__k")
-            .orderBy(F.col("__ts").asc(), F.col("__side").desc(), F.col("__tie").asc())
-            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+            .orderBy(F.col("__ts").desc(), F.col("__side").asc(), F.col("__tie").desc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        carried = F.first("__payload", ignorenulls=True).over(w)
+        carried = F.last("__payload", ignorenulls=True).over(w)
     merged = (
         r_tagged.unionByName(l_tagged)
         .withColumn("__carried", carried)
         .where((F.col("__side") == 1) & F.col("__carried").isNotNull())
     )
+    if tolerance is not None:
+        tol = _tolerance_interval(tolerance)
+        match_ts = F.col(f"__carried.{right_ts}")
+        if direction == "backward":
+            merged = merged.where(match_ts >= F.col(left_ts) - tol)
+        else:
+            merged = merged.where(match_ts <= F.col(left_ts) + tol)
     out_cols = [F.col(c) for c in lcols] + [
         F.col(f"__carried.{c}").alias(c) for c in rcols if c != on
     ]

@@ -327,6 +327,67 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_join_asof_tol",
+    oracle="""
+    WITH probes AS (
+        SELECT o_orderkey,
+               o_custkey % 150 AS user_id,
+               TIMESTAMP '2024-01-01 00:00:00'
+                 + INTERVAL (o_orderkey % 720) HOUR AS probe_ts
+        FROM orders
+    ), cand AS (
+        SELECT p.o_orderkey, p.user_id, p.probe_ts, e.event_id,
+               e.ts AS event_ts,
+               ROW_NUMBER() OVER (PARTITION BY p.o_orderkey
+                                  ORDER BY e.ts DESC, e.event_id DESC) AS rn
+        FROM probes p
+        JOIN events e ON e.user_id = p.user_id AND e.ts <= p.probe_ts
+         AND e.ts >= p.probe_ts - INTERVAL 12 HOUR
+    )
+    SELECT o_orderkey, user_id,
+           strftime(probe_ts, '%Y-%m-%d %H:%M:%S') AS probe_time,
+           event_id,
+           strftime(event_ts, '%Y-%m-%d %H:%M:%S.%f') AS event_time
+    FROM cand WHERE rn = 1
+    """,
+)
+def q_join_asof_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-staleness as-of join (the feature-store contract):
+    latest event at-or-before each probe, but only if it is at most
+    12 hours stale — probes with no fresh-enough event drop out.
+    Same one-shuffle merge-sorted plan as q_join_asof; the tolerance
+    is a post-filter on the carried match (operators/asof.py)."""
+    o = load(spark, sf_dir, "orders")
+    e = load(spark, sf_dir, "events")
+    probes = o.select(
+        "o_orderkey",
+        (F.col("o_custkey") % 150).alias("user_id"),
+        F.expr(
+            "timestamp '2024-01-01 00:00:00'"
+            " + make_interval(0, 0, 0, 0, cast(o_orderkey % 720 as int), 0, 0)"
+        ).alias("probe_ts"),
+    )
+    events = e.select("user_id", "event_id", F.col("ts").alias("event_ts"))
+    matched = asof_join_sorted(
+        probes,
+        events,
+        on="user_id",
+        left_ts="probe_ts",
+        right_ts="event_ts",
+        probe_key="o_orderkey",
+        tie_break="event_id",
+        tolerance="12 hours",
+    )
+    return matched.select(
+        "o_orderkey",
+        "user_id",
+        F.date_format("probe_ts", "yyyy-MM-dd HH:mm:ss").alias("probe_time"),
+        "event_id",
+        F.date_format("event_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("event_time"),
+    )
+
+
+@query(
     "q_join_salted",
     oracle="""
     SELECT e.user_id, e.event_id, c.c_name AS name

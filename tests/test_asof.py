@@ -201,3 +201,58 @@ def test_asof_forward_picks_earliest_at_or_after(spark):
     for fn in (asof_join, asof_join_sorted):
         rows = fn(pdf, edf, direction="forward", **_KW).collect()
         assert len(rows) == 1 and rows[0]["event_id"] == 2
+
+
+def test_asof_tolerance_bounds_staleness(spark):
+    """tolerance='1 hours' keeps only matches within the hour; the
+    nearest-but-stale match drops its probe entirely (inner flavor),
+    and both forms enforce the identical bound."""
+    probes = spark.createDataFrame(
+        [
+            (1, 7, "2024-01-01 10:00:00"),  # match at 09:30 -> fresh
+            (2, 7, "2024-01-01 12:00:00"),  # nearest 09:30 is stale -> drop
+            (3, 7, "2024-01-01 10:30:00"),  # boundary: exactly 1h old -> keep
+        ],
+        "probe_id long, user_id long, probe_ts string",
+    ).withColumn("probe_ts", F.col("probe_ts").cast("timestamp"))
+    events = spark.createDataFrame(
+        [(100, 7, "2024-01-01 09:30:00")],
+        "event_id long, user_id long, event_ts string",
+    ).withColumn("event_ts", F.col("event_ts").cast("timestamp"))
+
+    kw = dict(_KW, tolerance="1 hours")
+    a = _collect(asof_join(probes, events, **kw))
+    b = _collect(asof_join_sorted(probes, events, **kw))
+    assert a == b
+    assert {r[0] for r in a} == {1, 3}
+
+
+def test_asof_tolerance_forms_agree_random(spark):
+    """Random snapshots: candidate-join and merge-sorted forms agree
+    under a tolerance in both directions."""
+    import random
+
+    rnd = random.Random(4242)
+    base = datetime(2024, 1, 1)
+    probes = [
+        (i, rnd.randrange(5), base.replace(hour=rnd.randrange(24)))
+        for i in range(60)
+    ]
+    events = [
+        (100 + i, rnd.randrange(5), base.replace(hour=rnd.randrange(24)))
+        for i in range(120)
+    ]
+    pdf = spark.createDataFrame(
+        probes, "probe_id long, user_id long, probe_ts timestamp"
+    )
+    edf = spark.createDataFrame(
+        events, "event_id long, user_id long, event_ts timestamp"
+    )
+    for direction in ("backward", "forward"):
+        kw = dict(_KW, direction=direction, tolerance="3 hours")
+        a = _collect(asof_join(pdf, edf, **kw))
+        b = _collect(asof_join_sorted(pdf, edf, **kw))
+        assert a == b, direction
+        # tolerance output is a subset of the unbounded output
+        unbounded = _collect(asof_join(pdf, edf, **dict(_KW, direction=direction)))
+        assert a <= unbounded
