@@ -233,3 +233,54 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     doubled = e.unionByName(e)
     return doubled.dropDuplicates(["event_id"])
+
+
+@query(
+    "q_rollup_hypertable",
+    oracle="""
+    WITH base AS (
+        SELECT event_type,
+               date_trunc('hour', ts) AS h,
+               date_trunc('day', ts) AS d,
+               CAST(value AS DECIMAL(18,2)) AS v
+        FROM events
+    )
+    SELECT CASE WHEN GROUPING(h) = 0 THEN 'hour'
+                WHEN GROUPING(d) = 0 THEN 'day'
+                ELSE 'type' END AS grain,
+           event_type,
+           strftime(COALESCE(h, d), '%Y-%m-%d %H:%M:%S') AS bucket_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(v) AS DOUBLE) AS sum_value
+    FROM base
+    GROUP BY GROUPING SETS ((event_type, h), (event_type, d), (event_type))
+    """,
+)
+def q_rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-granularity time rollup: the batch build
+    of a continuous aggregate — hour buckets, day buckets, and the
+    per-type total, computed in ONE pass over events via GROUPING SETS
+    (a single Expand + partial/final hash agg, one shuffle; never
+    three scans). At 100 TB this is the materialized-rollup shape:
+    coarser grains merge from the finest by re-aggregating the hour
+    rollup, so the raw table is read exactly once."""
+    e = load(spark, sf_dir, "events")
+    e.select(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("h"),
+        F.date_trunc("day", "ts").alias("d"),
+        dec("value", 2).alias("v"),
+    ).createOrReplaceTempView("v_events_rollup")
+    return spark.sql(
+        f"""
+        SELECT CASE WHEN grouping(h) = 0 THEN 'hour'
+                    WHEN grouping(d) = 0 THEN 'day'
+                    ELSE 'type' END AS grain,
+               event_type,
+               date_format(COALESCE(h, d), '{_FMT}') AS bucket_start,
+               COUNT(*) AS n_events,
+               CAST(SUM(v) AS DOUBLE) AS sum_value
+        FROM v_events_rollup
+        GROUP BY GROUPING SETS ((event_type, h), (event_type, d), (event_type))
+        """
+    )
