@@ -64,6 +64,23 @@ CHECKS: list[tuple[str, str, str]] = [
     ("q_dedup_embed_bucketed", "!BroadcastNestedLoopJoin", "bucketed dedup has no all-pairs join"),
     ("q_dedup_embed_bucketed", "!CartesianProduct", "bucketed dedup has no cross join"),
     ("q_dedup_embed_bucketed", "FlatMapGroupsInPandas", "per-bucket matmul runs in Arrow groups"),
+    (
+        "q_join_asof_fwd",
+        "!unboundedfollowing",
+        "forward as-of must use the O(n) running frame, never an "
+        "unbounded-following frame (recomputed per row, O(n^2)/key)",
+    ),
+    (
+        "q_join_asof_tol",
+        "!unboundedfollowing",
+        "tolerance as-of keeps the running-frame plan",
+    ),
+    ("q_rollup_hypertable", "Expand", "multi-grain rollup is one Expand pass"),
+    (
+        "q_rollup_hypertable",
+        "#1:Exchange hashpartitioning",
+        "all three grains aggregate through ONE shuffle",
+    ),
     ("q_cdc_scd2", "WindowGroupLimit", ""),  # placeholder replaced below
 ]
 # q_cdc_scd2's property is structural, not a substring: all three
