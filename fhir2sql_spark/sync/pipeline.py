@@ -260,22 +260,41 @@ def run_sync(
     table_prefix: str = "",
     batch_size: int = 10_000,
     mirror_by_type: dict[str, DataFrame] | None = None,
+    parallel: bool = False,
 ) -> dict[str, SyncStats]:
     """Per-type orchestration (R10, src/main.rs:303-339): bootstrap
     DDL idempotently, then sync each resource type. The reference is
-    strictly sequential; types are independent, so a cluster deployment
-    can submit them as parallel jobs. ``mirror_by_type`` optionally
-    supplies a distributed mirror DataFrame per resource type (the
-    production JDBC-read path — see ``sync_resources``)."""
+    strictly sequential (src/main.rs:319-325); types are independent,
+    so ``parallel=True`` submits them as concurrent Spark jobs from
+    one thread per type — the SparkSession schedules them side by
+    side, overlapping each type's scan/shuffle with another's JDBC
+    writes. Safe because every type owns its table and its
+    ``<table>__stage``; ``connect_fn`` must hand out a fresh
+    connection per call (it already must for executor use).
+    ``mirror_by_type`` optionally supplies a distributed mirror
+    DataFrame per resource type (the production JDBC-read path — see
+    ``sync_resources``)."""
     tables = {
         rt: f"{table_prefix}{rt.lower()}" for rt in sources_by_type
     }  # lowercase table naming, src/main.rs:185
     jdbc_upsert.create_mirror_tables(connect_fn, list(tables.values()))
     mirrors = mirror_by_type or {}
-    return {
-        rt: sync_resources(
-            spark, df, connect_fn, tables[rt], batch_size,
-            mirror_df=mirrors.get(rt),
-        )
-        for rt, df in sources_by_type.items()
-    }
+    if not parallel:
+        return {
+            rt: sync_resources(
+                spark, df, connect_fn, tables[rt], batch_size,
+                mirror_df=mirrors.get(rt),
+            )
+            for rt, df in sources_by_type.items()
+        }
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(sources_by_type)) as pool:
+        futures = {
+            rt: pool.submit(
+                sync_resources, spark, df, connect_fn, tables[rt],
+                batch_size, mirror_df=mirrors.get(rt),
+            )
+            for rt, df in sources_by_type.items()
+        }
+        return {rt: f.result() for rt, f in futures.items()}

@@ -150,6 +150,43 @@ def test_run_sync_multi_type_bootstrap(spark, sqlite_db):
     assert jdbc_upsert.table_exists(sqlite_db, "observation")
 
 
+def test_run_sync_parallel_equals_sequential(spark, sqlite_db):
+    """parallel=True (one concurrent Spark job per resource type) must
+    converge every mirror to the same state the sequential loop does,
+    and a parallel re-run on converged state is all-noop (the
+    reference's daily-rerun idempotence under concurrency)."""
+
+    def _srcs(version):
+        return {
+            rtype: spark.createDataFrame(
+                [
+                    (
+                        json.dumps(
+                            _resource(f"{rtype[:3]}-{i}", version, rtype),
+                            sort_keys=True,
+                        ),
+                    )
+                    for i in range(9)
+                ],
+                "resource string",
+            )
+            for rtype in ["Patient", "Specimen", "Observation", "Condition"]
+        }
+
+    stats = run_sync(spark, _srcs(1), sqlite_db, table_prefix="par_", parallel=True)
+    assert set(stats) == {"Patient", "Specimen", "Observation", "Condition"}
+    assert all(s.inserts == 9 and s.counts_match for s in stats.values())
+
+    rerun = run_sync(spark, _srcs(1), sqlite_db, table_prefix="par_", parallel=True)
+    assert all(
+        s.inserts == 0 and s.updates == 0 and s.deletes == 0 and s.noops == 9
+        for s in rerun.values()
+    )
+
+    bumped = run_sync(spark, _srcs(2), sqlite_db, table_prefix="par_", parallel=True)
+    assert all(s.updates == 9 and s.counts_match for s in bumped.values())
+
+
 def test_bundle_file_datasource(spark, tmp_path):
     pages = _bundle_fixture(n=60, page_size=20)
     for i, (_, bundle) in enumerate(sorted(pages.items())):
