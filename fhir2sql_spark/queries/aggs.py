@@ -215,3 +215,63 @@ def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_items") > 100)
     )
+
+
+@query(
+    "q_agg_hll_merge",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS exact_custs,
+           TRUE AS group_within_tol,
+           TRUE AS merged_within_tol
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch distinct counting — the 100 TB rollup pattern:
+    build an HLL sketch per group (hll_sketch_agg, one partial+final
+    pass), then MERGE the per-group sketches with hll_union_agg to
+    estimate the global distinct without ever re-reading the input.
+    This is how pre-aggregated shard/day rollups compose upward; a
+    COUNT(DISTINCT) can't merge, a sketch can. Each group estimate and
+    the merged estimate must land within 5% of its exact twin
+    (lgConfigK=12 => ~1.6% rsd, so deterministically true here); the
+    oracle asserts the tolerance flags as constant TRUE, making the
+    probabilistic path exactly hash-checkable."""
+    o = load(spark, sf_dir, "orders")
+    per_group = o.groupBy("o_orderpriority").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk"),
+        F.countDistinct("o_custkey").alias("exact_custs"),
+    )
+    merged = per_group.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("merged_est")
+    )
+    global_exact = o.agg(F.countDistinct("o_custkey").alias("global_exact"))
+    return (
+        per_group.select(
+            "o_orderpriority",
+            "exact_custs",
+            (
+                F.abs(
+                    F.hll_sketch_estimate("sk").cast("double")
+                    - F.col("exact_custs").cast("double")
+                )
+                <= 0.05 * F.col("exact_custs").cast("double")
+            ).alias("group_within_tol"),
+        )
+        .crossJoin(F.broadcast(merged))
+        .crossJoin(F.broadcast(global_exact))
+        .select(
+            "o_orderpriority",
+            "exact_custs",
+            "group_within_tol",
+            (
+                F.abs(
+                    F.col("merged_est").cast("double")
+                    - F.col("global_exact").cast("double")
+                )
+                <= 0.05 * F.col("global_exact").cast("double")
+            ).alias("merged_within_tol"),
+        )
+    )
