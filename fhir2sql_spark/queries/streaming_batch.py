@@ -263,7 +263,10 @@ def q_rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a single Expand + partial/final hash agg, one shuffle; never
     three scans). At 100 TB this is the materialized-rollup shape:
     coarser grains merge from the finest by re-aggregating the hour
-    rollup, so the raw table is read exactly once."""
+    rollup, so the raw table is read exactly once. The streaming twin
+    (streaming/rollup.py) maintains just the watermarked hour grain
+    and derives day/type grains by mergeable re-aggregation;
+    tests/test_streaming.py proves stream+merge == this query."""
     e = load(spark, sf_dir, "events")
     e.select(
         "event_type",

@@ -337,3 +337,23 @@ def test_stream_join_outer_emits_nulls_after_watermark(spark, tmp_path):
     got = {(r["view_id"], r["click_id"]) for r in out.collect()}
     assert (1, 2) in got  # matched pair
     assert (3, None) in got  # unmatched view emitted as outer NULL
+
+
+def test_rollup_stream_merges_to_batch(spark, sf_dir, events_dir):
+    """Continuous-aggregate property: a watermarked streaming job
+    maintaining ONLY the hour grain, merged upward by
+    streaming/rollup.py merge_grains (counts and decimal sums are
+    mergeable), must equal the one-pass batch GROUPING SETS rollup
+    (q_rollup_hypertable) row-for-row."""
+    from fhir2sql_spark.queries.streaming_batch import q_rollup_hypertable
+    from fhir2sql_spark.streaming.rollup import hour_grain_stream, merge_grains
+
+    hour = run_stream_available_now(
+        spark,
+        events_dir,
+        EVENTS_SCHEMA,
+        hour_grain_stream,
+        output_mode="complete",
+    )
+    streamed = merge_grains(hour)
+    assert _rows(streamed) == _rows(q_rollup_hypertable(spark, sf_dir))
