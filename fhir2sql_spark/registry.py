@@ -42,12 +42,19 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 # session regardless).
 #
 # Round-2 gate (CORRECTNESS_r02.json): the 50 listed in
-# SHOWCASE_DRIVER_CONFIRMED below — all green. Round-3 window: 50 of
-# the 66 exact-oracle queries that sat outside that gate; the 16
-# deferred to round 4 are TPC-H variants (q4/q6/q8/q9/q10/q12/q13/q14/
-# q15/q16/q17/q19/q20/q22) whose join/agg shapes q5+q18 represent,
-# plus q_sample_hash (twin q_sample_stratified kept) and q_tpch_q7.
+# SHOWCASE_DRIVER_CONFIRMED below — all green. Round-3 window: the 5
+# round-3-NEW exact-oracle queries (brand-new code gets the hard
+# signal first) + 45 of the 66 exact-oracle queries that sat outside
+# the round-2 gate. Deferred to round 4: TPC-H variants (q4/q6/q8/q9/
+# q10/q12/q13/q14/q15/q16/q17/q19/q20/q22) whose join/agg shapes
+# q5+q18 represent, q_sample_hash (twin q_sample_stratified kept),
+# q_tpch_q7, and one member of each multiply-represented family
+# (q_text_tokens, q_text_fingerprint, q_window_firstlast,
+# q_join_cross, q_multimodal_resize — siblings stay in the window).
 SHOWCASE = (
+    # round-3 new (5)
+    "q_join_theta_banded", "q_dedup_embed_bucketed",
+    "q_join_asof_tol", "q_rollup_hypertable", "q_agg_hll_merge",
     # §2.3 never-driver-checked (23)
     "q_join_full", "q_join_theta",
     "q_agg_sets", "q_agg_cube", "q_agg_having",
@@ -58,16 +65,16 @@ SHOWCASE = (
     "q_slide", "q_late_data",
     "q_text_stats", "q_text_lang_profile",
     "q_udf_pandas", "q_udtf_explode",
-    # §2.4 never-driver-checked (27)
-    "q_text_quality", "q_text_tokens", "q_text_fingerprint",
+    # §2.4 never-driver-checked (22)
+    "q_text_quality",
     "q_unpivot", "q_agg_stats", "q_agg_conditional", "q_agg_mode",
-    "q_window_ntile", "q_window_firstlast", "q_string_agg",
-    "q_join_right", "q_join_cross", "q_join_salted", "q_join_asof_fwd",
+    "q_window_ntile", "q_string_agg",
+    "q_join_right", "q_join_salted", "q_join_asof_fwd",
     "q_subquery_scalar",
     "q_event_funnel", "q_cohort_retention",
     "q_text_chunks", "q_corpus_carve", "q_sample_stratified",
     "q_text_repetition", "q_text_redact", "q_shard_balance",
-    "q_multimodal_embed", "q_multimodal_resize",
+    "q_multimodal_embed",
     "q_tpch_q5", "q_tpch_q18",
 )
 
