@@ -287,3 +287,73 @@ def q_rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((event_type, h), (event_type, d), (event_type))
         """
     )
+
+
+@query(
+    "q_window_gapfill",
+    oracle="""
+    WITH bounds AS (
+        SELECT date_trunc('hour', min(ts)) AS lo,
+               date_trunc('hour', max(ts)) AS hi
+        FROM events
+    ), spine AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+        FROM bounds
+    ), types AS (
+        SELECT DISTINCT event_type FROM events
+    ), agg AS (
+        SELECT date_trunc('hour', ts) AS h, event_type,
+               COUNT(*) AS n,
+               SUM(CAST(value AS DECIMAL(18,2))) AS sv
+        FROM events GROUP BY 1, 2
+    )
+    SELECT strftime(s.h, '%Y-%m-%d %H:%M:%S') AS bucket_start,
+           t.event_type,
+           COALESCE(a.n, 0) AS n_events,
+           CAST(COALESCE(a.sv, 0) AS DOUBLE) AS sum_value,
+           a.n IS NULL AS filled
+    FROM spine s
+    CROSS JOIN types t
+    LEFT JOIN agg a ON a.h = s.h AND a.event_type = t.event_type
+    """,
+)
+def q_window_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled time buckets (the time_bucket_gapfill companion to
+    q_rollup_hypertable): every (hour, event_type) cell across the
+    table's full time range, zero-filled and flagged where no events
+    landed. The raw table is touched by exactly two aggregations (the
+    hour rollup + the 1-row bounds agg); the dense spine is generated,
+    not scanned — sequence() explode of #hours x #types rows — and the
+    rollup joins back against it broadcast. At 100 TB the spine stays
+    tiny (it scales with the time range, not the data), so gap filling
+    costs the same one shuffle the plain rollup does."""
+    e = load(spark, sf_dir, "events")
+    agg = e.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("value", 2)).alias("sv"),
+    )
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h")
+    )
+    types = e.select("event_type").distinct()
+    return (
+        spine.crossJoin(F.broadcast(types))
+        .join(F.broadcast(agg), ["h", "event_type"], "left")
+        .select(
+            F.date_format("h", _FMT).alias("bucket_start"),
+            "event_type",
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+            F.coalesce(F.col("sv"), F.lit(0).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+            F.col("n").isNull().alias("filled"),
+        )
+    )

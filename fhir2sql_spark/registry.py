@@ -50,7 +50,8 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 # q5+q18 represent, q_sample_hash (twin q_sample_stratified kept),
 # q_tpch_q7, and one member of each multiply-represented family
 # (q_text_tokens, q_text_fingerprint, q_window_firstlast,
-# q_join_cross, q_multimodal_resize — siblings stay in the window).
+# q_join_cross, q_multimodal_resize, q_text_quality — siblings stay
+# in the window).
 SHOWCASE = (
     # round-3 new (5)
     "q_join_theta_banded", "q_dedup_embed_bucketed",
@@ -65,8 +66,9 @@ SHOWCASE = (
     "q_slide", "q_late_data",
     "q_text_stats", "q_text_lang_profile",
     "q_udf_pandas", "q_udtf_explode",
-    # §2.4 never-driver-checked (22)
-    "q_text_quality",
+    # round-3 new, continued
+    "q_window_gapfill",
+    # §2.4 never-driver-checked (21)
     "q_unpivot", "q_agg_stats", "q_agg_conditional", "q_agg_mode",
     "q_window_ntile", "q_string_agg",
     "q_join_right", "q_join_salted", "q_join_asof_fwd",
