@@ -58,7 +58,13 @@ def q_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     38-digit ceiling, and the output scale (6) covers the product's
     true scale exactly — no downscale rounding anywhere (DuckDB's
     decimal cast TRUNCATES while Spark's rounds, so any lossy cast in
-    an oracle is a correctness bug)."""
+    an oracle is a correctness bug).
+
+    This query is a UDF-surface CONFORMANCE test, deliberately the
+    slow path: its oracle is its own closed form, and in production
+    this expression belongs in F.expr (JVM-side, whole-stage codegen,
+    ~20x faster here) or at least a pandas_udf (q_udf_pandas). Never
+    put a row-at-a-time Python UDF in a 100 TB hot path."""
     charge_udf = F.udf(_charge, DecimalType(18, 6))
     l = load(spark, sf_dir, "lineitem")
     return l.select(
