@@ -102,21 +102,26 @@ def _perturb_embeddings(table: pa.Table, copy: int) -> pa.Table:
 
 
 def scale_table(name: str, src: Path, dst: Path, copies: int) -> int:
+    """Streams one shifted copy at a time into a single ParquetWriter,
+    so peak memory is one copy regardless of the target scale (sf100 =
+    1000 copies of sf0.1 would not fit as a concat)."""
     base = pq.read_table(src / f"{name}.parquet")
     if not SHIFT[name]:  # fixed dims: copy verbatim
         pq.write_table(base, dst / f"{name}.parquet")
         return base.num_rows
-    parts = []
-    for i in range(copies):
-        t = _shift_keys(base, SHIFT[name], i * KEY_OFFSET)
-        if i > 0 and name == "documents":
-            t = _decorrelate_text(t, i)
-        if i > 0 and name == "embeddings":
-            t = _perturb_embeddings(t, i)
-        parts.append(t)
-    out = pa.concat_tables(parts)
-    pq.write_table(out, dst / f"{name}.parquet", row_group_size=256 * 1024)
-    return out.num_rows
+    rows = 0
+    with pq.ParquetWriter(dst / f"{name}.parquet", base.schema) as writer:
+        for i in range(copies):
+            t = _shift_keys(base, SHIFT[name], i * KEY_OFFSET)
+            if i > 0 and name == "documents":
+                t = _decorrelate_text(t, i)
+            if i > 0 and name == "embeddings":
+                t = _perturb_embeddings(t, i)
+            # normalize incidental metadata (list child field names)
+            t = t.cast(base.schema)
+            writer.write_table(t, row_group_size=256 * 1024)
+            rows += t.num_rows
+    return rows
 
 
 def main() -> None:
