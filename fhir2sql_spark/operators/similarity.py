@@ -167,24 +167,32 @@ def ivf_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: coarse-quantize the corpus against
-    a small centroid codebook (here: the first n_centroids corpus
-    vectors — a deterministic stand-in for trained k-means centroids),
-    then search only the n_probe closest cells per query.
+    a small centroid codebook, then search only the n_probe closest
+    cells per query.
 
     The cell assignment is an equi-joinable integer, so the search is
     a (query-cell x corpus-cell) equi-join — corpus shuffles once on
     cell id, queries broadcast; candidate count ~ corpus x n_probe /
-    n_centroids. Swapping the codebook for real k-means centroids
-    (pyspark.ml KMeans on a sample) changes recall, not the plan."""
-    cents = (
-        corpus.orderBy(id_col)
-        .limit(n_centroids)
-        .select(
-            F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
+    n_centroids. ``centroids`` (cent_id int, cent_vec array) supplies
+    a trained codebook — see kmeans_codebook for the distributed
+    Lloyd's trainer; when omitted, the first n_centroids corpus
+    vectors stand in (deterministic, oracle-stable, but cell
+    populations grow with N — at real scale always pass a trained
+    codebook with n_centroids ∝ sqrt(N)). The codebook choice changes
+    recall, never the plan."""
+    if centroids is not None:
+        cents = centroids.select("cent_id", "cent_vec")
+    else:
+        cents = (
+            corpus.orderBy(id_col)
+            .limit(n_centroids)
+            .select(
+                F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
+            )
         )
-    )
     b_cents = F.broadcast(cents)
 
     def assign(df: DataFrame, id_out: str, vec_out: str, n: int) -> DataFrame:
@@ -400,3 +408,130 @@ def cosine_near_pairs_bucketed_bulk(
         per_bucket, "id_a long, id_b long, cosine double"
     )
     return pairs.dropDuplicates(["id_a", "id_b"])
+
+
+def kmeans_codebook(
+    vectors: DataFrame,
+    k: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    sample_mod: int | None = None,
+) -> DataFrame:
+    """Deterministic distributed spherical k-means (Lloyd's) — trains
+    the IVF coarse codebook. Returns (cent_id int, cent_vec
+    array<double>) with unit-norm centroids.
+
+    Everything is DataFrame ops — no driver-side matrix, no ML
+    pipeline state, reproducible from the seed:
+
+    - init: deterministic farthest-point (k-center) seeding over a
+      bounded candidate pool — the pool is the max(8k, 256) vectors
+      with the smallest xxhash64(id, seed) (one TakeOrdered job:
+      per-partition heap, never a global sort), greedily k-centered in
+      numpy on the driver. The pool is the ONLY driver
+      materialization: max(8k, 256) x dim doubles — KBs, independent
+      of corpus size. Spreads seeds across clusters the way k-means++
+      does, without randomness;
+    - assign: crossJoin against the broadcast k-row codebook, argmax
+      cosine per vector via one max(struct) partial-aggregate (the
+      normalized-vector dot IS the cosine) — map-side combine, one
+      shuffle on the vector id;
+    - update: posexplode to (cell, pos, val), per-(cell, pos) avg,
+      re-assemble + renormalize — shuffle volume is k x dim, input-
+      size-independent after the partial agg;
+    - empty cells keep their previous centroid (left-join coalesce);
+      per-round localCheckpoint pins the k-row codebook so lineage
+      stays O(1) across iterations.
+
+    At 100 TB: train on a hash sample (``sample_mod=m`` keeps ~1/m of
+    vectors — deterministic, partition-local, no shuffle) with
+    k ∝ sqrt(N); the full corpus only ever sees the final broadcast
+    codebook via ivf_topk's assignment."""
+    v = vectors.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+    if sample_mod is not None and sample_mod > 1:
+        v = v.where(F.pmod(F.xxhash64("vid", F.lit(seed)), F.lit(sample_mod)) == 0)
+    nvec = F.expr(
+        "transform(vec, x -> CAST(x AS DOUBLE) / "
+        "sqrt(aggregate(zip_with(vec, vec, (a, b) -> CAST(a AS DOUBLE) * b), "
+        "0D, (acc, y) -> acc + y)))"
+    )
+    normed = (
+        v.select("vid", F.xxhash64("vid", F.lit(seed)).alias("h"), nvec.alias("nvec"))
+        .localCheckpoint(eager=False)
+    )
+
+    import numpy as np
+
+    pool_n = max(8 * k, 256)
+    pool = np.array(
+        [r["nvec"] for r in normed.orderBy("h").limit(pool_n).collect()],
+        dtype=np.float64,
+    )
+    if pool.shape[0] == 0:
+        raise ValueError("kmeans_codebook: no vectors to train on")
+    chosen = [0]  # pool is hash-ordered, so pool[0] is the seed draw
+    sims = pool @ pool[0]
+    while len(chosen) < min(k, pool.shape[0]):
+        nxt = int(np.argmin(sims))  # least similar to all chosen seeds
+        chosen.append(nxt)
+        sims = np.maximum(sims, pool @ pool[nxt])
+    spark = vectors.sparkSession
+    cents = spark.createDataFrame(
+        [(i, pool[c].tolist()) for i, c in enumerate(chosen)],
+        "cent_id int, cent_vec array<double>",
+    ).localCheckpoint(eager=True)
+
+    for _ in range(iters):
+        scored = normed.crossJoin(F.broadcast(cents)).select(
+            "vid",
+            F.struct(
+                _dot("nvec", "cent_vec").alias("cos"),
+                (-F.col("cent_id")).alias("neg_cid"),
+                F.col("nvec").alias("nvec"),
+            ).alias("sc"),
+        )
+        best = (
+            scored.groupBy("vid")
+            .agg(F.max("sc").alias("b"))
+            .select(
+                (-F.col("b.neg_cid")).cast("int").alias("cell"),
+                F.col("b.nvec").alias("nvec"),
+            )
+        )
+        comp = best.select("cell", F.posexplode("nvec").alias("pos", "val"))
+        means = comp.groupBy("cell", "pos").agg(F.avg("val").alias("m"))
+        raw = (
+            means.groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select(
+                F.col("cell").alias("cent_id"),
+                F.expr("transform(pm, x -> x.m)").alias("raw"),
+            )
+            .withColumn(
+                "nrm",
+                F.sqrt(
+                    F.aggregate(
+                        F.zip_with("raw", "raw", lambda a, b: a * b),
+                        F.lit(0.0),
+                        lambda acc, y: acc + y,
+                    )
+                ),
+            )
+            .select(
+                "cent_id",
+                F.when(
+                    F.col("nrm") > 0,
+                    F.expr("transform(raw, x -> x / nrm)"),
+                ).alias("new_vec"),
+            )
+        )
+        cents = (
+            cents.join(raw, "cent_id", "left")
+            .select(
+                "cent_id", F.coalesce("new_vec", "cent_vec").alias("cent_vec")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return cents

@@ -469,3 +469,78 @@ def q_join_asof_fwd(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.date_format("event_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("event_time"),
     )
+
+
+@query(
+    "q_join_bloom",
+    oracle="""
+    SELECT l.l_returnflag,
+           COUNT(*) AS n_items,
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_price
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY l.l_returnflag
+    """,
+)
+def q_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter join pruning: a selective dim-side filter
+    (urgent orders) is turned into a `might_contain` predicate pushed
+    onto the FACT side's scan stage by Catalyst's InjectRuntimeFilter
+    — semi-join reduction without shuffling the big side, the shape
+    that matters when the fact side is 100 TB and the filtered keys
+    are 1/5 of orders. The fact rows that would be dropped by the join
+    die in their own scan stage, before the exchange.
+
+    Injection requires the join to be a shuffle join (Catalyst skips
+    joins it would broadcast), so the confs are set for THIS plan's
+    execution and restored immediately after: the plan is executed
+    eagerly under them via localCheckpoint, so the returned DataFrame
+    is the materialized (tiny) aggregate and NO conf mutation leaks to
+    the caller's session — the driver's other queries keep their
+    broadcast plans. tests/test_bloom_join.py asserts `might_contain`
+    lands in the fact scan's filter and that the result matches the
+    conf-default plan.
+
+    At real scale none of the conf juggling is needed: a 100 TB fact
+    ⋈ multi-GB filtered dim is already a shuffle join over the
+    default thresholds, and injection is on by default.
+    """
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "65536",
+        )
+        l = load(spark, sf_dir, "lineitem")
+        o = load(spark, sf_dir, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        agg = (
+            l.join(o, l.l_orderkey == o.o_orderkey)
+            .groupBy("l_returnflag")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                F.sum(dec("l_extendedprice"))
+                .cast("decimal(18,4)")
+                .cast("double")
+                .alias("sum_price"),
+            )
+        )
+        return agg.localCheckpoint(eager=True)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -249,6 +249,24 @@ def q_embed_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_embed_ivf_trained")  # probabilistic (trained codebook): rows-only
+def q_embed_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with a TRAINED coarse codebook: distributed deterministic
+    spherical k-means (operators/similarity.py kmeans_codebook —
+    hash-seeded init, Lloyd's via crossJoin-broadcast assign +
+    posexplode mean update, all DataFrame ops) replaces q_embed_ivf's
+    first-N stand-in. Same equi-join search plan; trained centroids
+    balance cell populations so candidate count stays ~corpus x
+    n_probe / n_centroids as N grows (the sf10 scale study showed the
+    fixed codebook's cells bloating — this is the documented fix).
+    Recall vs the exact top-k is asserted in tests/test_llm_ops.py."""
+    emb = load(spark, sf_dir, "embeddings")
+    cents = similarity.kmeans_codebook(emb, k=16, iters=2, seed=42)
+    return similarity.ivf_topk(
+        emb.where(F.col("vec_id") < 10), emb, k=5, n_probe=4, centroids=cents
+    )
+
+
 @query("q_embed_ann")  # probabilistic (LSH buckets): rows-only; recall in tests
 def q_embed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 via random-hyperplane LSH (8 planes, seed 42):
