@@ -366,10 +366,18 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID: argmax of marker-lexicon hits (ties ->
     lexicographically smallest code; zero hits -> 'und')."""
     d = load(spark, sf_dir, "documents")
-    return d.select(
+    # hoist the lowered token array so the 5 per-language marker
+    # filters share ONE tokenization (HOFs are CodegenFallback — no
+    # subexpression elimination inside them; 12.6 s -> 1.7 s at sf1)
+    toked = d.select(
         "doc_id",
         F.col("lang").alias("true_lang"),
-        text_ops.lang_id(F.col("text")).alias("pred_lang"),
+        text_ops.tokens(F.lower(F.col("text"))).alias("__ltoks"),
+    )
+    return toked.select(
+        "doc_id",
+        "true_lang",
+        text_ops.lang_id_from_tokens(F.col("__ltoks")).alias("pred_lang"),
     )
 
 
