@@ -640,3 +640,59 @@ def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cnt").alias("n_rows"),
         )
     )
+
+
+@query(
+    "q_anomaly_zscore",
+    oracle="""
+    WITH s AS (
+        SELECT event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(19,6))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(value AS DECIMAL(19,6))
+                        * CAST(value AS DECIMAL(19,6))) AS DOUBLE) AS sx2
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           round((e.value - s.sx / s.n)
+                 / sqrt(s.sx2 / s.n - (s.sx / s.n) * (s.sx / s.n)), 4) AS z
+    FROM events e JOIN s USING (event_type)
+    WHERE abs((e.value - s.sx / s.n)
+              / sqrt(s.sx2 / s.n - (s.sx / s.n) * (s.sx / s.n))) > 3
+    """,
+)
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outlier detection: events whose value sits
+    more than 3 population-stddevs from their event_type's mean.
+
+    Determinism discipline (the q_agg_stats convention): the moments
+    are EXACT decimal power sums cast to double at the end, so mean
+    and variance are bit-identical to the oracle regardless of
+    partition count or merge order — which makes the |z| > 3
+    MEMBERSHIP itself deterministic (a float-summed variance could
+    flip rows sitting on the boundary).
+
+    Scale shape: one partial+final hash agg over event_type (the
+    5-row stats side), broadcast back onto the event stream — the
+    fact table never shuffles; flagging is map-side. At 100 TB this
+    is a scan + broadcast join, embarrassingly partition-parallel."""
+    e = load(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(19,6)")
+    s = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).cast("double").alias("sx"),
+        F.sum(v * v).cast("double").alias("sx2"),
+    )
+    mean = F.col("sx") / F.col("n")
+    std = F.sqrt(F.col("sx2") / F.col("n") - mean * mean)
+    z = (F.col("value") - mean) / std
+    return (
+        e.join(F.broadcast(s), "event_type")
+        .where(F.abs(z) > 3)
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round(z, 4).alias("z"),
+        )
+    )

@@ -287,3 +287,50 @@ def q_corpus_carve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(d.select("doc_id", "lang"), "doc_id")
         .select("doc_id", "lang", "n_tokens", "quality_score", split.alias("split"))
     )
+
+
+@query(
+    "q_sample_mixture",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang,
+               substring(sha256(lang || '|' || CAST(doc_id AS VARCHAR)), 1, 2)
+                 AS bucket,
+               CASE lang WHEN 'en' THEN '80' WHEN 'de' THEN '40'
+                         WHEN 'fr' THEN '20' ELSE '10' END AS thresh
+        FROM documents
+    )
+    SELECT doc_id, lang, bucket, thresh FROM t WHERE bucket < thresh
+    """,
+)
+def q_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture resampling — the domain-mixing step of a
+    pretraining pipeline (upweight high-value strata, downweight
+    boilerplate) with NO rand(): per-stratum keep-rates are hex-prefix
+    thresholds on sha2(lang|doc_id), so membership is exact, engine-
+    independent, and stable under repartition/rerun (the property the
+    q_sample_hash family establishes; this adds per-stratum RATES —
+    en 50 %, de 25 %, fr 12.5 %, rest 6.25 %). String compare on the
+    hex prefix keeps the predicate integer-exact in both engines.
+
+    Scale shape: a computed-expression filter inside the scan stage,
+    zero shuffles; rates are a broadcastable CASE, so re-mixing a
+    100 TB corpus is one map-side pass."""
+    d = load(spark, sf_dir, "documents")
+    bucket = F.substring(
+        F.sha2(F.concat(F.col("lang"), F.lit("|"), F.col("doc_id").cast("string")), 256),
+        1,
+        2,
+    )
+    thresh = (
+        F.when(F.col("lang") == "en", F.lit("80"))
+        .when(F.col("lang") == "de", F.lit("40"))
+        .when(F.col("lang") == "fr", F.lit("20"))
+        .otherwise(F.lit("10"))
+    )
+    return (
+        d.select(
+            "doc_id", "lang", bucket.alias("bucket"), thresh.alias("thresh")
+        )
+        .where(F.col("bucket") < F.col("thresh"))
+    )
