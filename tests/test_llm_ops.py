@@ -98,6 +98,15 @@ def test_kmeans_codebook_recovers_planted_clusters(spark):
     assert spikes == [0, 20, 40]
 
 
+def test_kmeans_codebook_reproducible_from_seed(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings").limit(200)
+    a = similarity.kmeans_codebook(emb, k=4, iters=2, seed=11).collect()
+    b = similarity.kmeans_codebook(emb, k=4, iters=2, seed=11).collect()
+    assert sorted((r["cent_id"], tuple(r["cent_vec"])) for r in a) == sorted(
+        (r["cent_id"], tuple(r["cent_vec"])) for r in b
+    )
+
+
 def test_ivf_trained_recall_not_worse_than_stand_in(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 10)

@@ -81,6 +81,19 @@ CHECKS: list[tuple[str, str, str]] = [
         "#1:Exchange hashpartitioning",
         "all three grains aggregate through ONE shuffle",
     ),
+    # round 3, later additions
+    ("q_sample_mixture", "!Exchange", "mixture resampling is a pure scan-stage filter"),
+    ("q_text_langid", "!Exchange", "language ID shuffles nothing"),
+    (
+        "q_anomaly_zscore",
+        "BroadcastHashJoin",
+        "the 5-row stats side broadcasts back onto the event stream",
+    ),
+    (
+        "q_anomaly_zscore",
+        "#1:Exchange hashpartitioning",
+        "only the event_type moment agg shuffles; flagging is map-side",
+    ),
     ("q_cdc_scd2", "WindowGroupLimit", ""),  # placeholder replaced below
 ]
 # q_cdc_scd2's property is structural, not a substring: all three
