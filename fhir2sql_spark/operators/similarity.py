@@ -173,16 +173,18 @@ def ivf_topk(
     a small centroid codebook, then search only the n_probe closest
     cells per query.
 
-    The cell assignment is an equi-joinable integer, so the search is
-    a (query-cell x corpus-cell) equi-join — corpus shuffles once on
-    cell id, queries broadcast; candidate count ~ corpus x n_probe /
-    n_centroids. ``centroids`` (cent_id int, cent_vec array) supplies
-    a trained codebook — see kmeans_codebook for the distributed
-    Lloyd's trainer; when omitted, the first n_centroids corpus
-    vectors stand in (deterministic, oracle-stable, but cell
-    populations grow with N — at real scale always pass a trained
-    codebook with n_centroids ∝ sqrt(N)). The codebook choice changes
-    recall, never the plan."""
+    The cell assignment is an equi-joinable integer (computed map-side
+    — Arrow/numpy argmax against the broadcast codebook), so the
+    search is a (query-cell x corpus-cell) equi-join with the tiny
+    query side broadcast: the corpus never shuffles at all; candidate
+    count ~ corpus x n_probe / n_centroids. ``centroids`` (cent_id
+    int, cent_vec array) supplies a trained codebook — see
+    kmeans_codebook for the distributed Lloyd's trainer; when omitted,
+    the first n_centroids corpus vectors stand in (deterministic,
+    oracle-stable, but cell populations grow with N — at real scale
+    always pass a trained codebook with n_centroids ∝ sqrt(N)). The
+    codebook choice changes recall, never the plan; candidate cosines
+    for the exact re-rank stay in the JVM-side sequential fold."""
     if centroids is not None:
         cents = centroids.select("cent_id", "cent_vec")
     else:
@@ -193,24 +195,60 @@ def ivf_topk(
                 F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
             )
         )
-    b_cents = F.broadcast(cents)
+    # Cell assignment is a map-side Arrow/numpy argmax against the
+    # broadcast codebook matrix (config-sized: k x dim float64) — no
+    # shuffle, no per-row expression tree. Dense vector math belongs
+    # in BLAS, not interpreted HOF folds: the crossJoin+window form
+    # shuffled every (vector x cell) struct, and a literal-array fold
+    # variant defeated codegen (both measured 2-5x slower at sf1).
+    # Ties break to the LOWEST cent_id (stable argsort over the
+    # cent_id-ordered codebook), matching the previous window order
+    # (cos desc, cent_id asc). Candidate cosines for the final exact
+    # ranking are still the JVM-side sequential fold below.
+    import numpy as np
+    import pandas as pd
+
+    cent_rows = cents.orderBy("cent_id").collect()
+    code = np.array([r["cent_vec"] for r in cent_rows], dtype=np.float64)
+    code_n = np.linalg.norm(code, axis=1)
+    code_n[code_n == 0] = 1.0
+    code_unit = code / code_n[:, None]
+    cids = np.array([r["cent_id"] for r in cent_rows], dtype=np.int64)
+    bc = corpus.sparkSession.sparkContext.broadcast((cids, code_unit))
+    vec_type = dict(
+        (f.name, f.dataType.simpleString()) for f in corpus.schema.fields
+    ).get(vec_col, "array<float>")
 
     def assign(df: DataFrame, id_out: str, vec_out: str, n: int) -> DataFrame:
-        """Attach the n nearest centroid ids."""
-        scored = df.crossJoin(b_cents).select(
-            F.col(id_col).alias(id_out),
-            F.col(vec_col).alias(vec_out),
-            "cent_id",
-            (_dot(vec_col, "cent_vec")
-             / (_norm(vec_col) * _norm("cent_vec"))).alias("cent_cos"),
+        """Attach the n nearest centroid ids (map-side, no shuffle)."""
+
+        def batches(it):
+            b_cids, b_code = bc.value
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                x = np.array(pdf["__vec"].tolist(), dtype=np.float64)
+                xn = np.linalg.norm(x, axis=1, keepdims=True)
+                xn[xn == 0] = 1.0
+                sims = (x / xn) @ b_code.T
+                order = np.argsort(-sims, axis=1, kind="stable")[:, :n]
+                reps = order.shape[1]
+                yield pd.DataFrame(
+                    {
+                        id_out: np.repeat(pdf["__id"].to_numpy(), reps),
+                        # .to_numpy(): a raw Series would realign on its
+                        # repeated index and scramble rows
+                        vec_out: pdf["__vec"].repeat(reps).to_numpy(),
+                        "cent_id": b_cids[order].reshape(-1).astype("int32"),
+                    }
+                )
+
+        src = df.select(
+            F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec")
         )
-        w = Window.partitionBy(id_out).orderBy(
-            F.col("cent_cos").desc(), F.col("cent_id")
-        )
-        return (
-            scored.withColumn("crn", F.row_number().over(w))
-            .where(F.col("crn") <= n)
-            .select(id_out, vec_out, "cent_id")
+        return src.mapInPandas(
+            batches,
+            f"{id_out} long, {vec_out} {vec_type}, cent_id int",
         )
 
     c_assigned = assign(corpus, "c_id", "c_vec", 1)
@@ -423,27 +461,28 @@ def kmeans_codebook(
     the IVF coarse codebook. Returns (cent_id int, cent_vec
     array<double>) with unit-norm centroids.
 
-    Everything is DataFrame ops — no driver-side matrix, no ML
-    pipeline state, reproducible from the seed:
+    No ML pipeline state, reproducible from the seed; dense vector
+    math runs in Arrow-batched BLAS (the slow paths it replaced — a
+    crossJoin + max(struct) shuffle and a literal-array HOF fold —
+    both measured 2-5x worse, since HOFs are CodegenFallback):
 
     - init: deterministic farthest-point (k-center) seeding over a
       bounded candidate pool — the pool is the max(8k, 256) vectors
       with the smallest xxhash64(id, seed) (one TakeOrdered job:
       per-partition heap, never a global sort), greedily k-centered in
-      numpy on the driver. The pool is the ONLY driver
-      materialization: max(8k, 256) x dim doubles — KBs, independent
-      of corpus size. Spreads seeds across clusters the way k-means++
-      does, without randomness;
-    - assign: crossJoin against the broadcast k-row codebook, argmax
-      cosine per vector via one max(struct) partial-aggregate (the
-      normalized-vector dot IS the cosine) — map-side combine, one
-      shuffle on the vector id;
-    - update: posexplode to (cell, pos, val), per-(cell, pos) avg,
-      re-assemble + renormalize — shuffle volume is k x dim, input-
-      size-independent after the partial agg;
-    - empty cells keep their previous centroid (left-join coalesce);
-      per-round localCheckpoint pins the k-row codebook so lineage
-      stays O(1) across iterations.
+      numpy on the driver. The pool and the k-row codebook are the
+      ONLY driver materializations — KBs, independent of corpus size;
+    - assign+update fused per round: one mapInPandas pass — each Arrow
+      batch argmaxes its block against the broadcast codebook matrix
+      (unit vectors, so the dot IS the cosine; ties -> lowest cent_id
+      via first-max) and emits per-cell PARTIAL SUMS (k x dim per
+      batch), so the only shuffle per round carries k x batches x dim
+      values — input-size-independent, the same partial-aggregate
+      shape a built-in avg would plan;
+    - means re-assembled + renormalized JVM-side (k rows); empty cells
+      keep their previous centroid (left-join coalesce); per-round
+      localCheckpoint pins the k-row codebook so lineage stays O(1)
+      across iterations.
 
     At 100 TB: train on a hash sample (``sample_mod=m`` keeps ~1/m of
     vectors — deterministic, partition-local, no shuffle) with
@@ -452,25 +491,27 @@ def kmeans_codebook(
     v = vectors.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
     if sample_mod is not None and sample_mod > 1:
         v = v.where(F.pmod(F.xxhash64("vid", F.lit(seed)), F.lit(sample_mod)) == 0)
-    nvec = F.expr(
-        "transform(vec, x -> CAST(x AS DOUBLE) / "
-        "sqrt(aggregate(zip_with(vec, vec, (a, b) -> CAST(a AS DOUBLE) * b), "
-        "0D, (acc, y) -> acc + y)))"
-    )
-    normed = (
-        v.select("vid", F.xxhash64("vid", F.lit(seed)).alias("h"), nvec.alias("nvec"))
-        .localCheckpoint(eager=False)
-    )
+    # Normalization happens inside the numpy assignment batches (and
+    # driver-side for the init pool), NOT as a JVM transform lambda: a
+    # `x / sqrt(aggregate(...))` expression re-evaluates the norm fold
+    # per ELEMENT (HOFs are CodegenFallback — no subexpression
+    # elimination), which alone cost more than the whole BLAS argmax.
+    normed = v.select(
+        "vid", F.xxhash64("vid", F.lit(seed)).alias("h"), "vec"
+    ).localCheckpoint(eager=False)
 
     import numpy as np
 
     pool_n = max(8 * k, 256)
     pool = np.array(
-        [r["nvec"] for r in normed.orderBy("h").limit(pool_n).collect()],
+        [r["vec"] for r in normed.orderBy("h").limit(pool_n).collect()],
         dtype=np.float64,
     )
     if pool.shape[0] == 0:
         raise ValueError("kmeans_codebook: no vectors to train on")
+    pool_norms = np.linalg.norm(pool, axis=1)
+    pool_norms[pool_norms == 0] = 1.0
+    pool = pool / pool_norms[:, None]
     chosen = [0]  # pool is hash-ordered, so pool[0] is the seed draw
     sims = pool @ pool[0]
     while len(chosen) < min(k, pool.shape[0]):
@@ -483,25 +524,63 @@ def kmeans_codebook(
         "cent_id int, cent_vec array<double>",
     ).localCheckpoint(eager=True)
 
+    import pandas as pd
+
+    sc = vectors.sparkSession.sparkContext
     for _ in range(iters):
-        scored = normed.crossJoin(F.broadcast(cents)).select(
-            "vid",
-            F.struct(
-                _dot("nvec", "cent_vec").alias("cos"),
-                (-F.col("cent_id")).alias("neg_cid"),
-                F.col("nvec").alias("nvec"),
-            ).alias("sc"),
+        # assignment is a map-side Arrow/numpy argmax against the
+        # broadcast codebook matrix (k rows collected per round — the
+        # codebook itself, config-sized): no crossJoin, no per-vector
+        # shuffle. nvec and cent_vec are unit-norm, so the dot IS the
+        # cosine; numpy argmax takes the FIRST max, and the matrix is
+        # cent_id-ordered — tie-break = lowest cent_id, same as the
+        # previous max(struct) form.
+        cent_rows = cents.orderBy("cent_id").collect()
+        code = np.array([r["cent_vec"] for r in cent_rows], dtype=np.float64)
+        cids = np.array([r["cent_id"] for r in cent_rows], dtype=np.int64)
+        bc = sc.broadcast((cids, code))
+
+        # each Arrow batch emits per-cell PARTIAL SUMS (k rows x dim),
+        # not per-vector rows: the shuffle carries k x batches x dim
+        # values instead of vectors x dim — input-size-independent
+        # after the map side, the same partial-aggregate shape a
+        # built-in avg would plan
+        def stats_batches(it, _bc=bc):  # bind THIS round's broadcast
+            b_cids, b_code = _bc.value
+            k_now, dim_now = b_code.shape
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                x = np.array(pdf["vec"].tolist(), dtype=np.float64)
+                xn = np.linalg.norm(x, axis=1, keepdims=True)
+                xn[xn == 0] = 1.0
+                xu = x / xn
+                idx = np.argmax(xu @ b_code.T, axis=1)
+                sums = np.zeros((k_now, dim_now), dtype=np.float64)
+                np.add.at(sums, idx, xu)
+                counts = np.bincount(idx, minlength=k_now)
+                nz = np.nonzero(counts)[0]
+                yield pd.DataFrame(
+                    {
+                        "cell": b_cids[nz].astype("int32"),
+                        "cnt": counts[nz].astype("int64"),
+                        "vsum": [list(s) for s in sums[nz]],
+                    }
+                )
+
+        stats = normed.select("vec").mapInPandas(
+            stats_batches, "cell int, cnt long, vsum array<double>"
         )
-        best = (
-            scored.groupBy("vid")
-            .agg(F.max("sc").alias("b"))
-            .select(
-                (-F.col("b.neg_cid")).cast("int").alias("cell"),
-                F.col("b.nvec").alias("nvec"),
-            )
+        comp = stats.select(
+            "cell", "cnt", F.posexplode("vsum").alias("pos", "val")
         )
-        comp = best.select("cell", F.posexplode("nvec").alias("pos", "val"))
-        means = comp.groupBy("cell", "pos").agg(F.avg("val").alias("m"))
+        # sum(cnt) per (cell, pos): each batch contributes its cell
+        # count once per dimension, so this is the total cell count
+        means = (
+            comp.groupBy("cell", "pos")
+            .agg(F.sum("val").alias("s"), F.sum("cnt").alias("c"))
+            .select("cell", "pos", (F.col("s") / F.col("c")).alias("m"))
+        )
         raw = (
             means.groupBy("cell")
             .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
