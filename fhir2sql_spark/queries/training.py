@@ -194,7 +194,9 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # df is derived FROM tf (one row per distinct (doc, token)), not
     # from toks.distinct(): the raw-token distinct re-shuffled all
     # ~200 tokens/doc a second time; aggregating the already-reduced
-    # tf set drops that exchange (25.8 s -> 19.0 s at sf10)
+    # tf set drops that exchange (consistent ~15% at sf10 in a
+    # same-cache-state A/B; the absolute number is page-cache-bound
+    # there — the scan dominates when documents fall out of cache)
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
