@@ -338,3 +338,65 @@ def q_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("bucket") < F.col("thresh"))
     )
+
+
+@query(
+    "q_tokens_heavy_hitters",
+    oracle="""
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    )
+    SELECT token, COUNT(*) AS n
+    FROM toks GROUP BY token HAVING COUNT(*) >= 500
+    ORDER BY n DESC, token
+    """,
+)
+def q_tokens_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT corpus heavy hitters (tokens with count >= 500) without
+    ever shuffling the full token stream — the two-phase shape that
+    survives 100 TB:
+
+    1. candidate generation, map-side: each partition computes its own
+       exact token counts in one Arrow pass (mapInPandas value_counts,
+       accumulated across the partition's batches) and emits only
+       tokens with local count >= ceil(T / P). Pigeonhole guarantees
+       NO false negatives: a token with global count >= T must reach
+       T/P in at least one of the P partitions. Everything below the
+       local bar — the long tail, which is almost all distinct tokens
+       — never leaves its partition.
+    2. exact verification, candidates only: global counts for the
+       (tiny) candidate set via broadcast semi-join + one hash agg;
+       the shuffle carries at most |candidates| x P partial rows.
+
+    False positives from phase 1 are removed by the exact phase-2
+    filter, so the output equals the naive groupBy-HAVING oracle
+    row-for-row. The same plan powers stopword-list mining and
+    tokenizer-vocabulary seeding over web-scale corpora."""
+    import pandas as pd
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("token"))
+    threshold = 500
+    p = max(toks.rdd.getNumPartitions(), 1)
+    local_bar = -(-threshold // p)  # ceil(T / P)
+
+    def local_candidates(batches):
+        counts: dict[str, int] = {}
+        for pdf in batches:
+            for tok, c in pdf["token"].value_counts().items():
+                counts[tok] = counts.get(tok, 0) + int(c)
+        hot = [t for t, c in counts.items() if c >= local_bar]
+        yield pd.DataFrame({"token": hot})
+
+    cands = (
+        toks.mapInPandas(local_candidates, "token string")
+        .distinct()
+        .localCheckpoint(eager=True)  # tiny; pins the candidate scan
+    )
+    return (
+        toks.join(F.broadcast(cands), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= threshold)
+        .orderBy(F.desc("n"), F.asc("token"))
+    )

@@ -53,10 +53,11 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 # q_join_cross, q_multimodal_resize, q_text_quality — siblings stay
 # in the window).
 SHOWCASE = (
-    # round-3 new (8)
+    # round-3 new (9)
     "q_join_theta_banded", "q_dedup_embed_bucketed",
     "q_join_asof_tol", "q_rollup_hypertable", "q_agg_hll_merge",
     "q_join_bloom", "q_sample_mixture", "q_anomaly_zscore",
+    "q_tokens_heavy_hitters",
     # §2.3 never-driver-checked (23)
     "q_join_full", "q_join_theta",
     "q_agg_sets", "q_agg_cube", "q_agg_having",
@@ -76,11 +77,12 @@ SHOWCASE = (
     "q_subquery_scalar",
     "q_event_funnel", "q_cohort_retention",
     "q_text_chunks", "q_corpus_carve", "q_sample_stratified",
-    "q_text_repetition", "q_text_redact", "q_shard_balance",
+    "q_text_repetition", "q_text_redact",
 )
-# Bumped to round 4 by the three late round-3 additions (the window
-# stays at 50): q_multimodal_embed, q_tpch_q5, q_tpch_q18 — all
-# covered by the local exact-oracle sweep in the meantime.
+# Bumped to round 4 by the four late round-3 additions (the window
+# stays at 50): q_multimodal_embed, q_tpch_q5, q_tpch_q18,
+# q_shard_balance — all covered by the local exact-oracle sweep in
+# the meantime.
 
 # Green in CORRECTNESS_r02.json (round-2 driver gate) — kept here so
 # future rotations know what is already driver-confirmed.
