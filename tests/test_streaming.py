@@ -357,3 +357,40 @@ def test_rollup_stream_merges_to_batch(spark, sf_dir, events_dir):
     )
     streamed = merge_grains(hour)
     assert _rows(streamed) == _rows(q_rollup_hypertable(spark, sf_dir))
+
+
+def test_anomaly_stream_static_join_equals_batch(spark, sf_dir, events_dir):
+    """Stream-STATIC join: score a live event stream against a static
+    (historically trained) per-type moment table — the standard
+    streaming anomaly-detection deployment. Stateless (no watermark
+    needed, the static side broadcasts into every micro-batch), so
+    append mode emits each flagged event exactly once; the result must
+    equal the batch q_anomaly_zscore over the same data."""
+    from fhir2sql_spark.queries.relational_ext import q_anomaly_zscore
+
+    batch = q_anomaly_zscore(spark, sf_dir)
+
+    e = load(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(19,6)")
+    stats = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).cast("double").alias("sx"),
+        F.sum(v * v).cast("double").alias("sx2"),
+    )
+    mean = F.col("sx") / F.col("n")
+    std = F.sqrt(F.col("sx2") / F.col("n") - mean * mean)
+
+    def flag(stream: DataFrame) -> DataFrame:
+        z = (F.col("value") - mean) / std
+        return (
+            stream.join(F.broadcast(stats), "event_type")
+            .where(F.abs(z) > 3)
+            .select("event_id", "event_type", "value", F.round(z, 4).alias("z"))
+        )
+
+    stream = run_stream_available_now(
+        spark, events_dir, EVENTS_SCHEMA, flag, output_mode="append"
+    )
+    rows_s = {tuple(r) for r in stream.collect()}
+    rows_b = {tuple(r) for r in batch.collect()}
+    assert rows_s == rows_b and rows_s
