@@ -121,6 +121,9 @@ SHOWCASE_BENCH = (
     "q_dedup_embed_bulk", "q_embed_topk",
     "q_embed_ivf", "q_text_langid", "q_text_tfidf", "q_tpch_q3",
     "q_tpch_q5", "q_tpch_q18",
+    # round-3 additions
+    "q_join_bloom", "q_anomaly_zscore", "q_tokens_heavy_hitters",
+    "q_embed_ivf_trained", "q_rollup_hypertable",
 )
 
 
