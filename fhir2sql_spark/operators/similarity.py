@@ -209,18 +209,27 @@ def ivf_topk(
     import pandas as pd
 
     cent_rows = cents.orderBy("cent_id").collect()
+    if not cent_rows:
+        # an empty codebook/corpus means no cells: empty result, same
+        # schema (the old lazy crossJoin plan degenerated the same way
+        # — numpy would instead raise on the 0-row matrix)
+        return queries.sparkSession.createDataFrame(
+            [], "q_id long, c_id long, cosine double, rn int"
+        )
     code = np.array([r["cent_vec"] for r in cent_rows], dtype=np.float64)
     code_n = np.linalg.norm(code, axis=1)
     code_n[code_n == 0] = 1.0
     code_unit = code / code_n[:, None]
     cids = np.array([r["cent_id"] for r in cent_rows], dtype=np.int64)
     bc = corpus.sparkSession.sparkContext.broadcast((cids, code_unit))
-    vec_type = dict(
-        (f.name, f.dataType.simpleString()) for f in corpus.schema.fields
-    ).get(vec_col, "array<float>")
 
     def assign(df: DataFrame, id_out: str, vec_out: str, n: int) -> DataFrame:
-        """Attach the n nearest centroid ids (map-side, no shuffle)."""
+        """Attach the n nearest centroid ids (map-side, no shuffle).
+        Output id/vec types mirror THIS side's schema (query and
+        corpus frames may differ)."""
+        types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        id_type = types.get(id_col, "long")
+        vec_type = types.get(vec_col, "array<float>")
 
         def batches(it):
             b_cids, b_code = bc.value
@@ -248,7 +257,7 @@ def ivf_topk(
         )
         return src.mapInPandas(
             batches,
-            f"{id_out} long, {vec_out} {vec_type}, cent_id int",
+            f"{id_out} {id_type}, {vec_out} {vec_type}, cent_id int",
         )
 
     c_assigned = assign(corpus, "c_id", "c_vec", 1)
@@ -613,4 +622,8 @@ def kmeans_codebook(
             )
             .localCheckpoint(eager=True)
         )
+        # the eager checkpoint above ran every job that reads this
+        # round's broadcast — release it so a long-lived session
+        # doesn't accumulate one codebook matrix per round
+        bc.unpersist(False)
     return cents

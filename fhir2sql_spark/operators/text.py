@@ -64,12 +64,16 @@ def lang_id_from_tokens(toks: Column) -> Column:
                 F.size(
                     F.filter(toks, lambda t: t.isin(*_MARKERS[lang]))
                 ).alias("hits"),
-                # invert code ordering so array_max prefers the
-                # lexicographically SMALLEST lang on tied hits
-                F.lit(None).cast("string").alias("_pad"),
+                # negated rank of the sorted code list: on tied hits,
+                # array_max takes the highest neg_rank = the
+                # lexicographically SMALLEST lang — matching the
+                # oracle's cascading CASE. (A NULL pad field, used
+                # before, does NOT invert string ordering: max would
+                # pick the LARGEST code on ties.)
+                F.lit(-i).alias("neg_rank"),
                 F.lit(lang).alias("lang"),
             )
-            for lang in sorted(_MARKERS)
+            for i, lang in enumerate(sorted(_MARKERS))
         ]
     )
     best = F.array_max(scored)

@@ -240,9 +240,10 @@ def q_dedup_embed_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q_embed_ivf")  # probabilistic (codebook recall): rows-only
 def q_embed_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: coarse-quantize to 16 cells, probe the 4 nearest
-    cells per query, exact-rank inside. Equi-join on cell id — the
-    corpus shuffles once, queries broadcast (operators/similarity.py
-    ivf_topk docstring for the plan)."""
+    cells per query, exact-rank inside. Cell ids are computed map-side
+    (Arrow/numpy argmax vs the broadcast codebook) and the tiny query
+    side broadcasts into the cell equi-join — the corpus never
+    shuffles (operators/similarity.py ivf_topk docstring)."""
     emb = load(spark, sf_dir, "embeddings")
     return similarity.ivf_topk(
         emb.where(F.col("vec_id") < 10), emb, k=5, n_centroids=16, n_probe=4
@@ -251,15 +252,16 @@ def q_embed_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q_embed_ivf_trained")  # probabilistic (trained codebook): rows-only
 def q_embed_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF with a TRAINED coarse codebook: distributed deterministic
-    spherical k-means (operators/similarity.py kmeans_codebook —
-    hash-seeded init, Lloyd's via crossJoin-broadcast assign +
-    posexplode mean update, all DataFrame ops) replaces q_embed_ivf's
-    first-N stand-in. Same equi-join search plan; trained centroids
-    balance cell populations so candidate count stays ~corpus x
-    n_probe / n_centroids as N grows (the sf10 scale study showed the
-    fixed codebook's cells bloating — this is the documented fix).
-    Recall vs the exact top-k is asserted in tests/test_llm_ops.py."""
+    """IVF with a TRAINED coarse codebook: deterministic spherical
+    k-means (operators/similarity.py kmeans_codebook — bounded-pool
+    greedy k-center init; per round one fused Arrow/BLAS assign+update
+    pass emitting per-cell partial sums) replaces q_embed_ivf's
+    first-N stand-in. Same search plan (map-side assignment, broadcast
+    query side — the corpus never shuffles); trained centroids balance
+    cell populations so candidate count stays ~corpus x n_probe /
+    n_centroids as N grows (the sf10 scale study showed the fixed
+    codebook's cells bloating — this is the documented fix). Recall
+    floor + cell balance asserted in tests/test_llm_ops.py."""
     emb = load(spark, sf_dir, "embeddings")
     cents = similarity.kmeans_codebook(emb, k=16, iters=2, seed=42)
     return similarity.ivf_topk(

@@ -657,7 +657,8 @@ def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
            round((e.value - s.sx / s.n)
                  / sqrt(s.sx2 / s.n - (s.sx / s.n) * (s.sx / s.n)), 4) AS z
     FROM events e JOIN s USING (event_type)
-    WHERE abs((e.value - s.sx / s.n)
+    WHERE s.sx2 / s.n - (s.sx / s.n) * (s.sx / s.n) > 0
+      AND abs((e.value - s.sx / s.n)
               / sqrt(s.sx2 / s.n - (s.sx / s.n) * (s.sx / s.n))) > 3
     """,
 )
@@ -684,11 +685,18 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(v * v).cast("double").alias("sx2"),
     )
     mean = F.col("sx") / F.col("n")
-    std = F.sqrt(F.col("sx2") / F.col("n") - mean * mean)
+    var = F.col("sx2") / F.col("n") - mean * mean
+    std = F.sqrt(var)
     z = (F.col("value") - mean) / std
+    # var > 0 guard (identical expression in the oracle): a constant-
+    # valued group has std = 0 -> z = NaN, and Spark's NaN-is-greater
+    # ordering would pass NaN through |z| > 3; double rounding can
+    # also push a zero variance epsilon-negative, where sqrt gives NaN
+    # here but errors in DuckDB. Same exact doubles both sides, so the
+    # filter keeps membership engine-identical.
     return (
         e.join(F.broadcast(s), "event_type")
-        .where(F.abs(z) > 3)
+        .where((var > 0) & (F.abs(z) > 3))
         .select(
             "event_id",
             "event_type",

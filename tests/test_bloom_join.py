@@ -24,14 +24,15 @@ def _bloom_plan(spark, sf_dir):
 
 
 def test_bloom_filter_lands_on_fact_scan(spark, sf_dir):
+    app_key = (
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold"
+    )
     saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    saved_app = spark.conf.get(app_key, None)
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        spark.conf.set(
-            "spark.sql.optimizer.runtime.bloomFilter."
-            "applicationSideScanSizeThreshold",
-            "65536",
-        )
+        spark.conf.set(app_key, "65536")
         plan = (
             _bloom_plan(spark, sf_dir)
             ._jdf.queryExecution()
@@ -40,10 +41,10 @@ def test_bloom_filter_lands_on_fact_scan(spark, sf_dir):
         )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
-        spark.conf.unset(
-            "spark.sql.optimizer.runtime.bloomFilter."
-            "applicationSideScanSizeThreshold"
-        )
+        if saved_app is None:
+            spark.conf.unset(app_key)
+        else:
+            spark.conf.set(app_key, saved_app)
     assert "might_contain" in plan, plan
     # the bloom probe guards the fact side's l_orderkey, pre-exchange
     assert "might_contain" in plan and "l_orderkey" in plan.split("might_contain", 1)[1][:200]

@@ -394,3 +394,22 @@ def test_bucketed_bulk_matches_exact_on_near_dup_corpus(spark):
         ).collect()
     }
     assert bucketed == exact
+
+
+def test_lang_id_tie_breaks_to_smallest_code(spark):
+    # 'la' is in the es, fr AND it lexicons; 'the'+'der' ties en/de.
+    # Ties must resolve to the lexicographically smallest code — the
+    # same rule as the q_text_langid oracle's cascading CASE.
+    from fhir2sql_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        [(1, "la la words"), (2, "the der"), (3, "zz qq")],
+        "id long, text string",
+    )
+    got = {
+        r["id"]: r["pred"]
+        for r in df.select(
+            "id", text_ops.lang_id(F.col("text")).alias("pred")
+        ).collect()
+    }
+    assert got == {1: "es", 2: "de", 3: "und"}
