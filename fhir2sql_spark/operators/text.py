@@ -197,3 +197,49 @@ def fingerprint(col: Column, prime: int = 31, mod: int = (1 << 31) - 1) -> Colum
         F.lit(0).cast("long"),
         lambda acc, ch: (acc * prime + F.ascii(ch)) % mod,
     )
+
+
+def exact_heavy_hitters(
+    tokens: DataFrame, threshold: int, token_col: str = "token"
+) -> DataFrame:
+    """EXACT heavy hitters over a token stream without shuffling the
+    long tail — the two-phase 100 TB shape (q_tokens_heavy_hitters):
+
+    1. candidates, map-side: each partition counts its own tokens in
+       one Arrow pass and emits only those with local count >=
+       ceil(threshold / P). Pigeonhole: a token with global count >=
+       threshold must reach that bar in >= 1 of the P partitions, so
+       there are NO false negatives; the long tail never leaves its
+       partition.
+    2. exact verification of the (tiny) candidate set: broadcast
+       semi-join + one hash agg; the shuffle carries at most
+       |candidates| x P partial rows.
+
+    Returns (token, n) with n >= threshold — equal row-for-row to the
+    naive groupBy-HAVING form (property-tested in
+    tests/test_llm_ops.py against random corpora)."""
+    import pandas as pd
+
+    p = max(tokens.rdd.getNumPartitions(), 1)
+    local_bar = -(-threshold // p)  # ceil(threshold / P)
+
+    def local_candidates(batches):
+        counts: dict[str, int] = {}
+        for pdf in batches:
+            for tok, c in pdf[token_col].value_counts().items():
+                counts[tok] = counts.get(tok, 0) + int(c)
+        hot = [t for t, c in counts.items() if c >= local_bar]
+        yield pd.DataFrame({token_col: pd.Series(hot, dtype="object")})
+
+    cands = (
+        tokens.select(token_col)
+        .mapInPandas(local_candidates, f"{token_col} string")
+        .distinct()
+        .localCheckpoint(eager=True)  # tiny; pins the candidate scan
+    )
+    return (
+        tokens.join(F.broadcast(cands), token_col, "left_semi")
+        .groupBy(token_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= threshold)
+    )

@@ -372,31 +372,10 @@ def q_tokens_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter, so the output equals the naive groupBy-HAVING oracle
     row-for-row. The same plan powers stopword-list mining and
     tokenizer-vocabulary seeding over web-scale corpora."""
-    import pandas as pd
+    from fhir2sql_spark.operators.text import exact_heavy_hitters
 
     d = load(spark, sf_dir, "documents")
     toks = d.select(F.explode(F.split("text", " ")).alias("token"))
-    threshold = 500
-    p = max(toks.rdd.getNumPartitions(), 1)
-    local_bar = -(-threshold // p)  # ceil(T / P)
-
-    def local_candidates(batches):
-        counts: dict[str, int] = {}
-        for pdf in batches:
-            for tok, c in pdf["token"].value_counts().items():
-                counts[tok] = counts.get(tok, 0) + int(c)
-        hot = [t for t, c in counts.items() if c >= local_bar]
-        yield pd.DataFrame({"token": hot})
-
-    cands = (
-        toks.mapInPandas(local_candidates, "token string")
-        .distinct()
-        .localCheckpoint(eager=True)  # tiny; pins the candidate scan
-    )
-    return (
-        toks.join(F.broadcast(cands), "token", "left_semi")
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .where(F.col("n") >= threshold)
-        .orderBy(F.desc("n"), F.asc("token"))
+    return exact_heavy_hitters(toks, threshold=500).orderBy(
+        F.desc("n"), F.asc("token")
     )

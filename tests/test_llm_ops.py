@@ -413,3 +413,33 @@ def test_lang_id_tie_breaks_to_smallest_code(spark):
         ).collect()
     }
     assert got == {1: "es", 2: "de", 3: "und"}
+
+
+def test_heavy_hitters_equal_naive_on_random_corpora(spark):
+    # the pigeonhole candidate bar is the subtle part: verify the
+    # two-phase operator equals the naive groupBy-HAVING on skewed
+    # synthetic corpora across partition counts and thresholds
+    import random
+
+    from fhir2sql_spark.operators.text import exact_heavy_hitters
+
+    rng = random.Random(7)
+    vocab = [f"t{i}" for i in range(50)]
+    # zipf-ish skew: token t_i drawn with weight 1/(i+1)
+    weights = [1.0 / (i + 1) for i in range(len(vocab))]
+    rows = [(rng.choices(vocab, weights)[0],) for _ in range(5000)]
+    for parts in (1, 7):
+        toks = spark.createDataFrame(rows, "token string").repartition(parts)
+        for threshold in (1, 10, 120):
+            got = {
+                (r["token"], r["n"])
+                for r in exact_heavy_hitters(toks, threshold).collect()
+            }
+            naive = {
+                (r["token"], r["n"])
+                for r in toks.groupBy("token")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .where(F.col("n") >= threshold)
+                .collect()
+            }
+            assert got == naive, (parts, threshold)
