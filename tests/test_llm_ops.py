@@ -443,3 +443,17 @@ def test_heavy_hitters_equal_naive_on_random_corpora(spark):
                 .collect()
             }
             assert got == naive, (parts, threshold)
+
+
+def test_kmeans_codebook_hash_sample_training(spark, sf_dir):
+    # sample_mod trains on a deterministic hash sample — the 100 TB
+    # path; the codebook must still be complete and unit-norm
+    import math
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = similarity.kmeans_codebook(
+        emb, k=4, iters=1, seed=3, sample_mod=2
+    ).collect()
+    assert sorted(r["cent_id"] for r in cents) == [0, 1, 2, 3]
+    for r in cents:
+        assert abs(math.sqrt(sum(x * x for x in r["cent_vec"])) - 1.0) < 1e-9
