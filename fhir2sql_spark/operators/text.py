@@ -243,3 +243,49 @@ def exact_heavy_hitters(
         .agg(F.count(F.lit(1)).alias("n"))
         .where(F.col("n") >= threshold)
     )
+
+
+def cms_sketch(
+    tokens: DataFrame, token_col: str = "token", depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """Count-min sketch of a token stream: ``depth`` independent hash
+    rows x ``width`` buckets, as a (seed, bucket, cnt) DataFrame of at
+    most depth*width rows.
+
+    The 100 TB property is the PARTIAL AGGREGATE: groupBy(seed,bucket)
+    map-side-combines, so every input partition emits <= depth*width
+    rows no matter how many tokens it holds — the sketch is a
+    constant-size mergeable summary (sketches of two corpora merge by
+    adding cell-wise), the same contract as q_agg_hll_merge's HLL but
+    for point-frequency queries instead of distinct counts."""
+    seeds = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("seed")
+    cells = tokens.select(F.col(token_col), seeds).select(
+        "seed",
+        F.pmod(F.xxhash64(token_col, "seed"), F.lit(width)).alias("bucket"),
+    )
+    return cells.groupBy("seed", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    queries: DataFrame,
+    token_col: str = "token",
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Point-frequency estimates for ``queries`` (one row per distinct
+    token) from a ``cms_sketch`` output: est = MIN over hash rows of
+    the addressed cell. Never underestimates (every occurrence of the
+    token landed in each of its depth cells); overestimates only by
+    colliding tokens' mass. The sketch is tiny, so it broadcasts."""
+    seeds = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("seed")
+    addressed = queries.select(F.col(token_col), seeds).select(
+        token_col,
+        "seed",
+        F.pmod(F.xxhash64(token_col, "seed"), F.lit(width)).alias("bucket"),
+    )
+    return (
+        addressed.join(F.broadcast(sketch), ["seed", "bucket"])
+        .groupBy(token_col)
+        .agg(F.min("cnt").alias("est"))
+    )

@@ -544,3 +544,67 @@ def q_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+@query(
+    "q_join_interval",
+    oracle="""
+    WITH a AS (
+        SELECT o_orderkey AS promo_id,
+               CAST(o_orderdate AS DATE) AS promo_start,
+               CAST(o_orderdate AS DATE) + 14 AS promo_end
+        FROM orders WHERE o_orderkey % 97 = 0
+    ), b AS (
+        SELECT o_orderkey AS camp_id,
+               CAST(o_orderdate AS DATE) AS camp_start,
+               CAST(o_orderdate AS DATE) + 7 AS camp_end
+        FROM orders WHERE o_orderkey % 89 = 0
+    )
+    SELECT a.promo_id, b.camp_id,
+           CAST(date_diff('day',
+                          greatest(a.promo_start, b.camp_start),
+                          least(a.promo_end, b.camp_end)) + 1 AS INT)
+             AS overlap_days
+    FROM a JOIN b ON a.promo_start <= b.camp_end
+                 AND b.camp_start <= a.promo_end
+    """,
+)
+def q_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join (round 3): 14-day promo windows x 7-day
+    campaign windows, both derived deterministically from orders, paired
+    whenever the closed date intervals intersect, with the overlap
+    length in days. The naive plan is a cartesian BNLJ; this runs
+    operators/interval.py interval_overlap_join — bounded bucket
+    explode -> equi-join on the bucket long -> residual + canonical-
+    bucket pin (exactly-once without a distinct). The oracle runs the
+    plain inequality join, so result equality proves the bucketing
+    loses and invents nothing. Plan-audited: no BroadcastNestedLoop,
+    no CartesianProduct (tools/explain_audit.py)."""
+    from fhir2sql_spark.operators.interval import interval_overlap_join
+
+    o = load(spark, sf_dir, "orders")
+    promos = o.where(F.col("o_orderkey") % 97 == 0).select(
+        F.col("o_orderkey").alias("promo_id"),
+        F.col("o_orderdate").cast("date").alias("promo_start"),
+        F.date_add(F.col("o_orderdate").cast("date"), 14).alias("promo_end"),
+    )
+    camps = o.where(F.col("o_orderkey") % 89 == 0).select(
+        F.col("o_orderkey").alias("camp_id"),
+        F.col("o_orderdate").cast("date").alias("camp_start"),
+        F.date_add(F.col("o_orderdate").cast("date"), 7).alias("camp_end"),
+    )
+    paired = interval_overlap_join(
+        promos, camps, "promo_start", "promo_end", "camp_start", "camp_end",
+        bucket_days=16,
+    )
+    return paired.select(
+        "promo_id",
+        "camp_id",
+        (
+            F.datediff(
+                F.least("promo_end", "camp_end"),
+                F.greatest("promo_start", "camp_start"),
+            )
+            + 1
+        ).cast("int").alias("overlap_days"),
+    )

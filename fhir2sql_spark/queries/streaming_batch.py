@@ -357,3 +357,75 @@ def q_window_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").isNull().alias("filled"),
         )
     )
+
+
+# Exact dyadic decay weights 2^-age for age 1..12 (one day per
+# half-life step). Written as decimal literals so the weighted sum is
+# EXACT decimal arithmetic in both engines — pow(2.0, -age) would be a
+# double and the summation order would then matter. Shared verbatim by
+# the Spark expression and the DuckDB oracle.
+_DECAY_CASE = "CASE age " + " ".join(
+    f"WHEN {k} THEN CAST('{__import__('decimal').Decimal(1) / (1 << k)}' "
+    "AS DECIMAL(16,14))"
+    for k in range(1, 13)
+) + " END"
+
+
+@query(
+    "q_agg_decay",
+    oracle=f"""
+    WITH recent AS (
+        SELECT event_type,
+               date_diff('day', CAST(ts AS DATE), DATE '2024-01-31') AS age,
+               CAST(value AS DECIMAL(22,2)) AS v
+        FROM events
+        WHERE date_diff('day', CAST(ts AS DATE), DATE '2024-01-31')
+              BETWEEN 1 AND 12
+    )
+    SELECT event_type,
+           COUNT(*) AS n_recent,
+           CAST(CAST(SUM(v * {_DECAY_CASE}) * 409600 AS BIGINT) AS DOUBLE)
+             / 409600.0 AS decayed_sum
+    FROM recent GROUP BY event_type
+    """,
+)
+def q_agg_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-decayed recency-weighted aggregate (round 3) —
+    the 'hotness' score a feature store or trending-topics job
+    maintains: per event_type, SUM(value * 2^-age_days) anchored at
+    2024-01-31 with a 1-day half-life and a 12-day horizon.
+
+    Determinism at scale: the decay weights are exact dyadic DECIMAL
+    literals (2^-k has exactly k decimal digits), so the weighted sum
+    is exact decimal arithmetic — associative and commutative — and
+    the result is bit-identical under any partitioning/merge order.
+    The double form (pow(2.0,-age) * value) would drift with shuffle
+    order. Every term is a multiple of 2^-12 * 10^-2, so the exact sum
+    times 409600 is an INTEGER; the emitted double is that integer
+    through ONE IEEE division — bit-identical in both engines (a
+    direct DECIMAL(38,16)->DOUBLE cast risks double rounding, and wide
+    decimals reach the driver's pandas compare as mismatched dtypes).
+    Physical shape: map-side age filter inside the scan stage, one
+    partial+final hash agg on a 5-value key — the same plan at any
+    scale."""
+    from fhir2sql_spark.queries.util import exact_div
+
+    e = load(spark, sf_dir, "events")
+    age = F.datediff(F.lit("2024-01-31").cast("date"), F.col("ts").cast("date"))
+    recent = e.select(
+        "event_type", age.alias("age"), dec("value", 2).alias("v")
+    ).where(F.col("age").between(1, 12))
+    scaled = (
+        (F.sum(F.col("v") * F.expr(_DECAY_CASE)) * 409600)
+        .cast("long")
+        .alias("scaled")
+    )
+    return (
+        recent.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_recent"), scaled)
+        .select(
+            "event_type",
+            "n_recent",
+            exact_div(F.col("scaled"), F.lit(409600)).alias("decayed_sum"),
+        )
+    )

@@ -379,3 +379,186 @@ def q_tokens_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_heavy_hitters(toks, threshold=500).orderBy(
         F.desc("n"), F.asc("token")
     )
+
+
+@query(
+    "q_text_lm_score",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, lang,
+             toks[CAST(i AS INT)] AS w1,
+             toks[CAST(i AS INT)] || ' ' || toks[CAST(i+1 AS INT)] AS bg
+      FROM s, range(1, 2000) t(i) WHERE i <= len(toks) - 1
+    ),
+    c2 AS (SELECT lang, bg, w1, COUNT(*) AS n2 FROM bg GROUP BY 1, 2, 3),
+    c1 AS (SELECT lang, w1, CAST(SUM(n2) AS BIGINT) AS n1 FROM c2 GROUP BY 1, 2),
+    model AS (
+      SELECT c2.lang, c2.bg,
+             CAST(length(to_base(c2.n2, 2)) AS BIGINT)
+             - CAST(length(to_base(c1.n1, 2)) AS BIGINT) AS bits
+      FROM c2 JOIN c1 ON c2.lang = c1.lang AND c2.w1 = c1.w1
+    )
+    SELECT b.doc_id, b.lang,
+           COUNT(*) AS n_bigrams,
+           CAST(SUM(m.bits) AS BIGINT) AS bits_sum,
+           CAST(CAST(SUM(m.bits) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                AS DOUBLE) AS avg_bits
+    FROM bg b JOIN model m ON b.lang = m.lang AND b.bg = m.bg
+    GROUP BY 1, 2
+    """,
+)
+def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model quality scoring (round 3) — the
+    perplexity-style filter of a pretraining pipeline (CCNet-shaped:
+    score each document by how well a corpus-trained LM predicts it),
+    made ENGINE-EXACT: the per-bigram log-likelihood
+    ln P(w2|w1) = ln(c(w1 w2)) - ln(c(w1 .)) is quantized to whole
+    bits via bit-length (floor(log2 n) + 1 = length(bin(n)) — pure
+    integer arithmetic, no libm, so the score is bit-identical across
+    engines and under any merge order; ln would differ in final ulp,
+    the q_text_tfidf finding). avg_bits ~ negative cross-entropy in
+    bits/bigram: higher = more predictable/fluent text.
+
+    Scale shape: bigram explode -> two hash aggs (model counts; the
+    history count c1 derived FROM the reduced c2 set, never a second
+    pass over raw tokens — the q_text_tfidf exchange-elision) -> one
+    equi-join of the token stream against the model on (lang, bigram)
+    -> per-doc agg. Everything shuffles on compact keys; the model
+    tables are corpus-vocabulary-sized, not corpus-sized."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.struct(
+            F.element_at(toks, i).alias("w1"),
+            F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ).alias("bg"),
+        ),
+    )
+    exploded = (
+        d.select("doc_id", "lang", F.explode(bigrams).alias("b"))
+        .select("doc_id", "lang", F.col("b.w1").alias("w1"), F.col("b.bg").alias("bg"))
+    )
+    c2 = exploded.groupBy("lang", "bg", "w1").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = c2.groupBy("lang", "w1").agg(F.sum("n2").alias("n1"))
+    bits = (F.length(F.bin("n2")) - F.length(F.bin("n1"))).cast("long")
+    model = c2.join(c1, ["lang", "w1"]).select("lang", "bg", bits.alias("bits"))
+    from fhir2sql_spark.queries.util import exact_div
+
+    return (
+        exploded.join(model, ["lang", "bg"])
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("bits").alias("bits_sum"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_bigrams",
+            "bits_sum",
+            exact_div(F.col("bits_sum"), F.col("n_bigrams")).alias("avg_bits"),
+        )
+    )
+
+
+@query(
+    "q_sample_weighted",
+    oracle="""
+    WITH k AS (
+      SELECT doc_id, lang, n_chars,
+             pow((CAST('0x' ||
+                       substring(sha256('wsamp|' || CAST(doc_id AS VARCHAR)),
+                                 1, 8)
+                       AS BIGINT) + 1) / 4294967296.0,
+                 1.0 / n_chars) AS wkey
+      FROM documents
+    )
+    SELECT doc_id, lang, n_chars
+    FROM k ORDER BY wkey DESC, doc_id LIMIT 200
+    """,
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (round 3) —
+    importance sampling for training-data curation (pick 200 docs with
+    probability proportional to n_chars, e.g. token-budget-aware
+    corpus carving). Algorithm A-ES (Efraimidis-Spirakis): each row
+    gets key u^(1/w) with u a (0,1] uniform DERIVED FROM sha2(doc_id)
+    — no rand(), so the sample is reproducible across runs, engines,
+    and repartitioning — and the sample is the top-k by key.
+
+    Determinism note: u = (hex32+1)/2^32 is dyadic-exact in both
+    engines; pow is the one libm call, and a rank flip would need two
+    keys within ~1 ulp — vanishing for hash-derived inputs (the float
+    key itself is NOT emitted). Scale shape: key is a scan-stage
+    expression; top-k plans TakeOrderedAndProject (per-partition heap
+    + driver merge of 200-row heads — no global sort, no shuffle of
+    the corpus)."""
+    d = load(spark, sf_dir, "documents")
+    h32 = F.conv(
+        F.substring(
+            F.sha2(F.concat(F.lit("wsamp|"), F.col("doc_id").cast("string")), 256),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h32 + 1) / F.lit(4294967296.0)
+    wkey = F.pow(u, F.lit(1.0) / F.col("n_chars"))
+    return (
+        d.select("doc_id", "lang", "n_chars", wkey.alias("wkey"))
+        .orderBy(F.desc("wkey"), F.asc("doc_id"))
+        .limit(200)
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+@query(
+    "q_tokens_cms",
+    oracle="""
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    )
+    SELECT token, COUNT(*) AS n_exact,
+           TRUE AS cms_ge_exact
+    FROM toks GROUP BY token HAVING COUNT(*) >= 200
+    """,
+)
+def q_tokens_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch frequency estimation (round 3) — the
+    mergeable point-frequency summary (4 hash rows x 1024 buckets,
+    operators/text.py cms_sketch/cms_estimate) complementing
+    q_agg_hll_merge's HLL (distinct counts) and
+    q_tokens_heavy_hitters' exact two-phase: at 100 TB each partition
+    contributes a constant-size sketch (map-side partial agg caps
+    emission at depth*width rows per partition) and sketches merge by
+    cell-wise addition, so frequency queries never re-touch the
+    corpus.
+
+    Verified like the HLL query: the CMS guarantee est >= exact is
+    DETERMINISTIC (each occurrence increments all of its token's
+    cells), so it is emitted as a flag the exact-count oracle
+    hash-checks; the estimate itself is xxhash64-layout-specific, so
+    its error profile is tolerance-tested locally
+    (tests/test_llm_ops.py) rather than oracled."""
+    from fhir2sql_spark.operators.text import cms_estimate, cms_sketch
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("token"))
+    sketch = cms_sketch(toks, depth=4, width=1024)
+    exact = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .where(F.col("n_exact") >= 200)
+    )
+    est = cms_estimate(sketch, exact.select("token"), depth=4, width=1024)
+    return exact.join(est, "token").select(
+        "token",
+        "n_exact",
+        (F.col("est") >= F.col("n_exact")).alias("cms_ge_exact"),
+    )

@@ -53,6 +53,9 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 # q_join_cross, q_multimodal_resize, q_text_quality — siblings stay
 # in the window).
 SHOWCASE = (
+    # round-3 new, late additions (5)
+    "q_join_interval", "q_agg_decay", "q_text_lm_score",
+    "q_sample_weighted", "q_tokens_cms",
     # round-3 new (9)
     "q_join_theta_banded", "q_dedup_embed_bucketed",
     "q_join_asof_tol", "q_rollup_hypertable", "q_agg_hll_merge",
@@ -76,13 +79,12 @@ SHOWCASE = (
     "q_join_right", "q_join_salted", "q_join_asof_fwd",
     "q_subquery_scalar",
     "q_event_funnel", "q_cohort_retention",
-    "q_text_chunks", "q_corpus_carve", "q_sample_stratified",
-    "q_text_repetition", "q_text_redact",
 )
-# Bumped to round 4 by the four late round-3 additions (the window
+# Bumped to round 4 by the nine late round-3 additions (the window
 # stays at 50): q_multimodal_embed, q_tpch_q5, q_tpch_q18,
-# q_shard_balance — all covered by the local exact-oracle sweep in
-# the meantime.
+# q_shard_balance, q_text_chunks, q_corpus_carve,
+# q_sample_stratified, q_text_repetition, q_text_redact — all
+# covered by the local exact-oracle sweep in the meantime.
 
 # Green in CORRECTNESS_r02.json (round-2 driver gate) — kept here so
 # future rotations know what is already driver-confirmed.
@@ -124,6 +126,7 @@ SHOWCASE_BENCH = (
     # round-3 additions
     "q_join_bloom", "q_anomaly_zscore", "q_tokens_heavy_hitters",
     "q_embed_ivf_trained", "q_rollup_hypertable",
+    "q_join_interval", "q_text_lm_score",
 )
 
 

@@ -1,0 +1,154 @@
+"""Property tests for the round-3 additions beyond the oracle
+differential (which tests/test_oracle_parity.py already runs for each
+of them): CMS guarantees, decayed-sum merge-order determinism, A-ES
+weighted-sample replication, and LM-score invariants."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from fhir2sql_spark.operators.text import cms_estimate, cms_sketch
+from fhir2sql_spark.registry import QUERIES, load_all
+from fhir2sql_spark.tables import load
+
+load_all()
+
+
+def test_cms_never_underestimates_and_bounded(spark, sf_dir):
+    """CMS guarantee: est >= exact for EVERY token (deterministic),
+    and the total overestimate is bounded by collisions — with
+    depth=4 the chance any token exceeds exact + 8*N/width is
+    negligible even adversarially (Markov + independence across
+    rows); on this fixture it is a hard assertion."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("token"))
+    n_total = toks.count()
+    width = 1024
+    sketch = cms_sketch(toks, width=width)
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    est = cms_estimate(sketch, exact.select("token"), width=width)
+    joined = exact.join(est, "token").collect()
+    assert len(joined) > 0
+    bound = 8 * n_total / width
+    for r in joined:
+        assert r.est >= r.n, f"CMS underestimated {r.token}"
+        assert r.est - r.n <= bound, f"CMS error blown for {r.token}"
+
+
+def test_cms_sketch_size_is_constant(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("token"))
+    assert cms_sketch(toks, depth=4, width=64).count() <= 4 * 64
+
+
+def test_agg_decay_partitioning_invariant(spark, sf_dir):
+    """The dyadic-decimal weighted sum must be bit-identical under any
+    partitioning (the reason the weights are DECIMAL, not pow(2.0,-k))."""
+    rows = QUERIES["q_agg_decay"](spark, sf_dir).collect()
+    base = {r.event_type: (r.n_recent, r.decayed_sum) for r in rows}
+
+    # rebuild the same aggregate over a repartitioned input; the double
+    # must be BIT-identical (exact decimal sum -> one IEEE divide)
+    from fhir2sql_spark.queries.util import dec, exact_div
+    from fhir2sql_spark.queries.streaming_batch import _DECAY_CASE
+
+    e = load(spark, sf_dir, "events").repartition(13)
+    age = F.datediff(F.lit("2024-01-31").cast("date"), F.col("ts").cast("date"))
+    got = (
+        e.select("event_type", age.alias("age"), dec("value", 2).alias("v"))
+        .where(F.col("age").between(1, 12))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_recent"),
+            (F.sum(F.col("v") * F.expr(_DECAY_CASE)) * 409600)
+            .cast("long")
+            .alias("scaled"),
+        )
+        .select(
+            "event_type",
+            "n_recent",
+            exact_div(F.col("scaled"), F.lit(409600)).alias("decayed_sum"),
+        )
+        .collect()
+    )
+    assert {r.event_type: (r.n_recent, r.decayed_sum) for r in got} == base
+
+
+def test_sample_weighted_replicates_in_pure_python(spark, sf_dir):
+    """The A-ES sample is fully deterministic: an independent pure-
+    Python replay (hashlib + math.pow) selects the identical 200 ids."""
+    got = sorted(
+        r.doc_id for r in QUERIES["q_sample_weighted"](spark, sf_dir).collect()
+    )
+    docs = [
+        (r.doc_id, r.n_chars)
+        for r in load(spark, sf_dir, "documents").select("doc_id", "n_chars").collect()
+    ]
+    keyed = []
+    for doc_id, n_chars in docs:
+        h = hashlib.sha256(f"wsamp|{doc_id}".encode()).hexdigest()[:8]
+        u = (int(h, 16) + 1) / 4294967296.0
+        keyed.append((u ** (1.0 / n_chars), -doc_id, doc_id))
+    keyed.sort(reverse=True)
+    want = sorted(doc_id for _, _, doc_id in keyed[:200])
+    assert got == want
+
+
+def test_lm_score_invariants(spark, sf_dir):
+    """avg_bits is a (quantized) log-probability: strictly <= 0, with
+    one output row per document holding >= 2 tokens, and n_bigrams =
+    n_tokens - 1."""
+    out = {r.doc_id: r for r in QUERIES["q_text_lm_score"](spark, sf_dir).collect()}
+    d = load(spark, sf_dir, "documents")
+    ntok = {
+        r.doc_id: r.n
+        for r in d.select("doc_id", F.size(F.split("text", " ")).alias("n")).collect()
+    }
+    expect_docs = {k for k, n in ntok.items() if n >= 2}
+    assert set(out) == expect_docs
+    for doc_id, r in out.items():
+        assert r.n_bigrams == ntok[doc_id] - 1
+        assert r.bits_sum <= 0
+        assert r.avg_bits <= 0
+
+
+def test_lm_score_ranks_repetitive_text_higher(spark, sf_dir):
+    """A document made of one repeated bigram must outscore the
+    corpus median: its bigrams are maximally predictable. Built by
+    unioning a synthetic doc into the fixture corpus in-plan."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    probe = spark.createDataFrame(
+        [(99_999_999, "en", " ".join(["alpha"] * 40))], "doc_id long, lang string, text string"
+    )
+    corpus = d.unionByName(probe)
+
+    # same pipeline as q_text_lm_score, inlined over the union
+    toks = F.split(F.col("text"), " ")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.struct(
+            F.element_at(toks, i).alias("w1"),
+            F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)).alias(
+                "bg"
+            ),
+        ),
+    )
+    exploded = corpus.select("doc_id", "lang", F.explode(bigrams).alias("b")).select(
+        "doc_id", "lang", F.col("b.w1").alias("w1"), F.col("b.bg").alias("bg")
+    )
+    c2 = exploded.groupBy("lang", "bg", "w1").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = c2.groupBy("lang", "w1").agg(F.sum("n2").alias("n1"))
+    bits = (F.length(F.bin("n2")) - F.length(F.bin("n1"))).cast("long")
+    model = c2.join(c1, ["lang", "w1"]).select("lang", "bg", bits.alias("bits"))
+    scored = (
+        exploded.join(model, ["lang", "bg"])
+        .groupBy("doc_id")
+        .agg((F.sum("bits") / F.count(F.lit(1))).alias("avg_bits"))
+        .collect()
+    )
+    by_doc = {r.doc_id: r.avg_bits for r in scored}
+    others = sorted(v for k, v in by_doc.items() if k != 99_999_999)
+    median = others[len(others) // 2]
+    assert by_doc[99_999_999] >= median

@@ -94,6 +94,23 @@ CHECKS: list[tuple[str, str, str]] = [
         "#1:Exchange hashpartitioning",
         "only the event_type moment agg shuffles; flagging is map-side",
     ),
+    ("q_join_interval", "!BroadcastNestedLoopJoin", "interval join has no nested loop"),
+    ("q_join_interval", "!CartesianProduct", "interval join has no cross join"),
+    (
+        "q_agg_decay",
+        "#1:Exchange hashpartitioning",
+        "decayed agg is one partial+final hash agg; age filter is map-side",
+    ),
+    (
+        "q_sample_weighted",
+        "TakeOrderedAndProject",
+        "A-ES top-k must not global-sort the corpus",
+    ),
+    (
+        "q_tokens_cms",
+        "BroadcastHashJoin",
+        "the constant-size sketch broadcasts back onto the query tokens",
+    ),
     ("q_cdc_scd2", "WindowGroupLimit", ""),  # placeholder replaced below
 ]
 # q_cdc_scd2's property is structural, not a substring: all three
