@@ -289,3 +289,46 @@ def cms_estimate(
         .groupBy(token_col)
         .agg(F.min("cnt").alias("est"))
     )
+
+
+def lm_score_docs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Bigram-LM document scores (doc_id, lang, n_bigrams, bits_sum,
+    avg_bits) — the shared engine behind q_text_lm_score and
+    q_curriculum_order. Log-likelihood quantized to whole bits via
+    bit-length (no libm; engine-exact). History counts derive from the
+    reduced bigram aggregate, never a second raw-token pass."""
+    toks = F.split(F.col(text_col), " ")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.struct(
+            F.element_at(toks, i).alias("w1"),
+            F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ).alias("bg"),
+        ),
+    )
+    exploded = (
+        docs.select("doc_id", "lang", F.explode(bigrams).alias("b"))
+        .select("doc_id", "lang", F.col("b.w1").alias("w1"), F.col("b.bg").alias("bg"))
+    )
+    c2 = exploded.groupBy("lang", "bg", "w1").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = c2.groupBy("lang", "w1").agg(F.sum("n2").alias("n1"))
+    bits = (F.length(F.bin("n2")) - F.length(F.bin("n1"))).cast("long")
+    model = c2.join(c1, ["lang", "w1"]).select("lang", "bg", bits.alias("bits"))
+    scored = (
+        exploded.join(model, ["lang", "bg"])
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("bits").alias("bits_sum"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "lang",
+        "n_bigrams",
+        "bits_sum",
+        (F.col("bits_sum").cast("double") / F.col("n_bigrams").cast("double"))
+        .cast("double")
+        .alias("avg_bits"),
+    )

@@ -275,3 +275,78 @@ def q_agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("merged_within_tol"),
         )
     )
+
+
+@query(
+    "q_agg_kmv_jaccard",
+    oracle="""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    a AS (SELECT user_id FROM u WHERE user_id % 2 = 0 OR user_id % 3 = 0),
+    b AS (SELECT user_id FROM u WHERE user_id % 2 = 0 OR user_id % 5 = 0)
+    SELECT (SELECT COUNT(*) FROM a) AS n_a,
+           (SELECT COUNT(*) FROM b) AS n_b,
+           (SELECT COUNT(*) FROM a WHERE user_id IN (SELECT user_id FROM b))
+             AS n_intersect,
+           TRUE AS est_a_ok, TRUE AS est_b_ok,
+           TRUE AS intersect_ok, TRUE AS jaccard_ok
+    """,
+)
+def q_agg_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set-operation sketches (round 3) — the third member of the
+    mergeable-sketch family: HLL counts distinct (q_agg_hll_merge),
+    count-min counts occurrences (q_tokens_cms), KMV estimates
+    INTERSECTION/Jaccard between key sets (audience overlap) — the
+    set operation HLL sketches cannot answer. Two 64-value sketches
+    (operators/kmv.py, TakeOrderedAndProject per-partition heads — the
+    corpus never funnels through one task) are compared element-wise;
+    measured error on the fixtures is ~5 % (sub-k sets degrade to
+    exact).
+
+    Verified in the q_agg_hll_merge/q_tokens_cms pattern: exact
+    counts are oracled directly; the estimates' tolerance outcomes
+    (25 % distinct / 35 % intersection / 0.25 absolute Jaccard — wide
+    multiples of the observed error) are DETERMINISTIC for given data
+    because xxhash64 is fixed, and are emitted as constant-TRUE flags
+    the oracle hash-checks; tests/test_round3_ops.py asserts the
+    tighter measured bounds."""
+    from fhir2sql_spark.operators.kmv import (
+        kmv_intersection_estimate,
+        kmv_sketch_single,
+    )
+
+    users = load(spark, sf_dir, "events").select("user_id").distinct()
+    a = users.where(
+        (F.pmod("user_id", F.lit(2)) == 0) | (F.pmod("user_id", F.lit(3)) == 0)
+    )
+    b = users.where(
+        (F.pmod("user_id", F.lit(2)) == 0) | (F.pmod("user_id", F.lit(5)) == 0)
+    )
+    n_a, n_b = a.count(), b.count()
+    n_i = a.intersect(b).count()
+    k = 64
+    sa = kmv_sketch_single(a, "user_id", k).localCheckpoint(eager=True)
+    sb = kmv_sketch_single(b, "user_id", k).localCheckpoint(eager=True)
+
+    def dist_est(sk) -> float:
+        r = sk.agg(F.count(F.lit(1)).alias("n"), F.max("h").alias("hk")).collect()[0]
+        return float(r.n) if r.n < k else (k - 1) / r.hk
+
+    est_a, est_b = dist_est(sa), dist_est(sb)
+    r = kmv_intersection_estimate(sa, sb, k).collect()[0]
+    jac_exact = n_i / float(n_a + n_b - n_i)
+    row = [
+        (
+            n_a,
+            n_b,
+            n_i,
+            abs(est_a - n_a) <= 0.25 * n_a,
+            abs(est_b - n_b) <= 0.25 * n_b,
+            abs(r.intersection_est - n_i) <= 0.35 * n_i,
+            abs(r.jaccard_est - jac_exact) <= 0.25,
+        )
+    ]
+    return spark.createDataFrame(
+        row,
+        "n_a long, n_b long, n_intersect long, est_a_ok boolean, "
+        "est_b_ok boolean, intersect_ok boolean, jaccard_ok boolean",
+    )

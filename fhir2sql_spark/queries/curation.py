@@ -316,3 +316,42 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "height",
         F.lower(F.hex("content")).alias("resized_hex"),
     )
+
+
+@query(
+    "q_layout_zorder",
+    oracle="""
+    WITH m AS (
+        SELECT l_orderkey, l_linenumber,
+               CAST(l_partkey % 256 AS BIGINT) AS x,
+               CAST(l_suppkey % 256 AS BIGINT) AS y
+        FROM lineitem WHERE l_orderkey % 10 = 0
+    )
+    SELECT l_orderkey, l_linenumber, x, y,
+           CAST(((((x >> 0) & 1) << 1) | (((y >> 0) & 1) << 0) | (((x >> 1) & 1) << 3) | (((y >> 1) & 1) << 2) | (((x >> 2) & 1) << 5) | (((y >> 2) & 1) << 4) | (((x >> 3) & 1) << 7) | (((y >> 3) & 1) << 6) | (((x >> 4) & 1) << 9) | (((y >> 4) & 1) << 8) | (((x >> 5) & 1) << 11) | (((y >> 5) & 1) << 10) | (((x >> 6) & 1) << 13) | (((y >> 6) & 1) << 12) | (((x >> 7) & 1) << 15) | (((y >> 7) & 1) << 14)) AS BIGINT) AS zkey
+    FROM m
+    """,
+)
+def q_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering key (round 3) — the data-layout lever behind
+    Delta/Iceberg ZORDER BY: interleave the low 8 bits of two join/
+    filter dimensions (part, supplier) into one Morton key
+    (operators/layout.py), so writing the table as
+    repartitionByRange(zkey).sortWithinPartitions(zkey) clusters BOTH
+    dimensions at once and parquet row-group min/max stats prune scans
+    for range predicates on either column — at 100 TB the dominant
+    cost saver is the scan that never happens. The bit-interleave is
+    one exact integer expression shared verbatim with the oracle
+    (pure &/<<,| on BIGINT), zero shuffles in this projection form;
+    the write-path clustering is exercised in
+    tests/test_layout_zorder.py."""
+    from fhir2sql_spark.operators.layout import morton_key
+
+    l = load(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 10 == 0)
+    m = l.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_partkey") % 256).cast("long").alias("x"),
+        (F.col("l_suppkey") % 256).cast("long").alias("y"),
+    )
+    return m.withColumn("zkey", morton_key("x", "y", 8))

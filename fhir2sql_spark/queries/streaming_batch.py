@@ -429,3 +429,60 @@ def q_agg_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
             exact_div(F.col("scaled"), F.lit(409600)).alias("decayed_sum"),
         )
     )
+
+
+@query(
+    "q_downsample_m4",
+    oracle="""
+    WITH b AS (
+        SELECT event_type,
+               strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+                 AS bucket_start,
+               event_id,
+               CAST(value AS DECIMAL(18,2)) AS v,
+               ts
+        FROM events
+    ), w AS (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY event_type, bucket_start
+                                  ORDER BY ts, event_id) AS rf,
+               ROW_NUMBER() OVER (PARTITION BY event_type, bucket_start
+                                  ORDER BY ts DESC, event_id DESC) AS rl
+        FROM b
+    )
+    SELECT event_type, bucket_start,
+           CAST(MIN(v) AS DOUBLE) AS v_min,
+           CAST(MAX(v) AS DOUBLE) AS v_max,
+           CAST(MIN(CASE WHEN rf = 1 THEN v END) AS DOUBLE) AS v_first,
+           CAST(MIN(CASE WHEN rl = 1 THEN v END) AS DOUBLE) AS v_last,
+           COUNT(*) AS n_points
+    FROM w GROUP BY event_type, bucket_start
+    """,
+)
+def q_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 time-series downsampling (round 3) — the error-free
+    visualization/rollup reduction (Jugel et al., VLDB'14): per
+    (series, time bucket) keep min, max, first and last values. The
+    four extremes preserve every rendered pixel of a line chart while
+    reducing a 100 TB raw stream to #buckets x #series rows — the
+    standard first stage of a monitoring pipeline.
+
+    Determinism: first/last tie-break on (ts, event_id) via min_by/
+    max_by over a struct ordering (identical lexicographic struct
+    comparison in both engines); values DECIMAL. One shuffle: a
+    single partial+final hash agg on the (series, bucket) key — the
+    min/max/first/last all fold map-side."""
+    e = load(spark, sf_dir, "events")
+    b = e.select(
+        "event_type",
+        F.date_format(F.date_trunc("hour", "ts"), _FMT).alias("bucket_start"),
+        dec("value", 2).alias("v"),
+        F.struct("ts", "event_id").alias("ord"),
+    )
+    return b.groupBy("event_type", "bucket_start").agg(
+        F.min("v").cast("double").alias("v_min"),
+        F.max("v").cast("double").alias("v_max"),
+        F.min_by("v", "ord").cast("double").alias("v_first"),
+        F.max_by("v", "ord").cast("double").alias("v_last"),
+        F.count(F.lit(1)).alias("n_points"),
+    )

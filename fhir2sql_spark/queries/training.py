@@ -381,10 +381,10 @@ def q_tokens_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_text_lm_score",
-    oracle="""
-    WITH s AS (
+# Bigram-LM CTEs shared by q_text_lm_score and q_curriculum_order so
+# both oracles score documents over the IDENTICAL model.
+_LM_CTES = """
+    s AS (
       SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
     ),
     bg AS (
@@ -400,14 +400,24 @@ def q_tokens_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(length(to_base(c2.n2, 2)) AS BIGINT)
              - CAST(length(to_base(c1.n1, 2)) AS BIGINT) AS bits
       FROM c2 JOIN c1 ON c2.lang = c1.lang AND c2.w1 = c1.w1
+    ),
+    lm_scored AS (
+      SELECT b.doc_id, b.lang,
+             COUNT(*) AS n_bigrams,
+             CAST(SUM(m.bits) AS BIGINT) AS bits_sum,
+             CAST(CAST(SUM(m.bits) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                  AS DOUBLE) AS avg_bits
+      FROM bg b JOIN model m ON b.lang = m.lang AND b.bg = m.bg
+      GROUP BY 1, 2
     )
-    SELECT b.doc_id, b.lang,
-           COUNT(*) AS n_bigrams,
-           CAST(SUM(m.bits) AS BIGINT) AS bits_sum,
-           CAST(CAST(SUM(m.bits) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
-                AS DOUBLE) AS avg_bits
-    FROM bg b JOIN model m ON b.lang = m.lang AND b.bg = m.bg
-    GROUP BY 1, 2
+"""
+
+
+@query(
+    "q_text_lm_score",
+    oracle=f"""
+    WITH {_LM_CTES}
+    SELECT doc_id, lang, n_bigrams, bits_sum, avg_bits FROM lm_scored
     """,
 )
 def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -428,42 +438,9 @@ def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join of the token stream against the model on (lang, bigram)
     -> per-doc agg. Everything shuffles on compact keys; the model
     tables are corpus-vocabulary-sized, not corpus-sized."""
-    d = load(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 1),
-        lambda i: F.struct(
-            F.element_at(toks, i).alias("w1"),
-            F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-            ).alias("bg"),
-        ),
-    )
-    exploded = (
-        d.select("doc_id", "lang", F.explode(bigrams).alias("b"))
-        .select("doc_id", "lang", F.col("b.w1").alias("w1"), F.col("b.bg").alias("bg"))
-    )
-    c2 = exploded.groupBy("lang", "bg", "w1").agg(F.count(F.lit(1)).alias("n2"))
-    c1 = c2.groupBy("lang", "w1").agg(F.sum("n2").alias("n1"))
-    bits = (F.length(F.bin("n2")) - F.length(F.bin("n1"))).cast("long")
-    model = c2.join(c1, ["lang", "w1"]).select("lang", "bg", bits.alias("bits"))
-    from fhir2sql_spark.queries.util import exact_div
+    from fhir2sql_spark.operators.text import lm_score_docs
 
-    return (
-        exploded.join(model, ["lang", "bg"])
-        .groupBy("doc_id", "lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.sum("bits").alias("bits_sum"),
-        )
-        .select(
-            "doc_id",
-            "lang",
-            "n_bigrams",
-            "bits_sum",
-            exact_div(F.col("bits_sum"), F.col("n_bigrams")).alias("avg_bits"),
-        )
-    )
+    return lm_score_docs(load(spark, sf_dir, "documents"))
 
 
 @query(
@@ -561,4 +538,90 @@ def q_tokens_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "token",
         "n_exact",
         (F.col("est") >= F.col("n_exact")).alias("cms_ge_exact"),
+    )
+
+
+@query("q_graph_pagerank")
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PageRank (round 3) over a deterministic interaction
+    graph derived from orders (src = o_custkey mod 600, dst =
+    o_orderkey mod 600): top-50 central nodes. The iterative
+    power-iteration operator (operators/pagerank.py) runs one shuffle
+    per round with O(1) lineage via localCheckpoint — the pattern
+    shared with connected_components. No SQL oracle by design
+    (iterative float fixpoint — the driver records the rows-only
+    check); correctness is pinned by a numpy power-iteration parity
+    test at 1e-9 and structural properties (mass conservation, hub
+    dominance) in tests/test_pagerank.py."""
+    from fhir2sql_spark.operators.pagerank import pagerank
+
+    o = load(spark, sf_dir, "orders")
+    edges = o.select(
+        (F.col("o_custkey") % 600).alias("src"),
+        (F.col("o_orderkey") % 600).alias("dst"),
+    )
+    ranks = pagerank(edges, iters=15, damping=0.85)
+    return (
+        ranks.select("node", F.round("rank", 8).alias("rank"))
+        .orderBy(F.desc("rank"), F.asc("node"))
+        .limit(50)
+    )
+
+
+@query(
+    "q_curriculum_order",
+    oracle=f"""
+    WITH {_LM_CTES},
+    staged AS (
+      SELECT doc_id, lang, avg_bits,
+             NTILE(4) OVER (PARTITION BY lang
+                            ORDER BY avg_bits DESC, doc_id) AS stage,
+             substring(sha256('curr|' || CAST(doc_id AS VARCHAR)), 1, 16)
+               AS mix
+      FROM lm_scored
+    )
+    SELECT doc_id, lang, stage,
+           CAST(ROW_NUMBER() OVER (ORDER BY stage, mix, doc_id) - 1 AS BIGINT)
+             AS train_pos
+    FROM staged
+    """,
+)
+def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering (round 3) — the easy-to-hard training
+    schedule over LM-scored difficulty: per-language quartiles by
+    bigram-LM predictability (stage 1 = most predictable = easiest;
+    ntile tie-broken on doc_id), documents deterministically shuffled
+    WITHIN each stage by a sha2 mixing key (no rand(); epoch-stable),
+    and a global 0-based train_pos assigned across stages.
+
+    Scale shape: the single-task global window a naive
+    row_number() OVER (ORDER BY ...) would plan is replaced by
+    operators/packing.py distributed_rank — range repartition on the
+    (stage, mix) sort key, parallel per-partition windows, broadcast
+    offset add — rank output identical to the global window's (which
+    is exactly what the oracle computes). The ntile itself partitions
+    by lang, so its parallelism is #langs; its input is the already-
+    reduced per-doc score table, not the corpus."""
+    from pyspark.sql import Window
+    from fhir2sql_spark.operators.packing import distributed_rank
+    from fhir2sql_spark.operators.text import lm_score_docs
+
+    scored = lm_score_docs(load(spark, sf_dir, "documents"))
+    w = Window.partitionBy("lang").orderBy(F.desc("avg_bits"), F.asc("doc_id"))
+    staged = scored.select(
+        "doc_id",
+        "lang",
+        F.ntile(4).over(w).alias("stage"),
+        F.substring(
+            F.sha2(F.concat(F.lit("curr|"), F.col("doc_id").cast("string")), 256),
+            1,
+            16,
+        ).alias("mix"),
+    )
+    ranked = distributed_rank(
+        staged, [F.col("stage"), F.col("mix"), F.col("doc_id")],
+        out_col="train_pos",
+    )
+    return ranked.select(
+        "doc_id", "lang", "stage", F.col("train_pos").cast("long").alias("train_pos")
     )

@@ -60,3 +60,27 @@ def test_bucket_width_invariance(spark, sf_dir):
     ga = sorted((r.a_id, r.b_id) for r in a.select("a_id", "b_id").collect())
     gb = sorted((r.a_id, r.b_id) for r in b.select("a_id", "b_id").collect())
     assert ga == gb
+
+
+# Pure-logic property: the bucket-coverage + canonical-pin argument
+# holds for ALL closed intervals, not just the fixture's. No Spark —
+# this replays the operator's arithmetic directly.
+from hypothesis import given, strategies as st
+
+
+@given(
+    st.integers(0, 2000), st.integers(0, 60),
+    st.integers(0, 2000), st.integers(0, 60),
+    st.integers(1, 40),
+)
+def test_bucket_math_exactly_once(a_s, a_len, b_s, b_len, width):
+    a_e, b_e = a_s + a_len, b_s + b_len
+    overlaps = a_s <= b_e and b_s <= a_e
+    a_buckets = set(range(a_s // width, a_e // width + 1))
+    b_buckets = set(range(b_s // width, b_e // width + 1))
+    shared = a_buckets & b_buckets
+    pin = max(a_s, b_s) // width
+    # the equi-join emits one candidate per shared bucket; the residual
+    # + pin must keep exactly one iff the intervals overlap
+    kept = [b for b in shared if overlaps and b == pin]
+    assert len(kept) == (1 if overlaps else 0)

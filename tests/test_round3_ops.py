@@ -152,3 +152,61 @@ def test_lm_score_ranks_repetitive_text_higher(spark, sf_dir):
     others = sorted(v for k, v in by_doc.items() if k != 99_999_999)
     median = others[len(others) // 2]
     assert by_doc[99_999_999] >= median
+
+
+def test_kmv_exhaustive_sets_are_exact(spark):
+    from fhir2sql_spark.operators.kmv import (
+        kmv_intersection_estimate,
+        kmv_sketch_single,
+    )
+
+    a = spark.range(0, 40).selectExpr("id AS key")          # 40 < k
+    b = spark.range(20, 50).selectExpr("id AS key")
+    sa, sb = kmv_sketch_single(a, "key"), kmv_sketch_single(b, "key")
+    r = kmv_intersection_estimate(sa, sb).collect()[0]
+    assert abs(r.intersection_est - 20) < 1e-9
+    assert abs(r.jaccard_est - 20 / 50) < 1e-9
+
+
+def test_kmv_estimate_within_bounds_on_large_sets(spark):
+    from fhir2sql_spark.operators.kmv import (
+        kmv_intersection_estimate,
+        kmv_sketch_single,
+    )
+
+    a = spark.range(0, 3000).selectExpr("id AS key")
+    b = spark.range(1500, 4500).selectExpr("id AS key")      # overlap 1500
+    sa, sb = kmv_sketch_single(a, "key"), kmv_sketch_single(b, "key")
+    r = kmv_intersection_estimate(sa, sb).collect()[0]
+    assert abs(r.jaccard_est - 1500 / 4500) <= 0.15
+    assert abs(r.intersection_est - 1500) <= 0.35 * 1500
+
+
+def test_kmv_union_sketch_is_sketch_of_union(spark):
+    """Mergeability: the k smallest of (sketch_a ∪ sketch_b) equal the
+    k smallest of the full union — because the union's k smallest all
+    sit inside their own set's k smallest."""
+    from fhir2sql_spark.operators.kmv import kmv_sketch_single
+
+    a = spark.range(0, 3000).selectExpr("id AS key")
+    b = spark.range(1500, 4500).selectExpr("id AS key")
+    k = 64
+    sa, sb = kmv_sketch_single(a, "key", k), kmv_sketch_single(b, "key", k)
+    merged = sorted(
+        r.h for r in sa.union(sb).distinct().orderBy("h").limit(k).collect()
+    )
+    direct = sorted(
+        r.h for r in kmv_sketch_single(a.union(b), "key", k).collect()
+    )
+    assert merged == direct
+
+
+def test_m4_envelope_invariants(spark, sf_dir):
+    out = QUERIES["q_downsample_m4"](spark, sf_dir).collect()
+    assert out
+    for r in out:
+        assert r.v_min <= r.v_first <= r.v_max
+        assert r.v_min <= r.v_last <= r.v_max
+        assert r.n_points >= 1
+    total = sum(r.n_points for r in out)
+    assert total == load(spark, sf_dir, "events").count()

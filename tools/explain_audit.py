@@ -111,6 +111,12 @@ CHECKS: list[tuple[str, str, str]] = [
         "BroadcastHashJoin",
         "the constant-size sketch broadcasts back onto the query tokens",
     ),
+    ("q_layout_zorder", "!Exchange", "the clustering-key projection shuffles nothing"),
+    (
+        "q_downsample_m4",
+        "#1:Exchange hashpartitioning",
+        "all four M4 extremes fold through ONE series/bucket hash agg",
+    ),
     ("q_cdc_scd2", "WindowGroupLimit", ""),  # placeholder replaced below
 ]
 # q_cdc_scd2's property is structural, not a substring: all three
