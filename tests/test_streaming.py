@@ -394,3 +394,37 @@ def test_anomaly_stream_static_join_equals_batch(spark, sf_dir, events_dir):
     rows_s = {tuple(r) for r in stream.collect()}
     rows_b = {tuple(r) for r in batch.collect()}
     assert rows_s == rows_b and rows_s
+
+
+def test_m4_stream_equals_batch(spark, sf_dir, events_dir):
+    """The M4 envelope (q_downsample_m4) is fully mergeable — min/max
+    trivially, first/last because min_by/max_by over the (ts,event_id)
+    struct ordering merge associatively — so the streaming rendering
+    in complete mode must equal the batch twin exactly."""
+
+    def m4(df: DataFrame) -> DataFrame:
+        b = df.select(
+            "event_type",
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "bucket_start"
+            ),
+            dec("value", 2).alias("v"),
+            F.struct("ts", "event_id").alias("ord"),
+        )
+        return b.groupBy("event_type", "bucket_start").agg(
+            F.min("v").cast("double").alias("v_min"),
+            F.max("v").cast("double").alias("v_max"),
+            F.min_by("v", "ord").cast("double").alias("v_first"),
+            F.max_by("v", "ord").cast("double").alias("v_last"),
+            F.count(F.lit(1)).alias("n_points"),
+        )
+
+    batch = m4(
+        load(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        )
+    )
+    stream = run_stream_available_now(
+        spark, events_dir, EVENTS_SCHEMA, m4, output_mode="complete"
+    )
+    assert _rows(stream) == _rows(batch)
