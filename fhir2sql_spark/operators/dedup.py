@@ -56,27 +56,28 @@ def shingles(
     that are multiset-insensitive (MinHash: min over a multiset equals
     min over its set), saving a full exchange of shingle strings.
 
-    Guard: docs shorter than n words produce an empty set (Spark's
-    sequence(a, b) would generate a DESCENDING range for a > b, so the
-    length check is load-bearing).
+    Guard: docs shorter than n words produce an empty set — expressed
+    as a row FILTER (a filtered-out doc explodes to zero rows, same
+    result as the old empty-array branch, and Spark's slice() with a
+    non-positive length would error).
 
-    The tokenization is HOISTED into its own projection: with
-    `split(text, ' ')` written inline inside the transform lambda it
-    is re-evaluated once per SHINGLE — O(tokens²·len) per doc, 3.6×
-    slower measured at sf1 (8.9 s → 2.4 s for the explode). The
-    hoisted `__toks` column is referenced 3× (guard + sequence bound +
-    slice), which keeps CollapseProject from inlining it back."""
+    Derivation is `arrays_zip(slice, slice, ...) + explode` with the
+    concat running per exploded ROW, not a transform() lambda: HOF
+    lambdas re-enter the interpreter per ELEMENT (two rounds of
+    measurements — first the tokenization hoist, 8.9 s → 2.4 s at
+    sf1, then eliminating the lambda entirely, 0.84 s → 0.24 s warm
+    at sf0.1 — both on this explode), while zip+slice+explode+concat
+    stay in whole-stage codegen end-to-end."""
     docs2 = docs.select(
         "doc_id", "lang", F.split(F.col(text_col), " ").alias("__toks")
+    ).where(F.size("__toks") >= n)
+    m = F.size("__toks") - (n - 1)
+    zipped = F.arrays_zip(*[F.slice("__toks", i + 1, m) for i in range(n)])
+    out = docs2.select("doc_id", "lang", F.explode(zipped).alias("__p")).select(
+        "doc_id",
+        "lang",
+        F.concat_ws(" ", *[F.col(f"__p.{i}") for i in range(n)]).alias("shingle"),
     )
-    sh = F.when(
-        F.size("__toks") >= n,
-        F.expr(
-            f"transform(sequence(1, size(__toks) - {n - 1}),"
-            f" i -> concat_ws(' ', slice(__toks, i, {n})))"
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    out = docs2.select("doc_id", "lang", F.explode(sh).alias("shingle"))
     return out.distinct() if distinct else out
 
 

@@ -133,19 +133,16 @@ def repetition_features(
     Docs shorter than n words carry no signal and are filtered (also
     guards sequence()'s descending-range behavior for start > stop).
 
-    Tokenization AND the gram array are hoisted into their own
-    projections: inlined, `split` re-evaluates per gram (O(tokens²)
-    per doc) and the transform itself would run twice (once per size).
-    Each hoisted column is multiply-referenced, which keeps
-    CollapseProject from inlining them back (same fix as
-    operators/dedup.py shingles — 3.6× measured at sf1)."""
+    The gram array is `arrays_zip` of n shifted slices — no
+    transform() lambda (HOF lambdas evaluate interpreted per element;
+    see operators/dedup.py shingles) and no string concat at all:
+    struct equality is element-wise, so `array_distinct` over the
+    zipped struct array counts distinct n-grams directly."""
     toked = docs.select(
         "doc_id", F.split(F.col(text_col), " ").alias("__toks")
     ).where(F.size("__toks") >= n)
-    grams = F.expr(
-        f"transform(sequence(1, size(__toks) - {n - 1}),"
-        f" i -> concat_ws(' ', slice(__toks, i, {n})))"
-    )
+    m = F.size("__toks") - (n - 1)
+    grams = F.arrays_zip(*[F.slice("__toks", i + 1, m) for i in range(n)])
     sized = toked.select("doc_id", grams.alias("__grams")).select(
         "doc_id",
         F.size("__grams").alias("n_grams"),
