@@ -210,3 +210,49 @@ def test_m4_envelope_invariants(spark, sf_dir):
         assert r.n_points >= 1
     total = sum(r.n_points for r in out)
     assert total == load(spark, sf_dir, "events").count()
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_fuzzy_join_equals_naive_python(spark):
+    from fhir2sql_spark.operators.fuzzy import fuzzy_self_pairs
+
+    names = [
+        "red widget", "rod widget", "red widgets", "hot widget",
+        "blue bolt", "blue bolts", "blue belts", "small gizmo",
+        "small gizmos", "large gizmo", "steel gear", "steel bear",
+    ]
+    df = spark.createDataFrame([(x,) for x in names], "p_name string")
+    got = sorted(
+        (r.name_a, r.name_b, r.edit_dist)
+        for r in fuzzy_self_pairs(df, "p_name", max_dist=2).collect()
+    )
+    want = sorted(
+        (min(a, b), max(a, b), _lev(a, b))
+        for i, a in enumerate(names)
+        for b in names[i + 1:]
+        if _lev(a, b) <= 2
+    )
+    assert got == want
+    assert len(want) > 0
+
+
+def test_fuzzy_join_plan_has_no_nested_loop(spark, sf_dir):
+    from fhir2sql_spark.registry import QUERIES
+
+    plan = (
+        QUERIES["q_join_fuzzy"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan

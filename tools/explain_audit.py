@@ -112,6 +112,8 @@ CHECKS: list[tuple[str, str, str]] = [
         "the constant-size sketch broadcasts back onto the query tokens",
     ),
     ("q_layout_zorder", "!Exchange", "the clustering-key projection shuffles nothing"),
+    ("q_join_fuzzy", "!BroadcastNestedLoopJoin", "fuzzy join has no nested loop"),
+    ("q_join_fuzzy", "!CartesianProduct", "fuzzy join has no cross join"),
     (
         "q_downsample_m4",
         "#1:Exchange hashpartitioning",
