@@ -1,0 +1,69 @@
+"""Distributed 2-D skyline (Pareto frontier) — minimize one measure,
+maximize the other, keep the non-dominated rows. The multi-objective
+shortlist query (cheapest-but-largest part, price/performance
+frontier) that relational engines answer with a quadratic NOT EXISTS.
+
+For two dimensions the frontier is a SORT property: ordering by
+(x asc), a row is dominated iff some strictly-cheaper row has y >= its
+y, or an equal-x row has strictly larger y. Both tests are prefix/
+group maxima over that one order — but a bare global window would move
+every row to a single task, so this uses the distributed-rank
+decomposition (operators/packing.py): `repartitionByRange(x)` puts
+each x-range in its own partition (equal keys never split), the
+prefix max runs as a parallel per-partition RANGE-frame window, and
+cross-partition carry-in is the running max of the tiny per-partition
+summary table, broadcast back. One shuffle total; dominance never
+compares row pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def skyline_2d(
+    df: DataFrame, x: Column | str, y: Column | str, n_parts: int = 32
+) -> DataFrame:
+    """Rows of ``df`` not dominated under (minimize ``x``, maximize
+    ``y``). Dominance: b dominates a iff b.x <= a.x and b.y >= a.y
+    with at least one strict. Exact duplicates on (x, y) are all kept
+    (neither dominates). Ties in x never split across range
+    partitions (guaranteed by Spark's range partitioner).
+
+    ``x`` must be INTEGER-valued (e.g. a money column in cents): the
+    strictly-cheaper prefix is a RANGE frame ending at -1, which is
+    exact only on a discrete domain (on a raw double it would skip
+    values within 1.0 of the current row).
+    """
+    xc = (F.col(x) if isinstance(x, str) else x).cast("long")
+    yc = F.col(y) if isinstance(y, str) else y
+    base = df.withColumn("__x", xc).withColumn("__y", yc)
+    ranged = base.repartitionByRange(n_parts, "__x").withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    # carry-in: max __y of every strictly-earlier partition (all hold
+    # strictly smaller __x); the summary is n_parts rows
+    pmax = ranged.groupBy("__pid").agg(F.max("__y").alias("__pm"))
+    w_prev = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    carry = pmax.select(
+        "__pid", F.max("__pm").over(w_prev).alias("__carry")
+    )
+    w_cheaper = (
+        Window.partitionBy("__pid")
+        .orderBy("__x")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_equal = Window.partitionBy("__pid", "__x")
+    out = (
+        ranged.join(F.broadcast(carry), "__pid")
+        .withColumn("__mc_local", F.max("__y").over(w_cheaper))
+        .withColumn("__me", F.max("__y").over(w_equal))
+        .withColumn("__mc", F.greatest(F.coalesce("__mc_local", "__carry"),
+                                       F.coalesce("__carry", "__mc_local")))
+        .where(
+            (F.col("__mc").isNull() | (F.col("__mc") < F.col("__y")))
+            & (F.col("__y") == F.col("__me"))
+        )
+    )
+    return out.drop("__x", "__y", "__pid", "__mc_local", "__me", "__mc", "__carry")

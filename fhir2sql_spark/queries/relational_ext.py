@@ -704,3 +704,41 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 4).alias("z"),
         )
     )
+
+
+@query(
+    "q_skyline",
+    oracle="""
+    WITH p AS (
+        SELECT p_partkey, CAST(p_retailprice AS DECIMAL(18,2)) AS price, p_size
+        FROM part
+    )
+    SELECT a.p_partkey, CAST(a.price AS DOUBLE) AS price, a.p_size
+    FROM p a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM p b
+        WHERE b.price <= a.price AND b.p_size >= a.p_size
+          AND (b.price < a.price OR b.p_size > a.p_size)
+    )
+    """,
+)
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline / Pareto frontier (round 3): parts not dominated
+    on (minimize retail price, maximize size) — the multi-objective
+    shortlist the oracle answers with a quadratic NOT EXISTS
+    anti-join. operators/skyline.py computes it as a SORT property
+    instead: range-repartition on price cents, parallel per-partition
+    prefix-max windows, broadcast cross-partition carry — ONE shuffle,
+    no row-pair comparison, any corpus size. Result equality against
+    the NOT EXISTS oracle proves the decomposition exact (including
+    equal-price and duplicate-point tie handling)."""
+    from fhir2sql_spark.operators.skyline import skyline_2d
+
+    p = load(spark, sf_dir, "part").select(
+        "p_partkey", dec("p_retailprice", 2).alias("price"), "p_size"
+    )
+    cents = (F.col("price") * 100).cast("long")
+    sky = skyline_2d(p, cents, F.col("p_size"))
+    return sky.select(
+        "p_partkey", F.col("price").cast("double").alias("price"), "p_size"
+    )

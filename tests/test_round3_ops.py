@@ -256,3 +256,42 @@ def test_fuzzy_join_plan_has_no_nested_loop(spark, sf_dir):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def _naive_skyline(points):
+    out = []
+    for i, (x, y) in enumerate(points):
+        dominated = any(
+            (bx <= x and by >= y and (bx < x or by > y))
+            for j, (bx, by) in enumerate(points)
+            if j != i
+        )
+        if not dominated:
+            out.append((x, y))
+    return sorted(out)
+
+
+def test_skyline_matches_naive_with_ties_and_duplicates(spark):
+    from fhir2sql_spark.operators.skyline import skyline_2d
+
+    # adversarial: equal-x groups, duplicate points, dominated chains,
+    # and near-misses 1 apart (the RANGE -1 boundary)
+    pts = [
+        (10, 5), (10, 5), (10, 7), (11, 7), (9, 4), (9, 6), (12, 8),
+        (12, 8), (13, 8), (8, 3), (8, 2), (11, 6), (10, 6), (9, 7),
+    ]
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = sorted((r.x, r.y) for r in skyline_2d(df, "x", "y", n_parts=4).collect())
+    assert got == _naive_skyline(pts)
+
+
+def test_skyline_random_matches_naive(spark):
+    import random
+
+    from fhir2sql_spark.operators.skyline import skyline_2d
+
+    rng = random.Random(42)
+    pts = [(rng.randint(0, 50), rng.randint(0, 50)) for _ in range(400)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = sorted((r.x, r.y) for r in skyline_2d(df, "x", "y", n_parts=8).collect())
+    assert got == _naive_skyline(pts)

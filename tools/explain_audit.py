@@ -113,6 +113,8 @@ CHECKS: list[tuple[str, str, str]] = [
     ),
     ("q_layout_zorder", "!Exchange", "the clustering-key projection shuffles nothing"),
     ("q_join_fuzzy", "!BroadcastNestedLoopJoin", "fuzzy join has no nested loop"),
+    ("q_skyline", "!BroadcastNestedLoopJoin", "skyline never compares row pairs"),
+    ("q_skyline", "!CartesianProduct", "skyline has no cross join"),
     ("q_join_fuzzy", "!CartesianProduct", "fuzzy join has no cross join"),
     (
         "q_downsample_m4",
