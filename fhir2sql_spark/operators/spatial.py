@@ -1,0 +1,72 @@
+"""Grid-bucketed spatial distance join — all point pairs within
+radius r, without the cartesian product.
+
+The classic cell trick: partition the plane into r x r cells; any
+pair within distance r lies in the same or an adjacent cell, so one
+side replicates into its 3x3 cell neighborhood, the other stays in
+its home cell, and the join becomes an EQUI-join on the cell id with
+the exact distance as a residual. Each unordered pair meets exactly
+once (the right row's home cell is unique), so no dedup is needed —
+the same exactly-once argument as operators/interval.py.
+
+Distances compare as INTEGER dx^2 + dy^2 <= r^2 (planar integer
+coordinates), so the predicate is exact in any engine — no sqrt, no
+float. Cost: 9x replication of one side shuffled on a long key vs
+|A| x |B| comparisons; cell occupancy bounds the candidate fan-in.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def distance_self_join(
+    points: DataFrame, id_col: str, x_col: str, y_col: str, radius: int
+) -> DataFrame:
+    """(id_a, id_b, dist_sq) for unordered pairs of ``points``
+    (integer planar coords) with squared distance <= radius^2,
+    id_a < id_b."""
+    r = int(radius)
+    cell = lambda c: F.floor(F.col(c) / r).cast("long")  # noqa: E731
+    # single long cell key: interleave-free packing (y fits 32 bits)
+    pack = lambda cx, cy: (cx * F.lit(1 << 31) + cy)  # noqa: E731
+
+    home = points.select(
+        F.col(id_col).alias("id_b"),
+        F.col(x_col).alias("xb"),
+        F.col(y_col).alias("yb"),
+        pack(cell(x_col), cell(y_col)).alias("__cell"),
+    )
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    probe = (
+        points.select(
+            F.col(id_col).alias("id_a"),
+            F.col(x_col).alias("xa"),
+            F.col(y_col).alias("ya"),
+            F.explode(offsets).alias("o"),
+        )
+        .select(
+            "id_a",
+            "xa",
+            "ya",
+            pack(
+                F.floor(F.col("xa") / r).cast("long") + F.col("o.dx"),
+                F.floor(F.col("ya") / r).cast("long") + F.col("o.dy"),
+            ).alias("__cell"),
+        )
+    )
+    dist_sq = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
+        F.col("ya") - F.col("yb")
+    ) * (F.col("ya") - F.col("yb"))
+    return (
+        probe.join(home, "__cell")
+        .where((F.col("id_a") < F.col("id_b")) & (dist_sq <= r * r))
+        .select("id_a", "id_b", dist_sq.cast("long").alias("dist_sq"))
+    )

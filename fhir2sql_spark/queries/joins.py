@@ -644,3 +644,40 @@ def q_join_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{min_complete_length(2, 2)}; corpus min is {min_len}"
     )
     return fuzzy_self_pairs(p, "p_name", max_dist=2, q=2)
+
+
+@query(
+    "q_join_spatial",
+    oracle="""
+    WITH pts AS (
+        SELECT c_custkey AS id,
+               c_custkey % 1000 AS x,
+               (c_custkey * 7) % 1000 AS y
+        FROM customer
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+                AS BIGINT) AS dist_sq
+    FROM pts a JOIN pts b ON a.id < b.id
+    WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 25
+    """,
+)
+def q_join_spatial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial distance self-join (round 3): customer points on a
+    deterministic integer plane, all pairs within radius 5. The naive
+    plan is a cartesian distance scan; operators/spatial.py runs the
+    classic r x r grid-cell rewrite — 3x3 neighborhood explode on one
+    side, home cell on the other, equi-join on a packed long cell id,
+    exact INTEGER dx^2+dy^2 residual (no sqrt, no float) — exactly
+    once per pair with no distinct. The oracle runs the naive
+    quadratic join; equality proves the cell cover misses nothing.
+    Plan-audited: no BNLJ, no cartesian."""
+    from fhir2sql_spark.operators.spatial import distance_self_join
+
+    c = load(spark, sf_dir, "customer")
+    pts = c.select(
+        F.col("c_custkey").alias("id"),
+        (F.col("c_custkey") % 1000).alias("x"),
+        ((F.col("c_custkey") * 7) % 1000).alias("y"),
+    )
+    return distance_self_join(pts, "id", "x", "y", radius=5)

@@ -295,3 +295,38 @@ def test_skyline_random_matches_naive(spark):
     df = spark.createDataFrame(pts, "x long, y long")
     got = sorted((r.x, r.y) for r in skyline_2d(df, "x", "y", n_parts=8).collect())
     assert got == _naive_skyline(pts)
+
+
+def test_spatial_join_random_matches_naive(spark):
+    import random
+
+    from fhir2sql_spark.operators.spatial import distance_self_join
+
+    rng = random.Random(7)
+    pts = [(i, rng.randint(0, 120), rng.randint(0, 120)) for i in range(300)]
+    df = spark.createDataFrame(pts, "id long, x long, y long")
+    got = sorted(
+        (r.id_a, r.id_b, r.dist_sq)
+        for r in distance_self_join(df, "id", "x", "y", radius=6).collect()
+    )
+    want = sorted(
+        (a[0], b[0], (a[1] - b[1]) ** 2 + (a[2] - b[2]) ** 2)
+        for i, a in enumerate(pts)
+        for b in pts[i + 1:]
+        if (a[1] - b[1]) ** 2 + (a[2] - b[2]) ** 2 <= 36
+    )
+    assert got == want
+    assert len(want) > 0
+
+
+def test_spatial_join_cell_boundary_pairs_kept(spark):
+    """Pairs straddling a cell boundary (the reason for the 3x3
+    neighborhood) and exact-radius pairs must both survive."""
+    from fhir2sql_spark.operators.spatial import distance_self_join
+
+    pts = [(1, 4, 4), (2, 5, 4), (3, 9, 9), (4, 10, 10), (5, 0, 5), (6, 0, 0)]
+    df = spark.createDataFrame(pts, "id long, x long, y long")
+    got = {(r.id_a, r.id_b) for r in distance_self_join(df, "id", "x", "y", 5).collect()}
+    assert (1, 2) in got      # adjacent across x-cell boundary
+    assert (3, 4) in got      # diagonal boundary
+    assert (5, 6) in got      # exactly radius apart (<=)

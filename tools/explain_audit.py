@@ -114,6 +114,8 @@ CHECKS: list[tuple[str, str, str]] = [
     ("q_layout_zorder", "!Exchange", "the clustering-key projection shuffles nothing"),
     ("q_join_fuzzy", "!BroadcastNestedLoopJoin", "fuzzy join has no nested loop"),
     ("q_skyline", "!BroadcastNestedLoopJoin", "skyline never compares row pairs"),
+    ("q_join_spatial", "!BroadcastNestedLoopJoin", "spatial join has no nested loop"),
+    ("q_join_spatial", "!CartesianProduct", "spatial join has no cross join"),
     ("q_skyline", "!CartesianProduct", "skyline has no cross join"),
     ("q_join_fuzzy", "!CartesianProduct", "fuzzy join has no cross join"),
     (
