@@ -742,3 +742,122 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sky.select(
         "p_partkey", F.col("price").cast("double").alias("price"), "p_size"
     )
+
+
+@query(
+    "q_basket_pairs",
+    oracle="""
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    ic AS (SELECT l_partkey, COUNT(*) AS ni FROM b GROUP BY 1),
+    n AS (SELECT COUNT(DISTINCT l_orderkey) AS total FROM b),
+    p AS (
+      SELECT a.l_partkey AS part_a, b2.l_partkey AS part_b,
+             COUNT(*) AS n_orders
+      FROM b a JOIN b b2
+        ON a.l_orderkey = b2.l_orderkey AND a.l_partkey < b2.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 3
+    )
+    SELECT p.part_a, p.part_b, p.n_orders,
+           CAST(CAST(p.n_orders * n.total AS DOUBLE)
+                / CAST(ia.ni * ib.ni AS DOUBLE) AS DOUBLE) AS lift
+    FROM p
+    JOIN ic ia ON p.part_a = ia.l_partkey
+    JOIN ic ib ON p.part_b = ib.l_partkey
+    CROSS JOIN n
+    """,
+)
+def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity (round 3): part pairs co-purchased in
+    >= 3 orders, with lift = P(a,b)/(P(a)P(b)) as an exact two-integer
+    ratio. The a-priori property prunes BEFORE the quadratic step: a
+    pair with support s needs both items at support >= s, so the
+    basket stream is semi-joined against the (broadcast) frequent-item
+    set first and the per-order self-join fans out only over surviving
+    items — the classic frequent-itemset shape (Agrawal & Srikant,
+    VLDB'94) as one Catalyst plan. Shuffles: basket distinct, item
+    counts, pair aggregate — all equi-keyed; item stats broadcast
+    back onto the pair table."""
+    l = load(spark, sf_dir, "lineitem")
+    b = l.select("l_orderkey", "l_partkey").distinct()
+    ic = b.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("ni"))
+    frequent = ic.where(F.col("ni") >= 3)
+    bf = b.join(F.broadcast(frequent.select("l_partkey")), "l_partkey", "left_semi")
+    pa = bf.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    pb = bf.select(
+        F.col("l_orderkey").alias("ok_b"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        pa.join(pb, (pa.l_orderkey == pb.ok_b) & (pa.part_a < pb.part_b))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .where(F.col("n_orders") >= 3)
+    )
+    total = b.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("total")
+    )
+    ia = ic.select(F.col("l_partkey").alias("part_a"), F.col("ni").alias("ni_a"))
+    ib = ic.select(F.col("l_partkey").alias("part_b"), F.col("ni").alias("ni_b"))
+    return (
+        pairs.join(F.broadcast(ia), "part_a")
+        .join(F.broadcast(ib), "part_b")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "part_a",
+            "part_b",
+            "n_orders",
+            exact_div(
+                F.col("n_orders") * F.col("total"), F.col("ni_a") * F.col("ni_b")
+            ).alias("lift"),
+        )
+    )
+
+
+@query(
+    "q_event_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type AS from_type,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS to_type
+        FROM events
+    ),
+    t AS (
+        SELECT from_type, to_type, COUNT(*) AS n
+        FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2
+    ),
+    tot AS (SELECT from_type, SUM(n) AS n_from FROM t GROUP BY 1)
+    SELECT t.from_type, t.to_type, t.n,
+           CAST(CAST(t.n AS DOUBLE) / CAST(tot.n_from AS DOUBLE) AS DOUBLE)
+             AS prob
+    FROM t JOIN tot ON t.from_type = tot.from_type
+    """,
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-transition matrix (round 3) — first-order Markov
+    behavior model over per-user event streams: for each ordered
+    (from_type, to_type) pair, the transition count and conditional
+    probability P(to|from) as an exact integer ratio. One user_id
+    shuffle feeds the lead() window; the 25-cell transition table
+    aggregates from the windowed stream and row-normalizes against
+    its own marginal (derived from the reduced table, never a second
+    pass). The per-user chain order is (ts, event_id) — fully
+    tie-broken, so the matrix is deterministic."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    t = seq.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
+    tot = t.groupBy("from_type").agg(F.sum("n").alias("n_from"))
+    return (
+        t.join(F.broadcast(tot), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            exact_div(F.col("n"), F.col("n_from")).alias("prob"),
+        )
+    )
