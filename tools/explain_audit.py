@@ -116,6 +116,11 @@ CHECKS: list[tuple[str, str, str]] = [
     ("q_skyline", "!BroadcastNestedLoopJoin", "skyline never compares row pairs"),
     ("q_join_spatial", "!BroadcastNestedLoopJoin", "spatial join has no nested loop"),
     ("q_join_spatial", "!CartesianProduct", "spatial join has no cross join"),
+    (
+        "q_basket_pairs",
+        "BroadcastHashJoin",
+        "frequent-item prune + item stats broadcast onto the pair table",
+    ),
     ("q_skyline", "!CartesianProduct", "skyline has no cross join"),
     ("q_join_fuzzy", "!CartesianProduct", "fuzzy join has no cross join"),
     (
