@@ -861,3 +861,96 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             exact_div(F.col("n"), F.col("n_from")).alias("prob"),
         )
     )
+
+
+@query(
+    "q_agg_time_weighted",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+               FLOOR(epoch(ts)) AS s,
+               FLOOR(epoch(LEAD(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id))) AS s_next
+        FROM events
+    ),
+    d AS (
+        SELECT user_id, cents, CAST(s_next - s AS BIGINT) AS dur
+        FROM seq WHERE s_next IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(SUM(dur) AS BIGINT) AS total_secs,
+           CAST(CAST(SUM(cents * dur) AS DOUBLE)
+                / CAST(SUM(dur) * 100 AS DOUBLE) AS DOUBLE) AS twa_value
+    FROM d GROUP BY user_id HAVING SUM(dur) > 0
+    """,
+)
+def q_agg_time_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (round 3) — the state-duration mean a
+    feature store / metering pipeline needs (TimescaleDB
+    time_weight): each event's value holds until the user's next
+    event; the mean weights by held seconds, not by sample count.
+    Exactness: durations are integer seconds (both engines FLOOR the
+    epoch — the q_stream_join convention), values integer cents, so
+    the weighted mean is one IEEE divide of exact integers. Shape:
+    one user_id shuffle feeds the lead() window and the same
+    partitioning serves the final per-user agg — Catalyst reuses the
+    exchange."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        (dec("value", 2) * 100).cast("long").alias("cents"),
+        F.unix_timestamp("ts").alias("s"),
+        F.unix_timestamp(F.lead("ts").over(w)).alias("s_next"),
+    ).where(F.col("s_next").isNotNull())
+    d = seq.select(
+        "user_id", "cents", (F.col("s_next") - F.col("s")).alias("dur")
+    )
+    return (
+        d.groupBy("user_id")
+        .agg(
+            F.sum("dur").alias("total_secs"),
+            F.sum(F.col("cents") * F.col("dur")).alias("wsum"),
+        )
+        .where(F.col("total_secs") > 0)
+        .select(
+            "user_id",
+            "total_secs",
+            exact_div(F.col("wsum"), F.col("total_secs") * 100).alias("twa_value"),
+        )
+    )
+
+
+@query(
+    "q_agg_histogram",
+    oracle="""
+    WITH c AS (
+        SELECT event_type,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM events
+    )
+    SELECT event_type,
+           CAST(least(cents // 50, 19) AS INT) AS bin,
+           COUNT(*) AS n
+    FROM c GROUP BY 1, 2
+    """,
+)
+def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (round 3): 20 bins of 0.50 over the
+    event value distribution per type, with the top bin open-ended.
+    Binning is integer arithmetic on exact cents (floor-divide both
+    engines), so bin membership never sits on a float boundary. One
+    partial+final hash agg; the histogram is mergeable by construction
+    (bin counts add), making it the exact companion to the
+    approx_percentile sketch family for distribution profiling."""
+    e = load(spark, sf_dir, "events")
+    cents = (dec("value", 2) * 100).cast("long")
+    bin_ = F.least(F.floor(cents / 50), F.lit(19)).cast("int")
+    return (
+        e.select("event_type", bin_.alias("bin"))
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -42,9 +42,9 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 # session regardless).
 #
 # Round-2 gate (CORRECTNESS_r02.json): the 50 listed in
-# SHOWCASE_DRIVER_CONFIRMED below — all green. Round-3 window: the 23
+# SHOWCASE_DRIVER_CONFIRMED below — all green. Round-3 window: the 25
 # round-3-NEW exact-oracle queries (brand-new code gets the hard
-# signal first; 14 late + 9 early additions) + 27 of the exact-oracle
+# signal first; 16 late + 9 early additions) + 25 of the exact-oracle
 # queries that sat outside the round-2 gate. Deferred to round 4:
 # TPC-H variants (q4/q6/q8/q9/q10/q12/q13/q14/q15/q16/q17/q19/q20/
 # q22) whose join/agg shapes q5+q18 represent, q_sample_hash (twin
@@ -54,12 +54,13 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 # q_text_quality — siblings stay in the window), and the thirteen
 # bumped names listed after SHOWCASE.
 SHOWCASE = (
-    # round-3 new, late additions (14)
+    # round-3 new, late additions (16)
     "q_join_interval", "q_agg_decay", "q_text_lm_score",
     "q_sample_weighted", "q_tokens_cms", "q_layout_zorder",
     "q_downsample_m4", "q_agg_kmv_jaccard", "q_curriculum_order",
     "q_join_fuzzy", "q_skyline", "q_join_spatial",
     "q_basket_pairs", "q_event_transitions",
+    "q_agg_time_weighted", "q_agg_histogram",
     # round-3 new (9)
     "q_join_theta_banded", "q_dedup_embed_bucketed",
     "q_join_asof_tol", "q_rollup_hypertable", "q_agg_hll_merge",
@@ -78,15 +79,16 @@ SHOWCASE = (
     # round-3 new, continued
     "q_window_gapfill",
     # §2.4 never-driver-checked (21)
-    "q_unpivot", "q_agg_stats", "q_agg_conditional",
+    "q_unpivot",
 )
-# Bumped to round 4 by the eighteen late round-3 additions (the window
+# Bumped to round 4 by the twenty-one late round-3 additions (the window
 # stays at 50): q_multimodal_embed, q_tpch_q5, q_tpch_q18,
 # q_shard_balance, q_text_chunks, q_corpus_carve,
 # q_sample_stratified, q_text_repetition, q_text_redact,
 # q_cohort_retention, q_event_funnel, q_subquery_scalar,
 # q_join_asof_fwd, q_join_salted, q_join_right, q_string_agg,
-# q_agg_mode, q_window_ntile — all covered by the local
+# q_agg_mode, q_window_ntile, q_agg_conditional, q_agg_stats — all
+# covered by the local
 # exact-oracle sweep in the meantime.
 # (q_graph_pagerank is deliberately NOT in the window: it has no SQL
 # oracle, so a slot would only buy the weaker rows-only signal; its
