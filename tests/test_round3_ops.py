@@ -330,3 +330,32 @@ def test_spatial_join_cell_boundary_pairs_kept(spark):
     assert (1, 2) in got      # adjacent across x-cell boundary
     assert (3, 4) in got      # diagonal boundary
     assert (5, 6) in got      # exactly radius apart (<=)
+
+
+def test_fuzzy_join_complete_at_min_length_boundary(spark):
+    """Stress the q-gram count-filter bound exactly at the minimum
+    complete length (q*(k+1)+1 = 7 for q=2, k=2): 400 random strings
+    over a 2-letter alphabet of lengths 7-9 maximize gram collisions
+    AND near-pairs; the operator must still equal the naive scan."""
+    import random
+
+    from fhir2sql_spark.operators.fuzzy import fuzzy_self_pairs
+
+    rng = random.Random(3)
+    names = list({
+        "".join(rng.choice("ab") for _ in range(rng.randint(7, 9)))
+        for _ in range(400)
+    })
+    df = spark.createDataFrame([(x,) for x in names], "p_name string")
+    got = sorted(
+        (r.name_a, r.name_b, r.edit_dist)
+        for r in fuzzy_self_pairs(df, "p_name", max_dist=2).collect()
+    )
+    want = sorted(
+        (min(a, b), max(a, b), _lev(a, b))
+        for i, a in enumerate(names)
+        for b in names[i + 1:]
+        if _lev(a, b) <= 2
+    )
+    assert got == want
+    assert len(want) > 100  # dense near-pair regime actually exercised
