@@ -38,28 +38,45 @@ def fuzzy_self_pairs(
 ) -> DataFrame:
     """(name_a, name_b, edit_dist) for every unordered pair of
     DISTINCT ``col`` values with levenshtein <= max_dist
-    (name_a < name_b)."""
+    (name_a < name_b).
+
+    Raises ValueError if any input string is shorter than
+    ``min_complete_length(max_dist, q)`` — below that the shared-gram
+    candidate test can miss true pairs, and the caller must route
+    short strings through an exact pass instead. (The check is a real
+    exception, not an ``assert``: it must survive ``python -O``.)"""
     n = names.select(F.col(col).alias("name")).distinct()
+    floor = min_complete_length(max_dist, q)
+    min_len = n.agg(F.min(F.length("name")).alias("m")).collect()[0].m
+    if min_len is not None and min_len < floor:
+        raise ValueError(
+            f"fuzzy_self_pairs: shortest input string has length "
+            f"{min_len} < {floor}; the q-gram candidate filter is only "
+            f"complete from length q*(max_dist+1)+1 — handle shorter "
+            f"strings with an exact pass"
+        )
     chars = F.split(F.col("name"), "")
     m = F.size(chars) - (q - 1)
     zipped = F.arrays_zip(*[F.slice(chars, i + 1, m) for i in range(q)])
     gram = F.concat_ws("", *[F.col(f"g.{i}") for i in range(q)])
     grams = (
-        n.where(F.size(chars) >= q)
-        .select("name", F.explode(zipped).alias("g"))
+        n.select("name", F.explode(zipped).alias("g"))
         .select("name", F.xxhash64(gram).alias("gid"))
         .distinct()
     )
     a = grams.select(F.col("name").alias("name_a"), "gid")
     b = grams.select(F.col("name").alias("name_b"), F.col("gid").alias("gid_b"))
-    cand = (
-        a.join(b, (a.gid == b.gid_b) & (F.col("name_a") < F.col("name_b")))
-        .groupBy("name_a", "name_b")
-        .agg(F.count(F.lit(1)).alias("shared"))
-        .where(
+    # length pruning INSIDE the join condition (still a hash join on
+    # gid): pairs of wildly different lengths never reach the shuffle
+    # aggregate; distinct() collapses the per-shared-gram multiplicity
+    cand = a.join(
+        b,
+        (a.gid == b.gid_b)
+        & (F.col("name_a") < F.col("name_b"))
+        & (
             F.abs(F.length("name_a") - F.length("name_b")) <= max_dist
-        )
-    )
+        ),
+    ).select("name_a", "name_b").distinct()
     return (
         cand.withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
         .where(F.col("edit_dist") <= max_dist)

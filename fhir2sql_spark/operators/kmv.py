@@ -70,12 +70,24 @@ def kmv_distinct_estimate(sketch: DataFrame, k: int = 64) -> DataFrame:
     )
 
 
+def kmv_distinct_estimate_value(sketch: DataFrame, k: int = 64) -> float:
+    """Driver-side distinct estimate for ONE sketch (columns: h):
+    (k-1)/h_(k), exact row count below k, 0.0 for an empty sketch.
+    The single shared implementation of the estimator — the grouped
+    form above and q_agg_kmv_jaccard both defer to this formula."""
+    row = sketch.agg(F.count(F.lit(1)).alias("n"), F.max("h").alias("hk")).collect()[0]
+    if row.n == 0:
+        return 0.0
+    return float(row.n) if row.n < k else (k - 1) / row.hk
+
+
 def kmv_intersection_estimate(
     sketch_a: DataFrame, sketch_b: DataFrame, k: int = 64
 ) -> DataFrame:
     """1-row (jaccard_est, intersection_est) for two single-group
     sketches (columns: h). Exhaustive sketches (< k values in the
-    union) degrade gracefully to exact."""
+    union) degrade gracefully to exact; two empty sketches estimate
+    jaccard 0 / intersection 0 (not a division error)."""
     a = sketch_a.select("h")
     b = sketch_b.select("h")
     union_k = (
@@ -86,6 +98,12 @@ def kmv_intersection_estimate(
         .localCheckpoint(eager=True)  # tiny; pins one evaluation
     )
     n_union = union_k.count()
+    import pandas as pd  # session-local 1-row frame
+
+    if n_union == 0:
+        return sketch_a.sparkSession.createDataFrame(
+            pd.DataFrame({"jaccard_est": [0.0], "intersection_est": [0.0]})
+        )
     in_both = (
         union_k.join(F.broadcast(a), "h", "left_semi")
         .join(F.broadcast(b), "h", "left_semi")
@@ -95,8 +113,6 @@ def kmv_intersection_estimate(
     hk = union_k.agg(F.max("h")).collect()[0][0]
     union_est = float(n_union) if exhaustive else (k - 1) / hk
     jaccard = in_both / float(n_union if exhaustive else k)
-    import pandas as pd  # session-local 1-row frame
-
     return sketch_a.sparkSession.createDataFrame(
         pd.DataFrame(
             {"jaccard_est": [jaccard], "intersection_est": [jaccard * union_est]}

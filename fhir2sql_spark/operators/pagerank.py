@@ -50,6 +50,8 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))  # empty frame, right schema
     outdeg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
     # adjacency with out-degree attached, materialized once
     adj = e.join(outdeg, "s").localCheckpoint(eager=True)

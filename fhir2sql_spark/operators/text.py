@@ -281,10 +281,14 @@ def cms_estimate(
         "seed",
         F.pmod(F.xxhash64(token_col, "seed"), F.lit(width)).alias("bucket"),
     )
+    # LEFT join: a cell the corpus never hit is COUNT 0, and the min
+    # must include it — an inner join would inflate (or entirely drop)
+    # estimates for tokens absent from the corpus, breaking the CMS
+    # point-query contract est(absent) = min(..., 0) = 0
     return (
-        addressed.join(F.broadcast(sketch), ["seed", "bucket"])
+        addressed.join(F.broadcast(sketch), ["seed", "bucket"], "left")
         .groupBy(token_col)
-        .agg(F.min("cnt").alias("est"))
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est"))
     )
 
 

@@ -310,6 +310,7 @@ def q_agg_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle hash-checks; tests/test_round3_ops.py asserts the
     tighter measured bounds."""
     from fhir2sql_spark.operators.kmv import (
+        kmv_distinct_estimate_value,
         kmv_intersection_estimate,
         kmv_sketch_single,
     )
@@ -327,11 +328,8 @@ def q_agg_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = kmv_sketch_single(a, "user_id", k).localCheckpoint(eager=True)
     sb = kmv_sketch_single(b, "user_id", k).localCheckpoint(eager=True)
 
-    def dist_est(sk) -> float:
-        r = sk.agg(F.count(F.lit(1)).alias("n"), F.max("h").alias("hk")).collect()[0]
-        return float(r.n) if r.n < k else (k - 1) / r.hk
-
-    est_a, est_b = dist_est(sa), dist_est(sb)
+    est_a = kmv_distinct_estimate_value(sa, k)
+    est_b = kmv_distinct_estimate_value(sb, k)
     r = kmv_intersection_estimate(sa, sb, k).collect()[0]
     jac_exact = n_i / float(n_a + n_b - n_i)
     row = [

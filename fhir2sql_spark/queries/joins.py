@@ -632,17 +632,11 @@ def q_join_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     (runtime-asserted). The oracle runs the naive all-pairs join, so
     result equality proves the filter missed nothing. Plan-audited:
     no BNLJ, no cartesian."""
-    from fhir2sql_spark.operators.fuzzy import (
-        fuzzy_self_pairs,
-        min_complete_length,
-    )
+    from fhir2sql_spark.operators.fuzzy import fuzzy_self_pairs
 
     p = load(spark, sf_dir, "part").select("p_name")
-    min_len = p.agg(F.min(F.length("p_name"))).collect()[0][0]
-    assert min_len >= min_complete_length(max_dist=2, q=2), (
-        f"q-gram candidate filter incomplete below length "
-        f"{min_complete_length(2, 2)}; corpus min is {min_len}"
-    )
+    # completeness is enforced INSIDE the operator (ValueError below
+    # the count-filter length floor), so no caller-side check needed
     return fuzzy_self_pairs(p, "p_name", max_dist=2, q=2)
 
 

@@ -42,17 +42,17 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 # session regardless).
 #
 # Round-2 gate (CORRECTNESS_r02.json): the 50 listed in
-# SHOWCASE_DRIVER_CONFIRMED below — all green. Round-3 window: the 25
-# round-3-NEW exact-oracle queries (brand-new code gets the hard
-# signal first; 16 late + 9 early additions) + 25 of the exact-oracle
-# queries that sat outside the round-2 gate. Deferred to round 4:
-# TPC-H variants (q4/q6/q8/q9/q10/q12/q13/q14/q15/q16/q17/q19/q20/
-# q22) whose join/agg shapes q5+q18 represent, q_sample_hash (twin
-# q_sample_stratified kept), q_tpch_q7, one member of each multiply-
-# represented family (q_text_tokens, q_text_fingerprint,
-# q_window_firstlast, q_join_cross, q_multimodal_resize,
-# q_text_quality — siblings stay in the window), and the thirteen
-# bumped names listed after SHOWCASE.
+# SHOWCASE_DRIVER_CONFIRMED below — all green. Round-3 window (50):
+# the 26 round-3-NEW exact-oracle queries (brand-new code gets the
+# hard signal first — 16 late additions + 10 early, counting
+# q_window_gapfill) + 24 exact-oracle queries that sat outside the
+# round-2 gate. Deferred to round 4: TPC-H variants (q4/q6/q8/q9/q10/
+# q12/q13/q14/q15/q16/q17/q19/q20/q22) whose join/agg shapes q5+q18
+# represent, q_sample_hash (twin q_sample_stratified kept),
+# q_tpch_q7, one member of each multiply-represented family
+# (q_text_tokens, q_text_fingerprint, q_window_firstlast,
+# q_join_cross, q_multimodal_resize, q_text_quality — siblings stay
+# in the window), and the twenty bumped names listed after SHOWCASE.
 SHOWCASE = (
     # round-3 new, late additions (16)
     "q_join_interval", "q_agg_decay", "q_text_lm_score",
@@ -66,7 +66,7 @@ SHOWCASE = (
     "q_join_asof_tol", "q_rollup_hypertable", "q_agg_hll_merge",
     "q_join_bloom", "q_sample_mixture", "q_anomaly_zscore",
     "q_tokens_heavy_hitters",
-    # §2.3 never-driver-checked (23)
+    # §2.3 never-driver-checked
     "q_join_full", "q_join_theta",
     "q_agg_sets", "q_agg_cube", "q_agg_having",
     "q_window_lag", "q_window_frame", "q_window_range_frame",
@@ -78,18 +78,17 @@ SHOWCASE = (
     "q_udf_pandas", "q_udtf_explode",
     # round-3 new, continued
     "q_window_gapfill",
-    # §2.4 never-driver-checked (21)
+    # §2.4 never-driver-checked
     "q_unpivot",
 )
-# Bumped to round 4 by the twenty-one late round-3 additions (the window
-# stays at 50): q_multimodal_embed, q_tpch_q5, q_tpch_q18,
+# Bumped to round 4 by the late round-3 additions (the window stays
+# at 50); the twenty: q_multimodal_embed, q_tpch_q5, q_tpch_q18,
 # q_shard_balance, q_text_chunks, q_corpus_carve,
 # q_sample_stratified, q_text_repetition, q_text_redact,
 # q_cohort_retention, q_event_funnel, q_subquery_scalar,
 # q_join_asof_fwd, q_join_salted, q_join_right, q_string_agg,
 # q_agg_mode, q_window_ntile, q_agg_conditional, q_agg_stats — all
-# covered by the local
-# exact-oracle sweep in the meantime.
+# covered by the local exact-oracle sweep in the meantime.
 # (q_graph_pagerank is deliberately NOT in the window: it has no SQL
 # oracle, so a slot would only buy the weaker rows-only signal; its
 # correctness evidence is the numpy parity test.)

@@ -359,3 +359,53 @@ def test_fuzzy_join_complete_at_min_length_boundary(spark):
     )
     assert got == want
     assert len(want) > 100  # dense near-pair regime actually exercised
+
+
+def test_cms_absent_token_estimates_zero(spark, sf_dir):
+    """CMS point-query contract: a token never seen by the sketch must
+    estimate 0 (its min includes an empty cell) — the review finding
+    that an inner sketch join inflated or dropped absent tokens."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("token"))
+    sketch = cms_sketch(toks, depth=4, width=1 << 20)  # wide: no collisions
+    ghost = spark.createDataFrame(
+        [("__token_not_in_corpus__",)], "token string"
+    )
+    est = cms_estimate(sketch, ghost, depth=4, width=1 << 20).collect()
+    assert len(est) == 1 and est[0].est == 0
+
+
+def test_kmv_empty_sketches_estimate_zero(spark):
+    from fhir2sql_spark.operators.kmv import (
+        kmv_intersection_estimate,
+        kmv_distinct_estimate_value,
+        kmv_sketch_single,
+    )
+
+    empty = spark.range(0).selectExpr("id AS key")
+    s = kmv_sketch_single(empty, "key")
+    assert kmv_distinct_estimate_value(s) == 0.0
+    r = kmv_intersection_estimate(s, s).collect()[0]
+    assert r.jaccard_est == 0.0 and r.intersection_est == 0.0
+
+
+def test_pagerank_empty_graph_returns_empty(spark):
+    from fhir2sql_spark.operators.pagerank import pagerank
+
+    edges = spark.createDataFrame([], "src long, dst long")
+    out = pagerank(edges, iters=3)
+    assert out.columns == ["node", "rank"]
+    assert out.count() == 0
+
+
+def test_fuzzy_rejects_below_completeness_floor(spark):
+    import pytest as _pytest
+
+    from fhir2sql_spark.operators.fuzzy import fuzzy_self_pairs
+
+    df = spark.createDataFrame([("abcdefg",), ("ab",)], "p_name string")
+    with _pytest.raises(ValueError, match="complete"):
+        fuzzy_self_pairs(df, "p_name", max_dist=2)
+    # and an empty input is fine (no pairs, no error)
+    empty = spark.createDataFrame([], "p_name string")
+    assert fuzzy_self_pairs(empty, "p_name", max_dist=2).count() == 0
