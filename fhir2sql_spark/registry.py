@@ -134,7 +134,8 @@ SHOWCASE_BENCH = (
     "q_join_bloom", "q_anomaly_zscore", "q_tokens_heavy_hitters",
     "q_embed_ivf_trained", "q_rollup_hypertable",
     "q_join_interval", "q_text_lm_score", "q_layout_zorder",
-    "q_downsample_m4",
+    "q_downsample_m4", "q_skyline", "q_join_fuzzy", "q_join_spatial",
+    "q_basket_pairs", "q_agg_time_weighted", "q_curriculum_order",
 )
 
 
