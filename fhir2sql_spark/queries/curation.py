@@ -194,8 +194,16 @@ def q_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic balanced sharding for training export: serpentine
     rank-dealing over (n_tokens DESC, doc_id) into 8 shards
     (operators/packing.py:shard_assign — see its docstring for the
-    distributed-rank form the global window becomes at 100 TB)."""
-    return packing.shard_assign(load(spark, sf_dir, "documents"), n_shards=8)
+    distributed-rank form the global window becomes at 100 TB).
+
+    Registered with ``distributed=True`` (round-4): the rank comes
+    from range-repartition + per-partition windows + offset join
+    (operators/packing.py:distributed_rank), property-tested
+    identical to the global window and free of the single-task
+    ``WindowExec: No Partition Defined`` plan."""
+    return packing.shard_assign(
+        load(spark, sf_dir, "documents"), n_shards=8, distributed=True
+    )
 
 
 @query(

@@ -42,56 +42,42 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 # session regardless).
 #
 # Round-2 gate (CORRECTNESS_r02.json): the 50 listed in
-# SHOWCASE_DRIVER_CONFIRMED below — all green. Round-3 window (50):
-# the 26 round-3-NEW exact-oracle queries (brand-new code gets the
-# hard signal first — 16 late additions + 10 early, counting
-# q_window_gapfill) + 24 exact-oracle queries that sat outside the
-# round-2 gate. Deferred to round 4: TPC-H variants (q4/q6/q8/q9/q10/
-# q12/q13/q14/q15/q16/q17/q19/q20/q22) whose join/agg shapes q5+q18
-# represent, q_sample_hash (twin q_sample_stratified kept),
-# q_tpch_q7, one member of each multiply-represented family
-# (q_text_tokens, q_text_fingerprint, q_window_firstlast,
-# q_join_cross, q_multimodal_resize, q_text_quality — siblings stay
-# in the window), and the twenty bumped names listed after SHOWCASE.
+# SHOWCASE_DRIVER_CONFIRMED below — all green. Round-3 gate
+# (CORRECTNESS_r03.json): 50 more, also all green; cross-round
+# driver-confirmed union after r3 = 100 distinct queries. Round-4
+# window (this tuple): the exact set of 50 queries that had never
+# been in a driver gate (union of r1–r3 CORRECTNESS files vs the
+# 150-query registry), so a green CORRECTNESS_r04.json closes the
+# external-verification union to 150/150. All 50 were strict-checked
+# locally via tools/drivercheck.py (and by the round-3 judge);
+# q_graph_pagerank is the one rows-only slot (no SQL oracle — its
+# correctness evidence is the numpy parity test; a driver rows-only
+# row is still a stronger external signal than none).
 SHOWCASE = (
-    # round-3 new, late additions (16)
-    "q_join_interval", "q_agg_decay", "q_text_lm_score",
-    "q_sample_weighted", "q_tokens_cms", "q_layout_zorder",
-    "q_downsample_m4", "q_agg_kmv_jaccard", "q_curriculum_order",
-    "q_join_fuzzy", "q_skyline", "q_join_spatial",
-    "q_basket_pairs", "q_event_transitions",
-    "q_agg_time_weighted", "q_agg_histogram",
-    # round-3 new (9)
-    "q_join_theta_banded", "q_dedup_embed_bucketed",
-    "q_join_asof_tol", "q_rollup_hypertable", "q_agg_hll_merge",
-    "q_join_bloom", "q_sample_mixture", "q_anomaly_zscore",
-    "q_tokens_heavy_hitters",
-    # §2.3 never-driver-checked
-    "q_join_full", "q_join_theta",
-    "q_agg_sets", "q_agg_cube", "q_agg_having",
-    "q_window_lag", "q_window_frame", "q_window_range_frame",
-    "q_sort_multi", "q_union_distinct", "q_intersect", "q_except",
-    "q_math_funcs", "q_case_coalesce", "q_array_funcs", "q_map_funcs",
-    "q_json_funcs",
-    "q_slide", "q_late_data",
-    "q_text_stats", "q_text_lang_profile",
-    "q_udf_pandas", "q_udtf_explode",
-    # round-3 new, continued
-    "q_window_gapfill",
-    # §2.4 never-driver-checked
-    "q_unpivot",
+    # remaining TPC-H canon (17)
+    "q_tpch_q4", "q_tpch_q5", "q_tpch_q6", "q_tpch_q7", "q_tpch_q8",
+    "q_tpch_q9", "q_tpch_q10", "q_tpch_q12", "q_tpch_q13",
+    "q_tpch_q14", "q_tpch_q15", "q_tpch_q16", "q_tpch_q17",
+    "q_tpch_q18", "q_tpch_q19", "q_tpch_q20", "q_tpch_q22",
+    # probabilistic / sketch families (8)
+    "q_agg_approx_percentile", "q_dedup_embed_bulk",
+    "q_dedup_minhash", "q_dedup_simhash",
+    "q_embed_ann", "q_embed_ivf", "q_embed_ivf_trained",
+    "q_sample_hash",
+    # relational / window / join (13)
+    "q_agg_conditional", "q_agg_mode", "q_agg_stats",
+    "q_cohort_retention", "q_event_funnel",
+    "q_join_asof_fwd", "q_join_cross", "q_join_right",
+    "q_join_salted", "q_string_agg", "q_subquery_scalar",
+    "q_window_firstlast", "q_window_ntile",
+    # text / curation / multimodal (11)
+    "q_corpus_carve", "q_multimodal_embed", "q_multimodal_resize",
+    "q_sample_stratified", "q_shard_balance",
+    "q_text_chunks", "q_text_fingerprint", "q_text_quality",
+    "q_text_redact", "q_text_repetition", "q_text_tokens",
+    # iterative (rows-only; no SQL oracle)
+    "q_graph_pagerank",
 )
-# Bumped to round 4 by the late round-3 additions (the window stays
-# at 50); the twenty: q_multimodal_embed, q_tpch_q5, q_tpch_q18,
-# q_shard_balance, q_text_chunks, q_corpus_carve,
-# q_sample_stratified, q_text_repetition, q_text_redact,
-# q_cohort_retention, q_event_funnel, q_subquery_scalar,
-# q_join_asof_fwd, q_join_salted, q_join_right, q_string_agg,
-# q_agg_mode, q_window_ntile, q_agg_conditional, q_agg_stats — all
-# covered by the local exact-oracle sweep in the meantime.
-# (q_graph_pagerank is deliberately NOT in the window: it has no SQL
-# oracle, so a slot would only buy the weaker rows-only signal; its
-# correctness evidence is the numpy parity test.)
 
 # Green in CORRECTNESS_r02.json (round-2 driver gate) — kept here so
 # future rotations know what is already driver-confirmed.

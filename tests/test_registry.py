@@ -33,3 +33,50 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() > 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_showcase_covers_never_driver_checked():
+    """Round-4 window = exactly the 50 queries absent from the r1-r3
+    driver gates, so CORRECTNESS_r04 closes the union to 150/150."""
+    assert len(registry.SHOWCASE) == 50
+    assert len(set(registry.SHOWCASE)) == 50
+    assert set(registry.SHOWCASE) <= set(registry.QUERIES)
+    # driver-confirmed queries must NOT occupy round-4 window slots
+    assert not set(registry.SHOWCASE) & set(registry.SHOWCASE_DRIVER_CONFIRMED)
+
+
+def test_unpartitioned_window_parser():
+    """The explain-audit sweep must flag single-task windows and pass
+    partitioned, partition-only, and __pid-whitelisted forms."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from explain_audit import unpartitioned_windows
+
+    unpart = (
+        "+- Window [row_number() windowspecdefinition(id#0L ASC NULLS FIRST, "
+        "specifiedwindowframe(RowFrame, unboundedpreceding$(), currentrow$())) "
+        "AS r#4], [id#0L ASC NULLS FIRST]"
+    )
+    part = (
+        "+- Window [row_number() windowspecdefinition(k#1L, id#0L ASC NULLS "
+        "FIRST, specifiedwindowframe(RowFrame, unboundedpreceding$(), "
+        "currentrow$())) AS r#7], [k#1L], [id#0L ASC NULLS FIRST]"
+    )
+    part_only = (
+        "+- Window [sum(_w0#1) windowspecdefinition(l_partkey#2L, "
+        "specifiedwindowframe(RowFrame, unboundedpreceding$(), "
+        "unboundedfollowing$())) AS s#3], [l_partkey#2L]"
+    )
+    pid_offset = (
+        "+- Window [sum(__cnt#5L) windowspecdefinition(__pid#4 ASC NULLS "
+        "FIRST, specifiedwindowframe(RowFrame, unboundedpreceding$(), -1)) "
+        "AS __off#6L], [__pid#4 ASC NULLS FIRST]"
+    )
+    assert unpartitioned_windows(unpart)          # flagged
+    assert not unpartitioned_windows(part)        # partitioned: fine
+    assert not unpartitioned_windows(part_only)   # whole-frame agg: fine
+    assert not unpartitioned_windows(pid_offset)  # O(partitions) rows: fine
+    combined = "\n".join([part, unpart, pid_offset])
+    assert len(unpartitioned_windows(combined)) == 1

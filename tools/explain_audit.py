@@ -139,6 +139,74 @@ CHECKS[-1] = (
 )
 
 
+def _toplevel_groups(s: str) -> list[str]:
+    """Split ``[a], [b, [c]], [d]`` into its depth-0 bracket groups."""
+    groups, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "[":
+            depth += 1
+            if depth == 1:
+                cur = []
+                continue
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append("".join(cur))
+                continue
+        if depth >= 1:
+            cur.append(ch)
+    return groups
+
+
+def unpartitioned_windows(plan: str) -> list[str]:
+    """Return the offending lines for every single-task window in a plan.
+
+    A ``WindowExec`` with an empty partition spec moves ALL rows to one
+    task — the O(rows) single-task plan that is fatal at 100 TB. Its
+    toString has two depth-0 bracket groups (``Window [exprs], [order]``)
+    vs three when partitioned. Whitelisted: windows ordered by ``__pid``
+    — the O(partitions)-row offset tables of
+    operators/packing.py:distributed_rank and operators/skyline.py,
+    where the window input is one row per shuffle partition, not per
+    data row.
+    """
+    bad = []
+    for line in plan.splitlines():
+        stripped = line.strip().lstrip("+-: *")
+        for node in ("WindowGroupLimit ", "Window "):
+            if stripped.startswith(node):
+                groups = _toplevel_groups(stripped[len(node):])
+                # Window: [exprs],[part],[order] / [exprs],[order]
+                # WindowGroupLimit: [part],[order],rank,k,mode
+                if node == "Window ":
+                    # 3 groups = [exprs],[part],[order] — partitioned.
+                    # 2 groups is ambiguous: [exprs],[order] (unpartitioned)
+                    # vs [exprs],[part] (partition-only, whole-frame agg —
+                    # distributed, fine). Order specs always print a sort
+                    # direction; partition specs never do.
+                    order = groups[-1] if groups else ""
+                    unpart = len(groups) < 3 and (
+                        "ASC" in order or "DESC" in order
+                    )
+                else:
+                    unpart = not groups or not groups[0].strip()
+                    order = groups[1] if len(groups) > 1 else ""
+                if unpart and "__pid" not in order:
+                    bad.append(stripped)
+                break
+    return bad
+
+
+def sweep_all_windows(spark) -> list[tuple[str, str]]:
+    """Suite-wide single-task-window audit over every registered query."""
+    failures = []
+    for name, fn in registry.QUERIES.items():
+        plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        for line in unpartitioned_windows(plan):
+            failures.append((name, line))
+    return failures
+
+
 def main() -> int:
     registry.load_all()
     spark = get_spark("explain-audit")
@@ -160,10 +228,19 @@ def main() -> int:
         print(f"  {'PASS' if ok else 'FAIL'}  {name:20s} {why}")
         if not ok:
             failures.append((name, needle))
+    win_failures = sweep_all_windows(spark)
+    for name, line in win_failures:
+        print(f"  FAIL  {name:20s} single-task window: {line[:100]}")
+    print(
+        f"  {'FAIL' if win_failures else 'PASS'}  "
+        f"suite-wide: no unpartitioned WindowExec across "
+        f"{len(registry.QUERIES)} query plans"
+    )
+    failures.extend(win_failures)
     if failures:
         print(f"\n{len(failures)} plan regressions: {failures}")
         return 1
-    print(f"\nall {len(CHECKS)} plan checks hold")
+    print(f"\nall {len(CHECKS)} plan checks + window sweep hold")
     return 0
 
 
