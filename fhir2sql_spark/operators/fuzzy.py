@@ -40,21 +40,27 @@ def fuzzy_self_pairs(
     DISTINCT ``col`` values with levenshtein <= max_dist
     (name_a < name_b).
 
-    Raises ValueError if any input string is shorter than
-    ``min_complete_length(max_dist, q)`` — below that the shared-gram
-    candidate test can miss true pairs, and the caller must route
-    short strings through an exact pass instead. (The check is a real
-    exception, not an ``assert``: it must survive ``python -O``.)"""
-    n = names.select(F.col(col).alias("name")).distinct()
+    Inputs shorter than ``min_complete_length(max_dist, q)`` raise at
+    ACTION time (an in-plan ``raise_error`` guard) — below that floor
+    the shared-gram candidate test can miss true pairs, and the caller
+    must route short strings through an exact pass instead. The guard
+    is a per-row expression inside the main job: building the
+    DataFrame stays lazy (no eager scan), and no extra pass over the
+    input is ever made."""
     floor = min_complete_length(max_dist, q)
-    min_len = n.agg(F.min(F.length("name")).alias("m")).collect()[0].m
-    if min_len is not None and min_len < floor:
-        raise ValueError(
-            f"fuzzy_self_pairs: shortest input string has length "
-            f"{min_len} < {floor}; the q-gram candidate filter is only "
-            f"complete from length q*(max_dist+1)+1 — handle shorter "
-            f"strings with an exact pass"
+    guard = F.when(F.length(F.col(col)) >= floor, F.col(col)).otherwise(
+        F.raise_error(
+            F.format_string(
+                "fuzzy_self_pairs: input string '%s' has length %s < "
+                f"{floor}; the q-gram candidate filter is only complete "
+                "from length q*(max_dist+1)+1 — handle shorter strings "
+                "with an exact pass",
+                F.col(col),
+                F.length(F.col(col)),
+            )
         )
+    )
+    n = names.select(guard.alias("name")).distinct()
     chars = F.split(F.col("name"), "")
     m = F.size(chars) - (q - 1)
     zipped = F.arrays_zip(*[F.slice(chars, i + 1, m) for i in range(q)])

@@ -28,9 +28,31 @@ def distance_self_join(
     (integer planar coords) with squared distance <= radius^2,
     id_a < id_b."""
     r = int(radius)
-    cell = lambda c: F.floor(F.col(c) / r).cast("long")  # noqa: E731
-    # single long cell key: interleave-free packing (y fits 32 bits)
-    pack = lambda cx, cy: (cx * F.lit(1 << 31) + cy)  # noqa: E731
+    lim = 1 << 30
+
+    # Cell coordinates are guarded to |cell| < 2^30 (an in-plan
+    # raise_error, so the check is lazy and costs one comparison per
+    # row). Within that domain the packing below is injective even
+    # across the +/-1 probe offsets: cy is shifted into [0, 2^31), so
+    # pack(cx, cy) == pack(cx', cy') forces cy - cy' = +/-2^31, which
+    # |cell| < 2^30 and |offset| <= 1 cannot produce — the
+    # exactly-once/no-distinct contract holds for the full guarded
+    # domain, not just "small" coordinates. |cx| <= 2^30 also bounds
+    # the product at ~2^61, safely inside long range.
+    def cell(c):
+        cc = F.floor(F.col(c) / r).cast("long")
+        return F.when(F.abs(cc) < lim, cc).otherwise(
+            F.raise_error(
+                F.format_string(
+                    "distance_self_join: coordinate %s is outside the "
+                    f"supported domain |coord| < {lim}*r (r={r}); "
+                    "rescale coordinates or widen the cell packing",
+                    F.col(c),
+                )
+            )
+        )
+
+    pack = lambda cx, cy: (cx * F.lit(1 << 31) + (cy + F.lit(1 << 30)))  # noqa: E731
 
     home = points.select(
         F.col(id_col).alias("id_b"),
@@ -38,6 +60,8 @@ def distance_self_join(
         F.col(y_col).alias("yb"),
         pack(cell(x_col), cell(y_col)).alias("__cell"),
     )
+    # probe cells reuse the guarded cell exprs (offsets applied after
+    # the domain check, so cy+dy stays within the injective range)
     offsets = F.array(
         *[
             F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
@@ -57,8 +81,8 @@ def distance_self_join(
             "xa",
             "ya",
             pack(
-                F.floor(F.col("xa") / r).cast("long") + F.col("o.dx"),
-                F.floor(F.col("ya") / r).cast("long") + F.col("o.dy"),
+                cell("xa") + F.col("o.dx"),
+                cell("ya") + F.col("o.dy"),
             ).alias("__cell"),
         )
     )

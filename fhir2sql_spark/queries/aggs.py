@@ -331,7 +331,14 @@ def q_agg_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     est_a = kmv_distinct_estimate_value(sa, k)
     est_b = kmv_distinct_estimate_value(sb, k)
     r = kmv_intersection_estimate(sa, sb, k).collect()[0]
-    jac_exact = n_i / float(n_a + n_b - n_i)
+    # Empty-input guards: on an empty events table the union denominator
+    # is 0 (Jaccard defined as 0) and the sketch estimates come back
+    # NULL; the intersection tolerance is absolute-or-relative so the
+    # n_i == 0 case doesn't degenerate to an exact-zero requirement.
+    denom = float(n_a + n_b - n_i)
+    jac_exact = (n_i / denom) if denom else 0.0
+    inter_est = r.intersection_est if r.intersection_est is not None else 0.0
+    jac_est = r.jaccard_est if r.jaccard_est is not None else 0.0
     row = [
         (
             n_a,
@@ -339,8 +346,8 @@ def q_agg_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_i,
             abs(est_a - n_a) <= 0.25 * n_a,
             abs(est_b - n_b) <= 0.25 * n_b,
-            abs(r.intersection_est - n_i) <= 0.35 * n_i,
-            abs(r.jaccard_est - jac_exact) <= 0.25,
+            abs(inter_est - n_i) <= max(0.35 * n_i, 1.0),
+            abs(jac_est - jac_exact) <= 0.25,
         )
     ]
     return spark.createDataFrame(

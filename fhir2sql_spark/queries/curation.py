@@ -31,11 +31,16 @@ from fhir2sql_spark.tables import load
     "q_text_repetition",
     oracle="""
     WITH s AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    pos AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(1, len(toks) - 2)) AS i
+        FROM s
+    ),
     g AS (
         SELECT doc_id,
                toks[CAST(i AS INT)] || ' ' || toks[CAST(i+1 AS INT)]
                  || ' ' || toks[CAST(i+2 AS INT)] AS gram
-        FROM s, range(1, 2000) t(i) WHERE i <= len(toks) - 2
+        FROM pos
     )
     SELECT doc_id,
            COUNT(*) AS n_grams,
@@ -113,12 +118,17 @@ def q_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_decontaminate",
     oracle="""
     WITH s AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    pos AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(1, len(toks) - 4)) AS i
+        FROM s
+    ),
     g AS (
         SELECT DISTINCT doc_id,
                toks[CAST(i AS INT)] || ' ' || toks[CAST(i+1 AS INT)]
                  || ' ' || toks[CAST(i+2 AS INT)] || ' ' || toks[CAST(i+3 AS INT)]
                  || ' ' || toks[CAST(i+4 AS INT)] AS gram
-        FROM s, range(1, 2000) t(i) WHERE i <= len(toks) - 4
+        FROM pos
     ),
     bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 7 = 0),
     corpus AS (SELECT doc_id, gram FROM g WHERE doc_id % 7 <> 0)

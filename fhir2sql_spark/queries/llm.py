@@ -38,11 +38,16 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_dedup_near",
     oracle="""
     WITH s AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+    pos AS (
+        SELECT doc_id, lang, toks,
+               unnest(generate_series(1, len(toks) - 2)) AS i
+        FROM s
+    ),
     sh AS (
         SELECT DISTINCT doc_id, lang,
                toks[CAST(i AS INT)] || ' ' || toks[CAST(i+1 AS INT)]
                  || ' ' || toks[CAST(i+2 AS INT)] AS shingle
-        FROM s, range(1, 2000) t(i) WHERE i <= len(toks) - 2
+        FROM pos
     ),
     sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
     pairs AS (

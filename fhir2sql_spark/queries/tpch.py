@@ -5,11 +5,13 @@ The reference (samply/fhir2sql) computes only COUNT(*)
 multi-join decision-support surface a user switching a warehouse
 workload onto this engine expects, in the canonical TPC-H shapes —
 adapted to the driver's star schema (TESTDATA.md has no partsupp
-table and no l_commitdate/l_receiptdate/l_shipmode/c_phone columns,
-so Q2/Q11/Q21 are out of scope, Q9/Q15/Q16/Q17/Q20 are adapted with
-lineitem standing in for partsupp, and Q4/Q12/Q19/Q22
-substitute equivalent predicates over existing columns; Q1 is already
-declared as q_agg_basic).
+table and no l_commitdate/l_receiptdate/l_shipmode/c_phone columns:
+Q9/Q15/Q16/Q17/Q20 are adapted with lineitem standing in for
+partsupp, Q4/Q12/Q19/Q21/Q22 substitute equivalent predicates over
+existing columns, and Q2/Q11 run over a deterministic partsupp
+DERIVED from part x supplier on both oracle sides — see _PS_CTES at
+the bottom of this module; Q1 is already declared as q_agg_basic).
+With those, all 21 non-Q1 canon queries are registered.
 
 Determinism (SURVEY.md §2.3 rules): DECIMAL(18,4) casts before any
 SUM, exact-decimal-sum -> IEEE-double division for every ratio,
@@ -779,4 +781,297 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(eligible), s.s_suppkey == eligible.l_suppkey, "left_semi")
         .select("s_suppkey", "s_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q2 / Q11 / Q21 — the three canon queries whose original forms need the
+# partsupp relation (and receipt/commit dates) absent from TESTDATA.md.
+# Round 4 closes them by DERIVING a deterministic partsupp from
+# part x supplier on BOTH sides of the oracle differential (the same
+# synthesize-in-query pattern q_multimodal_frames uses for blobs):
+# 4 suppliers per part, chosen by modular stride over the supplier
+# count, with integer-derived availqty and a cents-scaled supplycost so
+# every aggregate stays exact (scaled-bigint sums, one IEEE divide at
+# the end — never a float sum).
+
+_PS_CTES = """
+    ps0 AS (
+      SELECT p_partkey AS ps_partkey,
+             CAST((p_partkey + i * 13) % (SELECT COUNT(*) FROM supplier)
+                  AS BIGINT) AS ps_suppkey
+      FROM part, range(0, 4) t(i)
+    ),
+    ps AS (
+      SELECT ps_partkey, ps_suppkey,
+             CAST(1 + (ps_partkey * 37 + ps_suppkey * 11) % 9999 AS INT)
+               AS ps_availqty,
+             CAST((ps_partkey * 31 + ps_suppkey * 17) % 99900 + 100 AS BIGINT)
+               AS ps_cost_cents
+      FROM ps0
+    )
+"""
+
+
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic partsupp: (ps_partkey, ps_suppkey, ps_availqty,
+    ps_cost_cents), 4 distinct suppliers per part.
+
+    Shape at scale: a map-side explode of part (no shuffle) against a
+    broadcast 1-row supplier count — partsupp is never materialized,
+    it streams out of the part scan 4x wider."""
+    s_cnt = (
+        load(spark, sf_dir, "supplier")
+        .agg(F.count(F.lit(1)).alias("__S"))
+    )
+    base = (
+        load(spark, sf_dir, "part")
+        .select(F.col("p_partkey").alias("ps_partkey"))
+        .crossJoin(F.broadcast(s_cnt))
+        .select(
+            "ps_partkey",
+            "__S",
+            F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("__i"),
+        )
+        .select(
+            "ps_partkey",
+            F.pmod(F.col("ps_partkey") + F.col("__i") * 13, F.col("__S"))
+            .cast("long")
+            .alias("ps_suppkey"),
+        )
+    )
+    return base.select(
+        "ps_partkey",
+        "ps_suppkey",
+        (
+            1
+            + F.pmod(
+                F.col("ps_partkey") * 37 + F.col("ps_suppkey") * 11, F.lit(9999)
+            )
+        )
+        .cast("int")
+        .alias("ps_availqty"),
+        (
+            F.pmod(
+                F.col("ps_partkey") * 31 + F.col("ps_suppkey") * 17,
+                F.lit(99900),
+            )
+            + 100
+        )
+        .cast("long")
+        .alias("ps_cost_cents"),
+    )
+
+
+@query(
+    "q_tpch_q2",
+    oracle="""
+    WITH """ + _PS_CTES + """,
+    eu AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    ),
+    minc AS (
+      SELECT ps_partkey, MIN(ps_cost_cents) AS min_cents
+      FROM ps JOIN eu ON ps_suppkey = s_suppkey
+      GROUP BY ps_partkey
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+           CAST(ps_cost_cents AS DOUBLE) / 100.0 AS supplycost
+    FROM part
+    JOIN ps ON ps_partkey = p_partkey
+    JOIN eu ON ps_suppkey = s_suppkey
+    JOIN minc ON minc.ps_partkey = ps.ps_partkey
+             AND ps_cost_cents = min_cents
+    WHERE p_size = 15 AND p_type <> 'PROMO'
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 minimum-cost supplier (canon shape over the derived
+    partsupp): for each EUROPE-sourced part of one size/type, the
+    supplier(s) achieving the regional minimum supply cost.
+
+    Shape at scale: the supplier->nation->region chain collapses to a
+    broadcast dim (suppliers are small vs parts); the per-part MIN is
+    a partial+final hash agg over the partsupp stream; the min-cost
+    match joins back on (ps_partkey, cost) — an equi join, never a
+    correlated subquery per row; top-100 is TakeOrderedAndProject.
+    The ordering (s_acctbal DESC, n_name, s_name, p_partkey) is total:
+    (p_partkey, s_name) is unique per row, so the LIMIT is
+    deterministic."""
+    ps = _partsupp(spark, sf_dir)
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    eu = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    ps_eu = ps.join(F.broadcast(eu), ps.ps_suppkey == eu.s_suppkey)
+    minc = ps_eu.groupBy(F.col("ps_partkey").alias("mc_partkey")).agg(
+        F.min("ps_cost_cents").alias("min_cents")
+    )
+    p = load(spark, sf_dir, "part").where(
+        (F.col("p_size") == 15) & (F.col("p_type") != "PROMO")
+    )
+    return (
+        ps_eu.join(
+            minc,
+            (ps_eu.ps_partkey == minc.mc_partkey)
+            & (ps_eu.ps_cost_cents == minc.min_cents),
+        )
+        .join(F.broadcast(p), ps_eu.ps_partkey == p.p_partkey)
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_brand",
+            exact_div(F.col("ps_cost_cents"), F.lit(100)).alias("supplycost"),
+        )
+        .orderBy(
+            F.desc("s_acctbal"), F.asc("n_name"), F.asc("s_name"), F.asc("p_partkey")
+        )
+        .limit(100)
+    )
+
+
+@query(
+    "q_tpch_q11",
+    oracle="""
+    WITH """ + _PS_CTES + """,
+    nat AS (
+      SELECT s_suppkey FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_7'
+    ),
+    val AS (
+      SELECT ps_partkey,
+             CAST(SUM(ps_cost_cents * ps_availqty) AS BIGINT) AS cents
+      FROM ps JOIN nat ON ps_suppkey = s_suppkey
+      GROUP BY ps_partkey
+    ),
+    tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS total_cents FROM val)
+    SELECT ps_partkey, CAST(cents AS DOUBLE) / 100.0 AS value
+    FROM val, tot
+    WHERE cents * 1000 > total_cents
+    ORDER BY value DESC, ps_partkey
+    """,
+)
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 important stock (canon shape over the derived partsupp):
+    per-part inventory value for one nation's suppliers, keeping parts
+    whose value exceeds 0.1% of the nation total.
+
+    All sums are cents-scaled BIGINTs (exact under any partitioning);
+    the single IEEE divide happens on output. The national total is a
+    1-row aggregate broadcast back as the HAVING threshold — the
+    partsupp stream is scanned once for the per-part values and the
+    tiny val relation (|parts| rows) re-aggregates for the total, so
+    no second pass over partsupp at scale. Fraction 1/1000 compares
+    as cents*1000 > total_cents: pure integer, no float threshold."""
+    ps = _partsupp(spark, sf_dir)
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_7")
+    nat = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select("s_suppkey")
+    val = (
+        ps.join(F.broadcast(nat), ps.ps_suppkey == nat.s_suppkey)
+        .groupBy("ps_partkey")
+        .agg(
+            F.sum(F.col("ps_cost_cents") * F.col("ps_availqty"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    tot = val.agg(F.sum("cents").cast("long").alias("total_cents"))
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .where(F.col("cents") * 1000 > F.col("total_cents"))
+        .select(
+            "ps_partkey", exact_div(F.col("cents"), F.lit(100)).alias("value")
+        )
+        .orderBy(F.desc("value"), F.asc("ps_partkey"))
+    )
+
+
+@query(
+    "q_tpch_q21",
+    oracle="""
+    WITH l AS (
+      SELECT l_orderkey, l_suppkey,
+             ((l_orderkey * 7 + l_linenumber * 3) % 30 > 14) AS late
+      FROM lineitem
+    )
+    SELECT s_name, COUNT(*) AS numwait
+    FROM l l1
+    JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+    JOIN supplier ON l1.l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_3'
+    WHERE l1.late
+      AND EXISTS (SELECT 1 FROM l l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM l l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.late)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+)
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 suppliers who kept orders waiting (canon exists/not-exists
+    shape). TESTDATA.md has no l_receiptdate/l_commitdate, so lateness
+    derives deterministically from the line identity:
+    (l_orderkey*7 + l_linenumber*3) % 30 > 14 — the same modular-date
+    substitution Q4/Q12 use, identical on both oracle sides.
+
+    Shape at scale: both EXISTS branches are hash joins on l_orderkey
+    (LeftSemi / LeftAnti) with the supplier-inequality as a residual
+    post-join filter — never a per-row correlated probe; supplier and
+    nation broadcast; the final count groups on s_name (|suppliers|
+    rows) and top-100 is TakeOrderedAndProject."""
+    l = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.pmod(F.col("l_orderkey") * 7 + F.col("l_linenumber") * 3, F.lit(30))
+            > 14
+        ).alias("late"),
+    )
+    l1 = l.where("late").alias("l1")
+    l2 = l.alias("l2")
+    l3 = l.where("late").alias("l3")
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_3")
+    waiting = (
+        l1.join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+            "left_anti",
+        )
+        .join(o, F.col("l1.l_orderkey") == o.o_orderkey, "left_semi")
+    )
+    return (
+        waiting.join(F.broadcast(s), F.col("l1.l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey, "left_semi")
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(100)
     )

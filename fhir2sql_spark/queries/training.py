@@ -24,11 +24,16 @@ from fhir2sql_spark.tables import load
 # computed over the identical edge set in both engines.
 _PAIRS_CTES = """
     s AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+    pos AS (
+        SELECT doc_id, lang, toks,
+               unnest(generate_series(1, len(toks) - 2)) AS i
+        FROM s
+    ),
     sh AS (
         SELECT DISTINCT doc_id, lang,
                toks[CAST(i AS INT)] || ' ' || toks[CAST(i+1 AS INT)]
                  || ' ' || toks[CAST(i+2 AS INT)] AS shingle
-        FROM s, range(1, 2000) t(i) WHERE i <= len(toks) - 2
+        FROM pos
     ),
     sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
     cand AS (
@@ -387,11 +392,16 @@ _LM_CTES = """
     s AS (
       SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
     ),
+    bgpos AS (
+      SELECT doc_id, lang, toks,
+             unnest(generate_series(1, len(toks) - 1)) AS i
+      FROM s
+    ),
     bg AS (
       SELECT doc_id, lang,
              toks[CAST(i AS INT)] AS w1,
              toks[CAST(i AS INT)] || ' ' || toks[CAST(i+1 AS INT)] AS bg
-      FROM s, range(1, 2000) t(i) WHERE i <= len(toks) - 1
+      FROM bgpos
     ),
     c2 AS (SELECT lang, bg, w1, COUNT(*) AS n2 FROM bg GROUP BY 1, 2, 3),
     c1 AS (SELECT lang, w1, CAST(SUM(n2) AS BIGINT) AS n1 FROM c2 GROUP BY 1, 2),

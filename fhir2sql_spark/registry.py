@@ -78,6 +78,9 @@ SHOWCASE = (
     # iterative (rows-only; no SQL oracle)
     "q_graph_pagerank",
 )
+# Round-5 rotation backlog (registered after the round-4 window was
+# frozen; locally strict-checked via tools/drivercheck.py):
+# q_tpch_q2, q_tpch_q11, q_tpch_q21.
 
 # Green in CORRECTNESS_r02.json (round-2 driver gate) — kept here so
 # future rotations know what is already driver-confirmed.
@@ -116,6 +119,8 @@ SHOWCASE_BENCH = (
     "q_dedup_embed_bulk", "q_embed_topk",
     "q_embed_ivf", "q_text_langid", "q_text_tfidf", "q_tpch_q3",
     "q_tpch_q5", "q_tpch_q18",
+    # round-4 additions
+    "q_tpch_q2", "q_tpch_q11", "q_tpch_q21",
     # round-3 additions
     "q_join_bloom", "q_anomaly_zscore", "q_tokens_heavy_hitters",
     "q_embed_ivf_trained", "q_rollup_hypertable",

@@ -404,8 +404,46 @@ def test_fuzzy_rejects_below_completeness_floor(spark):
     from fhir2sql_spark.operators.fuzzy import fuzzy_self_pairs
 
     df = spark.createDataFrame([("abcdefg",), ("ab",)], "p_name string")
-    with _pytest.raises(ValueError, match="complete"):
-        fuzzy_self_pairs(df, "p_name", max_dist=2)
+    # construction is lazy (no job); the in-plan guard raises at action
+    bad = fuzzy_self_pairs(df, "p_name", max_dist=2)
+    with _pytest.raises(Exception, match="complete"):
+        bad.count()
     # and an empty input is fine (no pairs, no error)
     empty = spark.createDataFrame([], "p_name string")
     assert fuzzy_self_pairs(empty, "p_name", max_dist=2).count() == 0
+
+
+def test_kmv_jaccard_empty_events(spark, tmp_path):
+    """Empty events table: Jaccard denominator is 0 — the query must
+    emit a well-defined row, not raise ZeroDivisionError (ADVICE r3)."""
+    from fhir2sql_spark.registry import QUERIES
+    from fhir2sql_spark.tables import load
+
+    src = load(spark, "/root/testdata/sf0.001", "events")
+    src.limit(0).write.parquet(str(tmp_path / "events.parquet"))
+    out = QUERIES["q_agg_kmv_jaccard"](spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n_a, r.n_b, r.n_intersect) == (0, 0, 0)
+    assert r.est_a_ok and r.est_b_ok and r.intersect_ok and r.jaccard_ok
+
+
+def test_spatial_pack_injective_at_extreme_coords(spark):
+    """Pairs near the old cx*2^31+cy aliasing boundary are emitted
+    exactly once, and out-of-domain coordinates raise (ADVICE r3)."""
+    import pytest as _pytest
+
+    from fhir2sql_spark.operators.spatial import distance_self_join
+
+    r = 10
+    big = (1 << 30) * r - 25  # just inside the guarded domain
+    pts = spark.createDataFrame(
+        [(1, big, big), (2, big + 5, big + 5), (3, -big, -big), (4, 0, 0)],
+        "id long, x long, y long",
+    )
+    rows = distance_self_join(pts, "id", "x", "y", r).collect()
+    assert [(r_.id_a, r_.id_b) for r_ in rows] == [(1, 2)]
+
+    bad = spark.createDataFrame([(1, (1 << 31) * r, 0)], "id long, x long, y long")
+    with _pytest.raises(Exception, match="domain"):
+        distance_self_join(bad, "id", "x", "y", r).count()

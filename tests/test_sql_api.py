@@ -56,3 +56,13 @@ def test_all_tables_registered(spark, sf_dir):
     open_catalog(spark, sf_dir)
     for t in TABLES:
         assert spark.sql(f"SELECT * FROM {t} LIMIT 1").count() >= 0
+
+
+def test_adhoc_sql_unknown_table_errors(spark, sf_dir):
+    """The error path a migrating user hits first: a typo'd table name
+    must fail analysis with the standard not-found error, not return
+    an empty or stale view."""
+    from pyspark.errors import AnalysisException
+
+    with pytest.raises(AnalysisException, match="TABLE_OR_VIEW_NOT_FOUND"):
+        sql(spark, sf_dir, "SELECT * FROM lineitems_typo LIMIT 1").collect()

@@ -400,3 +400,141 @@ def test_run_sync_accepts_mirror_by_type(spark, sqlite_db):
     assert stats["Patient"].inserts == 5
     assert stats["Observation"].inserts == 3
     assert all(s.counts_match for s in stats.values())
+
+
+def test_parallel_sync_no_cross_talk_and_stable_pks(spark, sqlite_db):
+    """Concurrent writers sharing ONE target DB (run_sync parallel=True,
+    4 types x 40 rows): each type's table must hold exactly its own
+    resources, and pk allocation must be STABLE under retry — a
+    re-run of the same snapshot and a version-bump update both leave
+    every (res_key -> pk_id) assignment unchanged (the M4 pipeline's
+    partial-failure contract: replays never re-key the mirror)."""
+    types = ["Patient", "Specimen", "Observation", "Condition"]
+
+    def _srcs(version):
+        return {
+            rt: spark.createDataFrame(
+                [
+                    (
+                        json.dumps(
+                            _resource(f"{rt[:3]}-{i:04d}", version, rt),
+                            sort_keys=True,
+                        ),
+                    )
+                    for i in range(40)
+                ],
+                "resource string",
+            )
+            for rt in types
+        }
+
+    def _pk_maps():
+        conn = sqlite_db()
+        maps = {}
+        for rt in types:
+            rows = conn.execute(
+                f"SELECT id, resource FROM ct_{rt.lower()}"
+            ).fetchall()
+            for _, res in rows:
+                assert json.loads(res)["resourceType"] == rt, "cross-talk"
+            maps[rt] = {json.loads(res)["id"]: pk for pk, res in rows}
+        conn.close()
+        return maps
+
+    stats = run_sync(spark, _srcs(1), sqlite_db, table_prefix="ct_", parallel=True)
+    assert all(s.inserts == 40 and s.counts_match for s in stats.values())
+    first = _pk_maps()
+    assert all(len(m) == 40 for m in first.values())
+
+    # retry of the same snapshot: all-noop, identical pk assignment
+    rerun = run_sync(spark, _srcs(1), sqlite_db, table_prefix="ct_", parallel=True)
+    assert all(s.noops == 40 and s.inserts == 0 for s in rerun.values())
+    assert _pk_maps() == first
+
+    # updates overwrite in place: versions move, pks do not
+    bump = run_sync(spark, _srcs(2), sqlite_db, table_prefix="ct_", parallel=True)
+    assert all(s.updates == 40 and s.counts_match for s in bump.values())
+    assert _pk_maps() == first
+
+
+def test_merge_failure_rolls_back_and_replay_converges(spark, sqlite_db):
+    """Mid-merge failure + replay (merge strategy): a crash on the
+    LAST statement of the set-based transaction must leave the target
+    byte-identical (the earlier UPDATE/INSERT statements roll back),
+    and a replay with a healthy connection must converge — the
+    src/main.rs:159-175 semantics under partial failure."""
+    pages = _bundle_fixture(n=30, page_size=30)
+    src = read_bundles(
+        spark, "http://blaze/fhir/Patient?page=0", fetch=lambda u: pages[u]
+    )
+    jdbc_upsert.create_mirror_tables(sqlite_db, ["patient"])
+    sync_resources(spark, src, sqlite_db, "patient", strategy="merge")
+
+    def _snapshot():
+        conn = sqlite_db()
+        rows = conn.execute(
+            "SELECT id, resource FROM patient ORDER BY id"
+        ).fetchall()
+        conn.close()
+        return rows
+
+    before = _snapshot()
+    assert len(before) == 30
+
+    # second snapshot: drops 5, updates 5, inserts 5
+    res2 = [
+        _resource(f"pat-{i:06d}", 2 if i < 10 else (1 + i % 3))
+        for i in range(5, 30)
+    ] + [_resource(f"pat-new-{i}", 1) for i in range(5)]
+    src2 = spark.createDataFrame(
+        [(json.dumps(r, sort_keys=True),) for r in res2], "resource string"
+    )
+
+    class _FailOnTargetDelete:
+        """Connection proxy: the DELETE against the TARGET table (the
+        merge transaction's last statement) raises; everything else —
+        stage load INSERTs, DDL, SELECTs — passes through."""
+
+        def __init__(self, real):
+            self._real = real
+
+        def cursor(self):
+            proxy = self
+
+            class _Cur:
+                def __init__(self, cur):
+                    self._cur = cur
+
+                def execute(self, sql, *a):
+                    if sql.strip().upper().startswith("DELETE FROM PATIENT"):
+                        raise RuntimeError("injected mid-merge crash")
+                    return self._cur.execute(sql, *a)
+
+                def __getattr__(self, name):
+                    return getattr(self._cur, name)
+
+            return _Cur(proxy._real.cursor())
+
+        def execute(self, sql, *a):
+            return self.cursor().execute(sql, *a)
+
+        def __getattr__(self, name):
+            return getattr(self._real, name)
+
+    def failing_connect():
+        return _FailOnTargetDelete(sqlite_db())
+
+    with pytest.raises(RuntimeError, match="injected"):
+        sync_resources(spark, src2, failing_connect, "patient", strategy="merge")
+    assert _snapshot() == before, "partial merge leaked through rollback"
+
+    # replay with a healthy connection: full convergence
+    stats = sync_resources(spark, src2, sqlite_db, "patient", strategy="merge")
+    assert stats.counts_match
+    conn = sqlite_db()
+    ids = sorted(
+        json.loads(r[0])["id"]
+        for r in conn.execute("SELECT resource FROM patient").fetchall()
+    )
+    conn.close()
+    assert ids == sorted(r["id"] for r in res2)

@@ -161,3 +161,110 @@ def test_processor_logic_without_state_server():
     out2 = list(proc.handleInputRows((7,), iter([b2]), None))
     assert handle.states["totals"].value == (3, 400)
     assert int(out2[0]["n_events"][0]) == 3
+
+
+class _TtlClockValueState(_FakeValueState):
+    """Store-side TTL emulation: the value disappears once the fake
+    clock passes last-update + ttl — the contract the RocksDB
+    provider enforces (expired state reads as absent; it is never
+    returned stale)."""
+
+    def __init__(self, ttl_ms, clock):
+        super().__init__()
+        self._ttl_ms = ttl_ms
+        self._clock = clock
+        self._written_at = None
+
+    def _expired(self):
+        return (
+            self._ttl_ms is not None
+            and self._written_at is not None
+            and self._clock["now_ms"] - self._written_at >= self._ttl_ms
+        )
+
+    def exists(self):
+        return self.value is not None and not self._expired()
+
+    def get(self):
+        return None if self._expired() else self.value
+
+    def update(self, v):
+        self.value = v
+        self._written_at = self._clock["now_ms"]
+
+
+class _TtlHandle(_FakeHandle):
+    def __init__(self, clock):
+        super().__init__()
+        self._clock = clock
+
+    def getValueState(self, name, schema, ttl_ms=None):
+        self.ttls[name] = ttl_ms
+        return self.states.setdefault(
+            name, _TtlClockValueState(ttl_ms, self._clock)
+        )
+
+
+def test_processor_ttl_expiry_two_batch_scenario():
+    """Two-batch TTL scenario against the emulated store contract:
+    within TTL the second batch folds onto carried state; once the
+    clock passes TTL the state reads as absent and the count restarts
+    — exactly what the RocksDB provider's store-side TTL produces."""
+    clock = {"now_ms": 0}
+    proc = UserTotalsProcessor(ttl_ms=60_000)
+    handle = _TtlHandle(clock)
+    proc.init(handle)
+
+    b = pd.DataFrame(
+        {"user_id": [7], "ts": pd.to_datetime(["2024-01-01"]), "value": [1.25]}
+    )
+    list(proc.handleInputRows((7,), iter([b]), None))
+    clock["now_ms"] = 30_000  # within TTL: accumulates
+    out2 = list(proc.handleInputRows((7,), iter([b]), None))
+    assert int(out2[0]["n_events"][0]) == 2
+
+    clock["now_ms"] = 120_000  # past TTL: state expired, fold restarts
+    out3 = list(proc.handleInputRows((7,), iter([b]), None))
+    assert int(out3[0]["n_events"][0]) == 1
+    assert int(out3[0]["value_cents"][0]) == 125
+
+
+def test_processor_restart_reads_checkpointed_state():
+    """Query-restart emulation: a NEW processor instance (fresh init)
+    over the SAME handle store — the checkpoint contract — continues
+    the fold instead of restarting it."""
+    handle = _FakeHandle()
+    p1 = UserTotalsProcessor()
+    p1.init(handle)
+    b = pd.DataFrame(
+        {"user_id": [1], "ts": pd.to_datetime(["2024-01-01"]), "value": [2.0]}
+    )
+    list(p1.handleInputRows((1,), iter([b]), None))
+    p1.close()
+
+    p2 = UserTotalsProcessor()
+    p2.init(handle)  # same store = restored checkpoint
+    out = list(p2.handleInputRows((1,), iter([b]), None))
+    assert int(out[0]["n_events"][0]) == 2
+    assert int(out[0]["value_cents"][0]) == 400
+
+
+def test_tws_plan_analyzes_without_runtime(spark, tmp_path):
+    """The transformWithStateInPandas WIRING is verifiable without the
+    protobuf state server: building the streaming plan only needs the
+    JVM analyzer. Schema + operator presence are asserted here, so the
+    only thing the @needs_tws runtime tests add is execution."""
+    src = str(tmp_path / "in")
+    spark.createDataFrame(
+        [(1, datetime(2024, 1, 1), 1.0)], SCHEMA
+    ).write.parquet(src)
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    out = user_totals_tws(stream, ttl_ms=1000)
+    assert [f.name for f in out.schema.fields] == [
+        "user_id",
+        "n_events",
+        "value_cents",
+    ]
+    assert out.isStreaming
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert "TransformWithStateInPySpark" in plan

@@ -128,6 +128,14 @@ CHECKS: list[tuple[str, str, str]] = [
         "#1:Exchange hashpartitioning",
         "all four M4 extremes fold through ONE series/bucket hash agg",
     ),
+    # round 4 additions
+    ("q_tpch_q2", "TakeOrderedAndProject", "Q2 top-100 must not global-sort"),
+    ("q_tpch_q2", "BroadcastHashJoin", "Q2 EU supplier dim broadcasts"),
+    ("q_tpch_q11", "BroadcastHashJoin", "Q11 nation-supplier set + 1-row total broadcast"),
+    ("q_tpch_q11", "!CartesianProduct", "Q11 threshold join is a broadcast, not a cross"),
+    ("q_tpch_q21", "LeftSemi", "Q21 EXISTS plans as a semi join"),
+    ("q_tpch_q21", "LeftAnti", "Q21 NOT EXISTS plans as an anti join"),
+    ("q_tpch_q21", "TakeOrderedAndProject", "Q21 top-100 must not global-sort"),
     ("q_cdc_scd2", "WindowGroupLimit", ""),  # placeholder replaced below
 ]
 # q_cdc_scd2's property is structural, not a substring: all three
