@@ -41,18 +41,30 @@ from fhir2sql_spark.queries.util import dec
     """,
 )
 def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-way inner join + agg. orders⋈customer shuffles on custkey;
-    nation broadcasts."""
+    """3-way inner join + agg, planned with EAGER AGGREGATION: orders
+    pre-aggregates per custkey before the join (a rewrite OSS Catalyst
+    does not perform), so the join input shrinks from |orders| rows to
+    |customers| rows and the join-side sort works on the reduced set;
+    nation broadcasts. Decimal partial sums re-sum exactly, so the
+    result is bit-identical to the direct 3-way join (A/B at sf100:
+    2.4 s vs 8.1 s, same 25 rows — SCALE.md round 4). Sound here
+    because the join key is the grouping key's determinant and the
+    join is key-preserving (c_custkey unique); the oracle keeps the
+    canonical un-rewritten SQL as the contract."""
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
     n = load(spark, sf_dir, "nation")
+    po = o.groupBy("o_custkey").agg(
+        F.sum(dec("o_totalprice", 2)).alias("sp"),
+        F.count(F.lit(1)).alias("n"),
+    )
     return (
-        o.join(c, o.o_custkey == c.c_custkey)
+        po.join(c, po.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name")
         .agg(
-            F.sum(dec("o_totalprice", 2)).cast("double").alias("sum_price"),
-            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("sp").cast("double").alias("sum_price"),
+            F.sum("n").alias("n_orders"),
         )
     )
 
@@ -66,13 +78,19 @@ def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left outer join preserving order-less customers (count = 0)."""
+    """Left outer join preserving order-less customers (count = 0),
+    planned with eager aggregation: the group key IS the join key and
+    customer keys are unique, so counting per custkey BEFORE the join
+    shrinks the joined fact side from |orders| to |customers| rows and
+    removes the post-join aggregate entirely (the q_join_inner rewrite
+    in its purest form — A/B at sf100 in SCALE.md round 4). Missing
+    matches surface as NULL counts and coalesce to the oracle's
+    COUNT(o_orderkey)=0."""
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders")
-    return (
-        c.join(o, c.c_custkey == o.o_custkey, "left")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("n_orders"))
+    po = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+    return c.join(po, c.c_custkey == po.o_custkey, "left").select(
+        "c_custkey", F.coalesce("n", F.lit(0)).alias("n_orders")
     )
 
 
