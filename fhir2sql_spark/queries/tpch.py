@@ -459,25 +459,33 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q18 large-volume customers: aggregate lineitem per order, keep
-    orders whose total quantity clears a threshold, top-100. The HAVING
-    filter runs on the aggregate's output — one shuffle of one row per
-    orderkey, never a re-scan."""
+    """Q18 large-volume customers: aggregate lineitem per order FIRST,
+    apply the HAVING threshold on the 1-row-per-orderkey aggregate,
+    and only then join orders and customer — the selective filter
+    (few orders clear 150 total quantity) shrinks both joins to a
+    broadcast-able survivor set, so neither orders nor customer ever
+    shuffles for a row that cannot reach the output. Joining before
+    aggregating (the literal SQL order) shuffles all of lineitem
+    joined against orders x customer; A/B at sf100: 66.6 s -> 36.4 s,
+    identical top-100 (SCALE.md round 4). The remaining cost is the
+    irreducible per-orderkey aggregate of lineitem."""
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders")
     l = load(spark, sf_dir, "lineitem")
+    lq = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity")).cast("decimal(18,4)").alias("sq"))
+        .where(F.col("sq") > 150)
+    )
     return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(l, l.l_orderkey == o.o_orderkey)
-        .groupBy("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.sum(dec("l_quantity")).cast("decimal(18,4)").cast("double").alias("sum_qty"))
-        .where(F.col("sum_qty") > 150)
+        lq.join(o, lq.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .select(
             "c_custkey",
             "o_orderkey",
             F.col("o_orderdate"),
             F.col("o_totalprice").cast("double").alias("o_totalprice"),
-            "sum_qty",
+            F.col("sq").cast("double").alias("sum_qty"),
         )
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(100)
