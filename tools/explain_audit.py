@@ -129,6 +129,24 @@ CHECKS: list[tuple[str, str, str]] = [
         "all four M4 extremes fold through ONE series/bucket hash agg",
     ),
     # round 4 additions
+    (
+        "q_join_inner",
+        "#2:Exchange hashpartitioning",
+        "eager agg: orders reduce per custkey BEFORE the join (agg + "
+        "join exchanges only — regressing to join-then-agg adds a third)",
+    ),
+    (
+        "q_join_left",
+        "#1:Exchange hashpartitioning",
+        "eager agg: the pre-agg is the ONLY exchange; the post-join "
+        "aggregate is gone (group key = join key)",
+    ),
+    (
+        "q_tpch_q18",
+        "#1:Exchange hashpartitioning",
+        "Q18 aggregates lineitem before the joins; HAVING survivors "
+        "broadcast, so the per-orderkey agg is the only exchange",
+    ),
     ("q_tpch_q2", "TakeOrderedAndProject", "Q2 top-100 must not global-sort"),
     ("q_tpch_q2", "BroadcastHashJoin", "Q2 EU supplier dim broadcasts"),
     ("q_tpch_q11", "BroadcastHashJoin", "Q11 nation-supplier set + 1-row total broadcast"),
