@@ -40,3 +40,19 @@ def test_matches_oracle(name, spark, sf_dir, duck):
     s_order = [s_cols.index(c) for c in sorted(s_cols)]
     d_order = [d_cols.index(c) for c in sorted(d_cols)]
     assert rows_hash(s_rows, s_order) == rows_hash(d_rows, d_order)
+
+
+def test_timestamp_queries_survive_hostile_session_timezone(spark, sf_dir):
+    """The driver supplies its OWN SparkSession with arbitrary confs
+    (verify-skill gotcha). tables.load repins UTC per call, so every
+    timestamp-emitting query must produce identical rows even when the
+    consuming session starts pinned to another zone. newSession()
+    shares the JVM but has independent SQLConf — the realistic
+    simulation available in-process."""
+    hostile = spark.newSession()
+    hostile.conf.set("spark.sql.session.timeZone", "America/New_York")
+    for name in ["q_date_funcs", "q_tumble", "q_session",
+                 "q_downsample_m4", "q_agg_decay", "q_cdc_scd2"]:
+        base = sorted(map(tuple, registry.QUERIES[name](spark, sf_dir).collect()))
+        got = sorted(map(tuple, registry.QUERIES[name](hostile, sf_dir).collect()))
+        assert got == base, f"{name} drifted under a non-UTC session"
