@@ -46,9 +46,18 @@ def fuzzy_self_pairs(
     must route short strings through an exact pass instead. The guard
     is a per-row expression inside the main job: building the
     DataFrame stays lazy (no eager scan), and no extra pass over the
-    input is ever made."""
+    input is ever made.
+
+    NULL values short-circuit the guard (a NULL length would
+    otherwise make the ``when`` condition NULL and fall through to
+    ``raise_error`` with a confusing message): they pass through
+    unchanged and drop out naturally downstream — ``split(NULL)``
+    yields NULL, so a NULL name never produces a gram row or a
+    candidate pair, matching the pre-guard driver-side behavior."""
     floor = min_complete_length(max_dist, q)
-    guard = F.when(F.length(F.col(col)) >= floor, F.col(col)).otherwise(
+    guard = F.when(
+        F.col(col).isNull() | (F.length(F.col(col)) >= floor), F.col(col)
+    ).otherwise(
         F.raise_error(
             F.format_string(
                 "fuzzy_self_pairs: input string '%s' has length %s < "

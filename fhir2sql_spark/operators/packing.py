@@ -92,9 +92,13 @@ def distributed_rank(
         "__pid", F.spark_partition_id()
     )
     counts = ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
-    w_off = Window.orderBy("__pid").rowsBetween(
+    # n_parts rows: single-task here is O(partitions), not O(rows).
+    # The constant partition key makes that intent explicit to Spark
+    # (same one-partition execution, but no misleading
+    # "No Partition Defined" WARN in driver logs for a 32-row window).
+    w_off = Window.partitionBy(F.lit(0)).orderBy("__pid").rowsBetween(
         Window.unboundedPreceding, -1
-    )  # n_parts rows: single-task here is O(partitions), not O(rows)
+    )
     offsets = counts.select(
         "__pid",
         F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off"),

@@ -45,7 +45,13 @@ def skyline_2d(
     # carry-in: max __y of every strictly-earlier partition (all hold
     # strictly smaller __x); the summary is n_parts rows
     pmax = ranged.groupBy("__pid").agg(F.max("__y").alias("__pm"))
-    w_prev = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    # constant partition key: one-partition execution over n_parts
+    # rows by design, without the "No Partition Defined" WARN.
+    w_prev = (
+        Window.partitionBy(F.lit(0))
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     carry = pmax.select(
         "__pid", F.max("__pm").over(w_prev).alias("__carry")
     )

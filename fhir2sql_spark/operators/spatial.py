@@ -30,22 +30,27 @@ def distance_self_join(
     r = int(radius)
     lim = 1 << 30
 
-    # Cell coordinates are guarded to |cell| < 2^30 (an in-plan
+    # Cell coordinates are guarded to |cell| < 2^30 - 1 (an in-plan
     # raise_error, so the check is lazy and costs one comparison per
-    # row). Within that domain the packing below is injective even
-    # across the +/-1 probe offsets: cy is shifted into [0, 2^31), so
-    # pack(cx, cy) == pack(cx', cy') forces cy - cy' = +/-2^31, which
-    # |cell| < 2^30 and |offset| <= 1 cannot produce — the
-    # exactly-once/no-distinct contract holds for the full guarded
-    # domain, not just "small" coordinates. |cx| <= 2^30 also bounds
-    # the product at ~2^61, safely inside long range.
+    # row). The margin of one cell makes the packing injective
+    # VERBATIM across the +/-1 probe offsets: with |cell| <= 2^30 - 2
+    # and |offset| <= 1, the shifted cy lands in [1, 2^31 - 1], i.e.
+    # strictly inside [0, 2^31), so pack(cx, cy) == pack(cx', cy')
+    # forces cy - cy' = +/-2^31 — impossible in that range. (The older
+    # |cell| < 2^30 guard let a probe key hit shifted value exactly
+    # 2^31, aliasing into the (cx+1, 0) slot; harmless only because
+    # home keys never produced shifted 0 or 2^31, but the invariant
+    # as stated was false for the probe side.) |cx| < 2^30 also
+    # bounds the product at ~2^61, safely inside long range.
+    guard_lim = lim - 1
+
     def cell(c):
         cc = F.floor(F.col(c) / r).cast("long")
-        return F.when(F.abs(cc) < lim, cc).otherwise(
+        return F.when(F.abs(cc) < guard_lim, cc).otherwise(
             F.raise_error(
                 F.format_string(
                     "distance_self_join: coordinate %s is outside the "
-                    f"supported domain |coord| < {lim}*r (r={r}); "
+                    f"supported domain |coord| < {guard_lim}*r (r={r}); "
                     "rescale coordinates or widen the cell packing",
                     F.col(c),
                 )

@@ -19,6 +19,7 @@ _MODULES = (
     "tpch",
     "training",
     "curation",
+    "analysis",
 )
 
 

@@ -1,0 +1,542 @@
+"""Round-5 analysis suite — operators beyond the declared §2.3/2.4
+inventory (SURVEY.md §2.4 extension, registered round 5).
+
+The reference (a 621-line Rust ETL daemon, src/main.rs) has none of
+these; they extend the engine's warehouse + LLM-curation surface:
+
+- distribution windows (percent_rank / cume_dist / ntile)
+- rolling median (aggregate-as-window, the frame-percentile path)
+- interval-union coverage (sweep-line via running max)
+- boolean / arg-extrema aggregates (count_if, bool_and/or, max_by)
+- nearest as-of join (backward + forward compose, pick min delta)
+- char-entropy text quality scoring
+- BM25 relevance scoring
+- cross-corpus n-gram novelty (the Lee-et-al dedup diagnostic)
+
+Every query keeps the determinism rules from queries/util.py: unique
+tie-break keys in every ordering, identical float formulas on both
+engine sides, decimal casts before sums, no raw timestamps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from fhir2sql_spark.operators.asof import asof_join_sorted
+from fhir2sql_spark.registry import query
+from fhir2sql_spark.tables import load
+from fhir2sql_spark.queries.util import exact_div
+
+
+# ---------------------------------------------------------------- windows
+
+
+@query(
+    "q_window_cume",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(o_totalprice AS DOUBLE) AS price,
+           ROUND(pr, 6) AS pct_rank,
+           ROUND(cd, 6) AS cume_dist,
+           q4
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             percent_rank() OVER w AS pr,
+             cume_dist() OVER w AS cd,
+             ntile(4) OVER w AS q4
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey
+                   ORDER BY o_totalprice, o_orderkey)
+    ) t
+    WHERE o_custkey % 25 = 0
+    """,
+)
+def q_window_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: percent_rank / cume_dist /
+    ntile(4) of order value within each customer. Partition key is
+    o_custkey (high-cardinality), so the single shuffle stays balanced
+    at 100 TB — unlike a by-priority partition (5 keys), which would
+    funnel 20% of the table through one task. The ordering carries
+    the unique o_orderkey tie-break, making ntile deterministic; the
+    customer sample filter is applied AFTER the window on both sides
+    so sampled rows see their full partition."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("price"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume_dist"),
+            F.ntile(4).over(w).alias("q4"),
+        )
+        .where(F.col("o_custkey") % 25 == 0)
+    )
+
+
+@query(
+    "q_rolling_median",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(median(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 4
+           ) AS med10
+    FROM events
+    WHERE user_id % 10 = 0
+    """,
+)
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling median of event value over the trailing 10 rows per
+    user — an aggregate-as-window (Spark `percentile` over a ROWS
+    frame; DuckDB `median` = quantile_cont(0.5), the same interpolated
+    definition). The frame is row-bounded so per-row state is O(10);
+    the only shuffle keys on user_id. The user sample is applied
+    BEFORE the window — the partition key is the filter key, so each
+    kept partition is complete and the filter pushes down to the
+    scan."""
+    e = load(spark, sf_dir, "events").where(F.col("user_id") % 10 == 0)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.expr("percentile(value, 0.5D)").over(w), 4).alias("med10"),
+    )
+
+
+@query(
+    "q_interval_coverage",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id,
+             CAST(epoch_us(ts) // 1000000 AS BIGINT) AS s,
+             CAST(epoch_us(ts) // 1000000 AS BIGINT) + 300 AS e,
+             event_id
+      FROM events
+    ), sweep AS (
+      SELECT user_id, s, e,
+             MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS prev_end
+      FROM iv
+    )
+    SELECT user_id,
+           CAST(SUM(GREATEST(0, e - GREATEST(s, COALESCE(prev_end, s))))
+                AS BIGINT) AS covered_s,
+           COUNT(*) AS n_intervals
+    FROM sweep GROUP BY user_id
+    """,
+)
+def q_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-union coverage: each event opens a 5-minute activity
+    interval; report the total UNION length per user (overlaps counted
+    once) — the sweep-line algorithm as one window: running max of
+    interval ends over strictly-preceding rows clips each interval to
+    its unseen part. One shuffle on user_id + one in-partition sort;
+    no self-join, no explode-per-second. Epochs are integer seconds
+    derived identically on both sides (epoch_us div 1e6 vs
+    unix_timestamp), so the arithmetic is exact."""
+    e = load(spark, sf_dir, "events")
+    iv = e.select(
+        "user_id",
+        F.unix_timestamp("ts").alias("s"),
+        (F.unix_timestamp("ts") + 300).alias("e"),
+        "event_id",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sweep = iv.withColumn("prev_end", F.max("e").over(w))
+    contrib = F.greatest(
+        F.lit(0).cast("long"),
+        F.col("e") - F.greatest(F.col("s"), F.coalesce("prev_end", "s")),
+    )
+    return sweep.groupBy("user_id").agg(
+        F.sum(contrib).cast("long").alias("covered_s"),
+        F.count(F.lit(1)).alias("n_intervals"),
+    )
+
+
+# ------------------------------------------------------------- aggregates
+
+
+@query(
+    "q_agg_bool",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count_if(o_totalprice > 150000) AS BIGINT) AS n_big,
+           bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+           bool_and(o_totalprice > 0) AS all_positive,
+           max_by(o_orderpriority, o_orderkey) AS last_priority,
+           min_by(o_orderpriority, o_orderkey) AS first_priority
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean + arg-extrema aggregates: count_if, bool_or/bool_and,
+    max_by/min_by. All are single-pass hash aggregates with partial
+    (map-side) combine — bool_or/and fold to one bit per group before
+    the shuffle. max_by/min_by key on the UNIQUE o_orderkey, so the
+    arg-extremum is deterministic (a max_by on a column with ties is
+    engine-dependent and would never oracle-match)."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count_if(F.col("o_totalprice") > 150000).alias("n_big"),
+        F.bool_or(F.col("o_orderpriority") == "1-URGENT").alias("any_urgent"),
+        F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+        F.max_by("o_orderpriority", "o_orderkey").alias("last_priority"),
+        F.min_by("o_orderpriority", "o_orderkey").alias("first_priority"),
+    )
+
+
+# ------------------------------------------------------------------ joins
+
+
+@query(
+    "q_join_asof_nearest",
+    oracle="""
+    WITH probes AS (
+        SELECT o_orderkey,
+               o_custkey % 150 AS user_id,
+               TIMESTAMP '2024-01-01 00:00:00'
+                 + INTERVAL (o_orderkey % 720) HOUR AS probe_ts
+        FROM orders
+    ), bwd AS (
+        SELECT p.o_orderkey, e.event_id, e.ts AS event_ts,
+               ROW_NUMBER() OVER (PARTITION BY p.o_orderkey
+                                  ORDER BY e.ts DESC, e.event_id DESC) AS rn
+        FROM probes p
+        JOIN events e ON e.user_id = p.user_id AND e.ts <= p.probe_ts
+    ), fwd AS (
+        SELECT p.o_orderkey, e.event_id, e.ts AS event_ts,
+               ROW_NUMBER() OVER (PARTITION BY p.o_orderkey
+                                  ORDER BY e.ts ASC, e.event_id ASC) AS rn
+        FROM probes p
+        JOIN events e ON e.user_id = p.user_id AND e.ts >= p.probe_ts
+    ), nearest AS (
+        SELECT p.o_orderkey, p.user_id, p.probe_ts,
+               b.event_id AS b_id, b.event_ts AS b_ts,
+               f.event_id AS f_id, f.event_ts AS f_ts,
+               epoch_us(p.probe_ts) - epoch_us(b.event_ts) AS db,
+               epoch_us(f.event_ts) - epoch_us(p.probe_ts) AS df
+        FROM probes p
+        LEFT JOIN (SELECT * FROM bwd WHERE rn = 1) b USING (o_orderkey)
+        LEFT JOIN (SELECT * FROM fwd WHERE rn = 1) f USING (o_orderkey)
+        WHERE b.event_id IS NOT NULL OR f.event_id IS NOT NULL
+    )
+    SELECT o_orderkey, user_id,
+           strftime(probe_ts, '%Y-%m-%d %H:%M:%S') AS probe_time,
+           CASE WHEN f_id IS NULL OR (b_id IS NOT NULL AND db <= df)
+                THEN b_id ELSE f_id END AS event_id,
+           CASE WHEN f_id IS NULL OR (b_id IS NOT NULL AND db <= df)
+                THEN 'backward' ELSE 'forward' END AS side,
+           CAST(CASE WHEN f_id IS NULL OR (b_id IS NOT NULL AND db <= df)
+                     THEN db ELSE df END AS BIGINT) AS delta_us
+    FROM nearest
+    """,
+)
+def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join: for each probe, the event minimizing
+    |event_ts - probe_ts| (microsecond-exact), ties to the backward
+    (earlier) side. Composed from the two directional merge-sorted
+    as-of joins (operators/asof.py — each ONE shuffle on the key,
+    |left|+|right| intermediate) full-outer-joined on the probe key,
+    then an arithmetic pick. No new shuffle shape: at 100 TB this is
+    exactly twice the cost of q_join_asof, and the directional
+    tie-break contracts (backward: max ts then max id; forward: min ts
+    then min id) are inherited from the driver-green twins."""
+    o = load(spark, sf_dir, "orders")
+    e = load(spark, sf_dir, "events")
+    probes = o.select(
+        "o_orderkey",
+        (F.col("o_custkey") % 150).alias("user_id"),
+        F.expr(
+            "timestamp '2024-01-01 00:00:00'"
+            " + make_interval(0, 0, 0, 0, cast(o_orderkey % 720 as int), 0, 0)"
+        ).alias("probe_ts"),
+    )
+    events = e.select("user_id", "event_id", F.col("ts").alias("event_ts"))
+    kw = dict(
+        on="user_id",
+        left_ts="probe_ts",
+        right_ts="event_ts",
+        probe_key="o_orderkey",
+        tie_break="event_id",
+    )
+    bwd = asof_join_sorted(probes, events, direction="backward", **kw).select(
+        "o_orderkey",
+        "user_id",
+        "probe_ts",
+        F.col("event_id").alias("b_id"),
+        F.col("event_ts").alias("b_ts"),
+    )
+    fwd = asof_join_sorted(probes, events, direction="forward", **kw).select(
+        F.col("o_orderkey").alias("f_orderkey"),
+        F.col("event_id").alias("f_id"),
+        F.col("event_ts").alias("f_ts"),
+    )
+    both = bwd.join(
+        fwd, bwd.o_orderkey == fwd.f_orderkey, "full_outer"
+    ).select(
+        F.coalesce("o_orderkey", "f_orderkey").alias("o_orderkey"),
+        "user_id",
+        "probe_ts",
+        "b_id",
+        "b_ts",
+        "f_id",
+        "f_ts",
+    )
+    # full-outer drops nothing; user_id/probe_ts may be NULL on
+    # forward-only rows, so rebuild them from the probe side.
+    pmeta = probes.select(
+        F.col("o_orderkey").alias("p_orderkey"),
+        F.col("user_id").alias("p_user"),
+        F.col("probe_ts").alias("p_ts"),
+    )
+    both = both.join(pmeta, both.o_orderkey == pmeta.p_orderkey).select(
+        "o_orderkey",
+        F.col("p_user").alias("user_id"),
+        F.col("p_ts").alias("probe_ts"),
+        "b_id",
+        "b_ts",
+        "f_id",
+        "f_ts",
+    )
+    # event ts comes off parquet as TIMESTAMP_NTZ; unix_micros wants
+    # TIMESTAMP — the cast matches the one asof_join_sorted applies to
+    # its sort key, so the delta arithmetic sees consistent instants.
+    um = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    db = um("probe_ts") - um("b_ts")
+    df_ = um("f_ts") - um("probe_ts")
+    pick_b = F.col("f_id").isNull() | (F.col("b_id").isNotNull() & (db <= df_))
+    return both.select(
+        "o_orderkey",
+        "user_id",
+        F.date_format("probe_ts", "yyyy-MM-dd HH:mm:ss").alias("probe_time"),
+        F.when(pick_b, F.col("b_id")).otherwise(F.col("f_id")).alias("event_id"),
+        F.when(pick_b, F.lit("backward")).otherwise(F.lit("forward")).alias("side"),
+        F.when(pick_b, db).otherwise(df_).cast("long").alias("delta_us"),
+    )
+
+
+# ------------------------------------------------------------------- text
+
+
+@query(
+    "q_text_entropy",
+    oracle="""
+    WITH ch AS (
+      SELECT doc_id, u.ch
+      FROM documents, unnest(string_split(lower(text), '')) AS u(ch)
+      WHERE u.ch <> ''
+    ), cnt AS (
+      SELECT doc_id, ch, COUNT(*) AS c FROM ch GROUP BY doc_id, ch
+    ), agg AS (
+      SELECT doc_id,
+             CAST(SUM(c) AS BIGINT) AS n,
+             CAST(SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
+                  AS DOUBLE) AS slc,
+             COUNT(*) AS n_distinct
+    FROM cnt GROUP BY doc_id
+    )
+    SELECT doc_id, n, n_distinct,
+           ROUND(ln(CAST(n AS DOUBLE)) - slc / CAST(n AS DOUBLE), 4)
+             AS entropy
+    FROM agg
+    """,
+)
+def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document (natural log) — a
+    standard text-quality gate (gibberish and boilerplate sit at the
+    two extremes). Computed as ln(n) - sum(c*ln(c))/n over per-doc
+    character counts: one explode + two doc_id-keyed aggregations, so
+    every shuffle keys on doc_id (uniform) and the formula is written
+    identically on both engine sides (rounded 4 dp — float sums are
+    order-sensitive in the last bits)."""
+    d = load(spark, sf_dir, "documents")
+    chars = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), "")).alias("ch")
+    ).where(F.col("ch") != "")
+    cnt = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    agg = cnt.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("c").cast("double") * F.log(F.col("c").cast("double")))
+        .cast("double")
+        .alias("slc"),
+        F.count(F.lit(1)).alias("n_distinct"),
+    )
+    return agg.select(
+        "doc_id",
+        "n",
+        "n_distinct",
+        F.round(
+            F.log(F.col("n").cast("double"))
+            - F.col("slc") / F.col("n").cast("double"),
+            4,
+        ).alias("entropy"),
+    )
+
+
+_BM25_TERMS = ("spark", "query", "merge")
+
+
+@query(
+    "q_bm25",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, u.tok
+      FROM documents, unnest(string_split(text, ' ')) AS u(tok)
+      WHERE u.tok <> ''
+    ), dl AS (
+      SELECT doc_id, COUNT(*) AS doclen FROM toks GROUP BY doc_id
+    ), stats AS (
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM(doclen) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM dl
+    ), tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+      WHERE tok IN {_BM25_TERMS!r}
+      GROUP BY doc_id, tok
+    ), df AS (
+      SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
+    ), scored AS (
+      SELECT t.doc_id,
+             SUM(
+               ln((CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
+                  / (CAST(d.df AS DOUBLE) + 0.5) + 1.0)
+               * (CAST(t.tf AS DOUBLE) * 2.2)
+               / (CAST(t.tf AS DOUBLE)
+                  + 1.2 * (0.25 + 0.75 * CAST(l.doclen AS DOUBLE) / s.avgdl))
+             ) AS score
+      FROM tf t
+      JOIN df d ON t.tok = d.tok
+      JOIN dl l ON t.doc_id = l.doc_id
+      CROSS JOIN stats s
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, ROUND(score, 4) AS bm25
+    FROM scored WHERE doc_id % 7 = 0
+    """,
+)
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance scoring (k1=1.2, b=0.75) of every document
+    against the fixed query {spark, query, merge} — the retrieval
+    primitive of a corpus search/decontamination stack. Plan shape:
+    the term filter collapses the exploded token stream BEFORE any
+    shuffle (only query-term hits survive, ~3 tokens/doc); df and the
+    corpus stats are tiny aggregates broadcast back; doclen comes from
+    `size(split(...))` with NO explode. So the expensive pass over raw
+    tokens is map-side only, and every join after it is
+    broadcast-able. Scored sample emitted (doc_id % 7) to keep the
+    contract output small; the formula text is identical on both
+    sides, rounded 4 dp."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    # doclen without explode: count non-empty split elements.
+    dl = d.select(
+        "doc_id",
+        F.size(F.filter(F.split("text", " "), lambda t: t != "")).alias(
+            "doclen"
+        ),
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("doclen").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        toks.where(F.col("tok").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    idf = (
+        F.log(
+            (F.col("n_docs").cast("double") - F.col("df").cast("double") + 0.5)
+            / (F.col("df").cast("double") + 0.5)
+            + 1.0
+        )
+    )
+    term_score = idf * (F.col("tf").cast("double") * 2.2) / (
+        F.col("tf").cast("double")
+        + 1.2 * (0.25 + 0.75 * F.col("doclen").cast("double") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(term_score).alias("score"))
+    )
+    return scored.where(F.col("doc_id") % 7 == 0).select(
+        "doc_id", F.round("score", 4).alias("bm25")
+    )
+
+
+@query(
+    "q_text_ngram_novelty",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(ts[g.i:g.i+4], ' ') AS shingle
+      FROM toks, unnest(generate_series(1, len(ts) - 4)) AS g(i)
+      WHERE len(ts) >= 5
+    ), owner AS (
+      SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle
+    )
+    SELECT s.doc_id,
+           COUNT(*) AS n_shingles,
+           CAST(count_if(o.first_doc = s.doc_id) AS BIGINT) AS n_novel,
+           CAST(count_if(o.first_doc = s.doc_id) AS DOUBLE) / COUNT(*)
+             AS novel_frac
+    FROM sh s JOIN owner o ON s.shingle = o.shingle
+    GROUP BY s.doc_id
+    """,
+)
+def q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus 5-gram novelty: for each document, the fraction of
+    its DISTINCT word 5-grams whose corpus-wide first owner (min
+    doc_id) is the document itself — the per-document diagnostic
+    behind suffix/n-gram train-set dedup (low novelty = mostly-copied
+    text). Two shuffles, both on uniform keys: shingle (ownership agg
+    + join back) and doc_id (final rollup). Shingles stay raw strings
+    here so the DuckDB oracle can reproduce them; the 100 TB form maps
+    each shingle through xxhash64 first (8-byte shuffle keys instead
+    of ~40-byte strings) — same plan, narrower exchange, and the
+    engine-specific hash is exactly why the oracle form keeps
+    strings. The n-gram build is the arrays_zip slice trick (no
+    per-token explode-then-window)."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("ts")).where(
+        F.size("ts") >= 5
+    )
+    m = F.size("ts") - 4
+    zipped = F.arrays_zip(*[F.slice("ts", i + 1, m) for i in range(5)])
+    gram = F.concat_ws(" ", *[F.col("g")[str(i)] for i in range(5)])
+    sh = (
+        toks.select("doc_id", F.explode(zipped).alias("g"))
+        .select("doc_id", gram.alias("shingle"))
+        .distinct()
+    )
+    owner = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.count_if(F.col("first_doc") == F.col("doc_id"))
+    return (
+        sh.join(owner, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            novel.cast("long").alias("n_novel"),
+            exact_div(novel, F.count(F.lit(1))).alias("novel_frac"),
+        )
+    )

@@ -470,15 +470,30 @@ def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact per-group sort at 100 TB. Emits both approx and exact
     quartiles; the tolerance test (tests/test_oracle_parity.py
     companion in test_llm_ops) bounds the relative error. Rows-only
-    for the driver: the sketch is engine-specific by construction."""
+    for the driver: the sketch is engine-specific by construction.
+
+    The quartile arrays are flattened to scalar columns: the driver's
+    result hasher treats array cells as Python lists (unhashable), so
+    an array-typed output crashes even the rows-only check
+    (CORRECTNESS_r04 recorded exactly that). Scalars carry the same
+    information and hash cleanly in every harness."""
     o = load(spark, sf_dir, "orders")
-    return o.groupBy("o_orderpriority").agg(
+    agg = o.groupBy("o_orderpriority").agg(
         F.expr(
             "approx_percentile(o_totalprice, array(0.25D, 0.5D, 0.75D), 1000)"
         ).alias("approx_qs"),
         F.expr("percentile(o_totalprice, array(0.25D, 0.5D, 0.75D))").alias(
             "exact_qs"
         ),
+    )
+    return agg.select(
+        "o_orderpriority",
+        F.col("approx_qs")[0].alias("approx_p25"),
+        F.col("approx_qs")[1].alias("approx_p50"),
+        F.col("approx_qs")[2].alias("approx_p75"),
+        F.round(F.col("exact_qs")[0], 4).alias("exact_p25"),
+        F.round(F.col("exact_qs")[1], 4).alias("exact_p50"),
+        F.round(F.col("exact_qs")[2], 4).alias("exact_p75"),
     )
 
 

@@ -53,34 +53,44 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 # q_graph_pagerank is the one rows-only slot (no SQL oracle — its
 # correctness evidence is the numpy parity test; a driver rows-only
 # row is still a stronger external signal than none).
+# Round-5 window. After CORRECTNESS_r04 the driver union covers every
+# query that existed when the r4 window froze except
+# q_agg_approx_percentile (its array-typed output crashed the
+# driver's hasher — now flattened to scalars). Priority order:
+#   1. Never-driver-checked (12): the three TPC-H queries registered
+#      after the r4 freeze, the eight round-5 analysis queries, and
+#      the repaired q_agg_approx_percentile.
+#   2. Operator-changed re-confirms (2): q_join_fuzzy (NULL guard
+#      added to operators/fuzzy.py) and q_join_spatial (tightened
+#      cell-domain guard in operators/spatial.py) — driver-green in
+#      r3, but the registered plans changed this round.
+#   3. Re-confirms (36): the oldest driver confirmations (round 2),
+#      including q_join_inner / q_join_left whose registered plans
+#      were rewritten in round 4 (eager aggregation) AFTER their r2
+#      gate — their current form has only local strict-check
+#      evidence until this window lands.
 SHOWCASE = (
-    # remaining TPC-H canon (17)
-    "q_tpch_q4", "q_tpch_q5", "q_tpch_q6", "q_tpch_q7", "q_tpch_q8",
-    "q_tpch_q9", "q_tpch_q10", "q_tpch_q12", "q_tpch_q13",
-    "q_tpch_q14", "q_tpch_q15", "q_tpch_q16", "q_tpch_q17",
-    "q_tpch_q18", "q_tpch_q19", "q_tpch_q20", "q_tpch_q22",
-    # probabilistic / sketch families (8)
-    "q_agg_approx_percentile", "q_dedup_embed_bulk",
-    "q_dedup_minhash", "q_dedup_simhash",
-    "q_embed_ann", "q_embed_ivf", "q_embed_ivf_trained",
-    "q_sample_hash",
-    # relational / window / join (13)
-    "q_agg_conditional", "q_agg_mode", "q_agg_stats",
-    "q_cohort_retention", "q_event_funnel",
-    "q_join_asof_fwd", "q_join_cross", "q_join_right",
-    "q_join_salted", "q_string_agg", "q_subquery_scalar",
-    "q_window_firstlast", "q_window_ntile",
-    # text / curation / multimodal (11)
-    "q_corpus_carve", "q_multimodal_embed", "q_multimodal_resize",
-    "q_sample_stratified", "q_shard_balance",
-    "q_text_chunks", "q_text_fingerprint", "q_text_quality",
-    "q_text_redact", "q_text_repetition", "q_text_tokens",
-    # iterative (rows-only; no SQL oracle)
-    "q_graph_pagerank",
+    # 1. never driver-checked
+    "q_tpch_q2", "q_tpch_q11", "q_tpch_q21",
+    "q_window_cume", "q_rolling_median", "q_interval_coverage",
+    "q_agg_bool", "q_join_asof_nearest", "q_text_entropy",
+    "q_bm25", "q_text_ngram_novelty",
+    "q_agg_approx_percentile",
+    # 2. operator changed this round
+    "q_join_fuzzy", "q_join_spatial",
+    # 3. oldest (r2) re-confirmations, rewritten joins first
+    "q_join_inner", "q_join_left",
+    "q_scan_count", "q_scan_project", "q_filter_pred", "q_project_json",
+    "q_sync_diff_full", "q_sync_inserts", "q_sync_deletes",
+    "q_sync_updates", "q_count_reconcile", "q_cdc_scd2",
+    "q_join_semi", "q_join_anti", "q_join_broadcast", "q_join_range",
+    "q_join_asof", "q_agg_basic", "q_agg_distinct", "q_agg_rollup",
+    "q_agg_percentile", "q_window_rank", "q_topk_pergroup",
+    "q_limit_topk", "q_union_all", "q_str_funcs", "q_date_funcs",
+    "q_hof_funcs", "q_tumble", "q_session", "q_stream_join",
+    "q_stream_dedup", "q_udf_scalar", "q_udaf_pandas",
+    "q_udtf_python", "q_dedup_exact",
 )
-# Round-5 rotation backlog (registered after the round-4 window was
-# frozen; locally strict-checked via tools/drivercheck.py):
-# q_tpch_q2, q_tpch_q11, q_tpch_q21.
 
 # Green in CORRECTNESS_r02.json (round-2 driver gate) — kept here so
 # future rotations know what is already driver-confirmed.
@@ -119,6 +129,9 @@ SHOWCASE_BENCH = (
     "q_dedup_embed_bulk", "q_embed_topk",
     "q_embed_ivf", "q_text_langid", "q_text_tfidf", "q_tpch_q3",
     "q_tpch_q5", "q_tpch_q18",
+    # round-5 additions
+    "q_bm25", "q_text_ngram_novelty", "q_interval_coverage",
+    "q_join_asof_nearest", "q_rolling_median",
     # round-4 additions
     "q_tpch_q2", "q_tpch_q11", "q_tpch_q21",
     # round-3 additions

@@ -52,7 +52,10 @@ def test_timestamp_queries_survive_hostile_session_timezone(spark, sf_dir):
     hostile = spark.newSession()
     hostile.conf.set("spark.sql.session.timeZone", "America/New_York")
     for name in ["q_date_funcs", "q_tumble", "q_session",
-                 "q_downsample_m4", "q_agg_decay", "q_cdc_scd2"]:
+                 "q_downsample_m4", "q_agg_decay", "q_cdc_scd2",
+                 # round-5 epoch/probe-time queries
+                 "q_rolling_median", "q_interval_coverage",
+                 "q_join_asof_nearest"]:
         base = sorted(map(tuple, registry.QUERIES[name](spark, sf_dir).collect()))
         got = sorted(map(tuple, registry.QUERIES[name](hostile, sf_dir).collect()))
         assert got == base, f"{name} drifted under a non-UTC session"

@@ -36,13 +36,23 @@ def test_entry_smoke(spark):
 
 
 def test_showcase_covers_never_driver_checked():
-    """Round-4 window = exactly the 50 queries absent from the r1-r3
-    driver gates, so CORRECTNESS_r04 closes the union to 150/150."""
+    """Round-5 window: every query with no green driver row yet must
+    occupy a window slot (the driver gate samples a 50-query prefix);
+    the remaining slots re-confirm the OLDEST prior confirmations."""
     assert len(registry.SHOWCASE) == 50
     assert len(set(registry.SHOWCASE)) == 50
     assert set(registry.SHOWCASE) <= set(registry.QUERIES)
-    # driver-confirmed queries must NOT occupy round-4 window slots
-    assert not set(registry.SHOWCASE) & set(registry.SHOWCASE_DRIVER_CONFIRMED)
+    never_checked = {
+        # registered after the r4 window froze
+        "q_tpch_q2", "q_tpch_q11", "q_tpch_q21",
+        # round-5 additions (queries/analysis.py)
+        "q_window_cume", "q_rolling_median", "q_interval_coverage",
+        "q_agg_bool", "q_join_asof_nearest", "q_text_entropy",
+        "q_bm25", "q_text_ngram_novelty",
+        # crashed the r4 driver hasher (array output, since flattened)
+        "q_agg_approx_percentile",
+    }
+    assert never_checked <= set(registry.SHOWCASE)
 
 
 def test_unpartitioned_window_parser():

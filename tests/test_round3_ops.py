@@ -413,6 +413,23 @@ def test_fuzzy_rejects_below_completeness_floor(spark):
     assert fuzzy_self_pairs(empty, "p_name", max_dist=2).count() == 0
 
 
+def test_fuzzy_null_values_flow_through_guard(spark):
+    """NULL names must NOT trip the min-length guard (ADVICE r4: a
+    NULL length made the `when` condition NULL and fell through to
+    raise_error); they drop out downstream like the pre-guard
+    driver-side check allowed."""
+    from fhir2sql_spark.operators.fuzzy import fuzzy_self_pairs
+
+    df = spark.createDataFrame(
+        [("abcdefgh",), (None,), ("abcdefgx",)], "p_name string"
+    )
+    pairs = {
+        (r["name_a"], r["name_b"])
+        for r in fuzzy_self_pairs(df, "p_name", max_dist=2).collect()
+    }
+    assert pairs == {("abcdefgh", "abcdefgx")}
+
+
 def test_kmv_jaccard_empty_events(spark, tmp_path):
     """Empty events table: Jaccard denominator is 0 — the query must
     emit a well-defined row, not raise ZeroDivisionError (ADVICE r3)."""
