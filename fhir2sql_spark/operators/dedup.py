@@ -81,6 +81,30 @@ def shingles(
     return out.distinct() if distinct else out
 
 
+def token_windows(
+    docs: DataFrame, w: int, text_col: str = "text"
+) -> DataFrame:
+    """All consecutive w-token windows per document WITH their 0-based
+    start position: (doc_id, pos, window). The positional sibling of
+    ``shingles`` (same zip+slice+explode whole-stage-codegen derivation
+    — no HOF lambda, no per-token explode) for consumers that need to
+    map window hits back into the document: substring-level dedup span
+    extraction, overlap localization. Docs shorter than w tokens emit
+    zero rows (row filter, same guard as shingles)."""
+    docs2 = docs.select(
+        "doc_id", F.split(F.col(text_col), " ").alias("__toks")
+    ).where(F.size("__toks") >= w)
+    m = F.size("__toks") - (w - 1)
+    zipped = F.arrays_zip(*[F.slice("__toks", i + 1, m) for i in range(w)])
+    return docs2.select(
+        "doc_id", F.posexplode(zipped).alias("pos", "__p")
+    ).select(
+        "doc_id",
+        "pos",
+        F.concat_ws(" ", *[F.col(f"__p.{i}") for i in range(w)]).alias("window"),
+    )
+
+
 def jaccard_pairs(docs: DataFrame, threshold_num: int, threshold_den: int, n: int = 3) -> DataFrame:
     """Exact pairwise Jaccard >= threshold within each lang.
 
@@ -307,13 +331,20 @@ def ngram_contamination(
     )
 
 
-def simhash(docs: DataFrame, text_col: str = "text", bits: int = 64) -> DataFrame:
+def simhash(
+    docs: DataFrame, text_col: str = "text", bits: int = 64, hash_fn=None
+) -> DataFrame:
     """64-bit SimHash over word features: per-bit majority vote of
     xxhash64(token). Expressed as explode -> per-bit sums -> pack;
-    entirely JVM-side column math, one shuffle on doc_id."""
+    entirely JVM-side column math, one shuffle on doc_id.
+
+    ``hash_fn`` (Column -> Column) swaps the token hash — used by the
+    portable verification twin (md5-prefix hash both engines compute
+    identically); default stays xxhash64, the cheap scale path."""
+    hf = hash_fn if hash_fn is not None else F.xxhash64
     toks = docs.select(
         "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("tok")
-    ).withColumn("th", F.xxhash64("tok"))
+    ).withColumn("th", hf(F.col("tok")))
     bit_sums = toks.groupBy("doc_id").agg(
         *[
             F.sum(

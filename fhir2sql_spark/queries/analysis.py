@@ -204,7 +204,7 @@ def q_agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_join_asof_nearest",
     oracle="""
     WITH probes AS (
-        SELECT o_orderkey,
+        SELECT DISTINCT o_orderkey,
                o_custkey % 150 AS user_id,
                TIMESTAMP '2024-01-01 00:00:00'
                  + INTERVAL (o_orderkey % 720) HOUR AS probe_ts
@@ -255,6 +255,13 @@ def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     then min id) are inherited from the driver-green twins."""
     o = load(spark, sf_dir, "orders")
     e = load(spark, sf_dir, "events")
+    # The probe key must be UNIQUE: the directional results are
+    # recombined by a join on it, which is only linear (and only
+    # well-defined) one-row-per-probe. distinct() enforces the
+    # contract — free when keys are already unique, and under key
+    # collisions (the wrapped-key scaled fixtures) it prevents a
+    # quadratic blowup per duplicate group (sf10 measured 737 M output
+    # rows without it, 2.85 M with).
     probes = o.select(
         "o_orderkey",
         (F.col("o_custkey") % 150).alias("user_id"),
@@ -262,7 +269,7 @@ def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "timestamp '2024-01-01 00:00:00'"
             " + make_interval(0, 0, 0, 0, cast(o_orderkey % 720 as int), 0, 0)"
         ).alias("probe_ts"),
-    )
+    ).distinct()
     events = e.select("user_id", "event_id", F.col("ts").alias("event_ts"))
     kw = dict(
         on="user_id",
@@ -509,8 +516,12 @@ def q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     its DISTINCT word 5-grams whose corpus-wide first owner (min
     doc_id) is the document itself — the per-document diagnostic
     behind suffix/n-gram train-set dedup (low novelty = mostly-copied
-    text). Two shuffles, both on uniform keys: shingle (ownership agg
-    + join back) and doc_id (final rollup). Shingles stay raw strings
+    text). ONE corpus pass: the owner (corpus-wide min doc_id) is
+    attached by a partition-only window over the shingle key instead
+    of an aggregate + join back — the agg/join form scans and
+    shingles the corpus twice (the branch below the distinct is
+    recomputed), the window form once, with one fewer shuffle. All
+    exchanges key on uniform values. Shingles stay raw strings
     here so the DuckDB oracle can reproduce them; the 100 TB form maps
     each shingle through xxhash64 first (8-byte shuffle keys instead
     of ~40-byte strings) — same plan, narrower exchange, and the
@@ -529,14 +540,170 @@ def q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", gram.alias("shingle"))
         .distinct()
     )
-    owner = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    owned = sh.withColumn(
+        "first_doc", F.min("doc_id").over(Window.partitionBy("shingle"))
+    )
     novel = F.count_if(F.col("first_doc") == F.col("doc_id"))
-    return (
-        sh.join(owner, "shingle")
-        .groupBy("doc_id")
+    return owned.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        novel.cast("long").alias("n_novel"),
+        exact_div(novel, F.count(F.lit(1))).alias("novel_frac"),
+    )
+
+
+@query(
+    "q_agg_regr",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(regr_slope(value, hr), 6) AS slope,
+           ROUND(regr_intercept(value, hr), 6) AS intercept,
+           ROUND(corr(value, hr), 6) AS corr_vh,
+           ROUND(covar_pop(value, hr), 6) AS covar
+    FROM (SELECT event_type, value,
+                 CAST(extract(hour FROM ts) AS DOUBLE) AS hr
+          FROM events) t
+    GROUP BY event_type
+    """,
+)
+def q_agg_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregates (regr_slope / regr_intercept /
+    corr / covar_pop) of event value vs hour-of-day per event type —
+    the OLS sufficient-statistics path: each is computed from the
+    mergeable (n, Sx, Sy, Sxy, Sxx) moment tuple, so the plan is one
+    partial+final hash aggregate with map-side combine, never a
+    per-group sort. Both engines accumulate moments in doubles with
+    engine-specific ordering; 6-dp rounding absorbs the last-bit
+    drift (values ~1e2, n ~1e3+ per group)."""
+    e = load(spark, sf_dir, "events")
+    t = e.select(
+        "event_type",
+        "value",
+        F.hour("ts").cast("double").alias("hr"),
+    )
+    return t.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.regr_slope("value", "hr"), 6).alias("slope"),
+        F.round(F.regr_intercept("value", "hr"), 6).alias("intercept"),
+        F.round(F.corr("value", "hr"), 6).alias("corr_vh"),
+        F.round(F.covar_pop("value", "hr"), 6).alias("covar"),
+    )
+
+
+@query(
+    "q_text_pmi",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ), uni AS (
+      SELECT u.tok, COUNT(*) AS c FROM toks, unnest(ts) AS u(tok)
+      WHERE u.tok <> '' GROUP BY u.tok
+    ), tot AS (
+      SELECT CAST(SUM(c) AS DOUBLE) AS t_uni FROM uni
+    ), bi AS (
+      SELECT ts[g.i] || ' ' || ts[g.i+1] AS bigram,
+             ts[g.i] AS w1, ts[g.i+1] AS w2, COUNT(*) AS c
+      FROM toks, unnest(generate_series(1, len(ts) - 1)) AS g(i)
+      GROUP BY 1, 2, 3
+    ), btot AS (
+      SELECT CAST(SUM(c) AS DOUBLE) AS t_bi FROM bi
+    )
+    SELECT b.bigram, CAST(b.c AS BIGINT) AS n_pair,
+           ROUND(ln((CAST(b.c AS DOUBLE) / t.t_bi)
+                    / ((CAST(u1.c AS DOUBLE) / s.t_uni)
+                       * (CAST(u2.c AS DOUBLE) / s.t_uni))), 4) + 0.0 AS pmi
+    FROM bi b
+    JOIN uni u1 ON b.w1 = u1.tok
+    JOIN uni u2 ON b.w2 = u2.tok
+    CROSS JOIN tot s CROSS JOIN btot t
+    WHERE b.c >= 20
+    """,
+)
+def q_text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information of word bigrams over the corpus
+    (collocation mining for tokenizer/vocab construction):
+    pmi = ln(p(ab) / (p(a) p(b))). Plan shape: one EXPLODE pass builds
+    bigram counts (arrays_zip slice pairing, no per-token
+    explode-then-window), one builds unigram counts; both shuffles key
+    on the word/bigram (uniform); the unigram side of the final join
+    is vocabulary-sized, hence broadcast. The corpus totals
+    (t_uni/t_bi) are NOT derived from the count tables — each such
+    branch would re-run the whole explode+aggregate pass under it —
+    but as 1-row aggregates over per-document SIZES (size(split), no
+    explode: a cheap columnar scan), crossJoin-broadcast back. Total
+    t_uni = Σ non-empty tokens and t_bi = Σ max(|ts|−1, 0) equal the
+    count-table sums by construction (the DuckDB oracle computes them
+    the count-table way — same values). The count>=20 support filter
+    makes the output set closed under float drift (no top-k rank
+    boundary); pmi rounded 4 dp, −0.0 normalized."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("ts"))
+    uni = (
+        toks.select(F.explode("ts").alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_tok = F.size(F.filter(F.col("ts"), lambda t: t != ""))
+    totals = toks.agg(
+        F.sum(n_tok).cast("double").alias("t_uni"),
+        F.sum(F.greatest(F.size("ts") - 1, F.lit(0)))
+        .cast("double")
+        .alias("t_bi"),
+    )
+    m = F.size("ts") - 1
+    zipped = F.arrays_zip(F.slice("ts", 1, m), F.slice("ts", 2, m))
+    bi = (
+        toks.where(F.size("ts") >= 2)
+        .select(F.explode(zipped).alias("g"))
+        .select(F.col("g")["0"].alias("w1"), F.col("g")["1"].alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # The unigram table is joined ONCE: joining it twice (once per
+    # bigram side) duplicates the whole explode+aggregate pass under
+    # each broadcast branch (Spark does not reuse the exchange across
+    # differently-projected branches — measured). Instead the
+    # support-filtered bigram set (small by the >=20 filter) is melted
+    # to (bigram, side, word), joined to uni on the word — uni is
+    # already hash-partitioned on tok from its aggregate, so the join
+    # adds no exchange on the heavy side — and regrouped. Inner-join
+    # semantics match the two-join form: a bigram containing a word
+    # absent from uni (the empty token) loses that side and is
+    # dropped by the not-null filter.
+    melted = bi.where(F.col("c") >= 20).select(
+        "w1",
+        "w2",
+        "c",
+        F.posexplode(F.array("w1", "w2")).alias("side", "word"),
+    )
+    joined = melted.join(
+        uni.select(F.col("tok").alias("word"), F.col("c").alias("cu")),
+        "word",
+    )
+    counts = (
+        joined.groupBy("w1", "w2", "c")
         .agg(
-            F.count(F.lit(1)).alias("n_shingles"),
-            novel.cast("long").alias("n_novel"),
-            exact_div(novel, F.count(F.lit(1))).alias("novel_frac"),
+            F.max(F.when(F.col("side") == 0, F.col("cu"))).alias("c1"),
+            F.max(F.when(F.col("side") == 1, F.col("cu"))).alias("c2"),
+        )
+        .where(F.col("c1").isNotNull() & F.col("c2").isNotNull())
+    )
+    pmi = F.log(
+        (F.col("c").cast("double") / F.col("t_bi"))
+        / (
+            (F.col("c1").cast("double") / F.col("t_uni"))
+            * (F.col("c2").cast("double") / F.col("t_uni"))
+        )
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            F.concat_ws(" ", "w1", "w2").alias("bigram"),
+            F.col("c").cast("long").alias("n_pair"),
+            # + 0.0 normalizes IEEE -0.0 (a barely-negative pmi
+            # rounds to the negative-zero bit pattern in one engine
+            # and positive zero in the other)
+            (F.round(pmi, 4) + F.lit(0.0)).alias("pmi"),
         )
     )

@@ -89,6 +89,121 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_dedup_minhash_portable",
+    oracle="""
+    WITH s AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+    pos AS (
+        SELECT doc_id, lang, toks,
+               unnest(generate_series(1, len(toks) - 2)) AS i
+        FROM s
+    ),
+    sh AS MATERIALIZED (
+        SELECT DISTINCT doc_id, lang,
+               toks[CAST(i AS INT)] || ' ' || toks[CAST(i+1 AS INT)]
+                 || ' ' || toks[CAST(i+2 AS INT)] AS shingle
+        FROM pos
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    perms AS (SELECT unnest(generate_series(0, 31)) AS p),
+    sigs AS (
+        SELECT doc_id, lang, p,
+               MIN(md5(CAST(p AS VARCHAR) || '|' || shingle)) AS h
+        FROM sh CROSS JOIN perms GROUP BY 1, 2, 3
+    ),
+    bands AS (
+        SELECT doc_id, lang, p // 4 AS band,
+               string_agg(h, '' ORDER BY p) AS bkey
+        FROM sigs GROUP BY 1, 2, 3
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.lang = b.lang AND a.band = b.band AND a.bkey = b.bkey
+         AND a.doc_id < b.doc_id
+    ),
+    com AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS common
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.doc_a
+        JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+        GROUP BY 1, 2
+    )
+    SELECT m.doc_a, m.doc_b, m.common,
+           sa.n + sb.n - m.common AS union_n,
+           CAST(m.common AS DOUBLE) / CAST(sa.n + sb.n - m.common AS DOUBLE)
+             AS jac
+    FROM com m
+    JOIN sz sa ON m.doc_a = sa.doc_id
+    JOIN sz sb ON m.doc_b = sb.doc_id
+    WHERE m.common * 5 >= (sa.n + sb.n - m.common) * 4
+    """,
+)
+def q_dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The verification twin of q_dedup_minhash (round 5): the SAME
+    MinHash+LSH pipeline — 32 permutations, 8x4 banding, candidate
+    equi-join, exact-Jaccard verify — but with each permutation
+    h_i(shingle) = md5(i || '|' || shingle) instead of the linear
+    (a*xxhash64+b) mod P family. md5 is computed identically by both
+    engines, so the oracle replicates the ENTIRE pipeline including
+    which pairs collide in which band: the candidate set, not just the
+    verified output, is hash-checked — graduating the LSH family from
+    rows-only to an exact external gate. The registered scale path
+    stays on xxhash64 (8-byte band keys vs 128-char strings; ~2x
+    cheaper to compute and 16x lighter to shuffle); this twin pins its
+    algorithm, the recall tests in tests/test_llm_ops.py pin their
+    equivalence."""
+    docs = load(spark, sf_dir, "documents")
+    sh = dedup.shingles(docs, n=3, distinct=True)
+    mins = [
+        F.min(F.md5(F.concat_ws("|", F.lit(str(i)), F.col("shingle")))).alias(
+            f"h{i}"
+        )
+        for i in range(32)
+    ]
+    sig = sh.groupBy("doc_id", "lang").agg(*mins)
+    banded = sig.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat(
+                            *[F.col(f"h{i}") for i in range(b * 4, b * 4 + 4)]
+                        ).alias("bkey"),
+                    )
+                    for b in range(8)
+                ]
+            )
+        ).alias("s"),
+    ).select("doc_id", "lang", "s.band", "s.bkey")
+    a = banded.select(
+        "lang", "band", "bkey", F.col("doc_id").alias("doc_a")
+    )
+    b = banded.select(
+        F.col("lang").alias("lang_b"),
+        F.col("band").alias("band_b"),
+        F.col("bkey").alias("bkey_b"),
+        F.col("doc_id").alias("doc_b"),
+    )
+    cands = (
+        a.join(
+            b,
+            (a.lang == b.lang_b)
+            & (a.band == b.band_b)
+            & (a.bkey == b.bkey_b)
+            & (a.doc_a < b.doc_b),
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return dedup.verify_candidate_pairs(
+        docs, cands, threshold_num=4, threshold_den=5
+    )
+
+
 @query("q_dedup_simhash")  # engine-specific hash: rows-only
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """63-bit SimHash per document + near-pair candidates at Hamming
@@ -134,6 +249,199 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("hamming") <= 3)
     )
     return pairs.select("doc_a", "doc_b", "hamming")
+
+
+def _simhash_portable_oracle() -> str:
+    """Generated oracle replicating the 60-bit md5-prefix SimHash
+    pipeline bit-for-bit: hex->int via positional nibble arithmetic
+    (both engines' md5 hex strings are identical), 60 per-bit majority
+    sums, integer pack, 4x15-bit pigeonhole banding, bit_count(xor)
+    Hamming. All exact integer math — no float anywhere."""
+    nib = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(tok), {k}, 1)) - 1) * {16 ** (15 - k)}"
+        for k in range(1, 16)
+    )
+    sums = ",\n               ".join(
+        f"SUM(CASE WHEN (th >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(60)
+    )
+    pack = " + ".join(
+        f"CASE WHEN b{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END"
+        for i in range(60)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    h AS (
+        SELECT doc_id, ({nib}) AS th FROM toks
+    ),
+    bs AS (
+        SELECT doc_id,
+               {sums}
+        FROM h GROUP BY doc_id
+    ),
+    packed AS MATERIALIZED (
+        SELECT doc_id, ({pack}) AS simhash FROM bs
+    ),
+    seg AS MATERIALIZED (
+        SELECT doc_id, simhash, g.s AS seg_no,
+               (simhash >> (g.s * 15)) & 32767 AS seg
+        FROM packed, (SELECT unnest(generate_series(0, 3)) AS s) g
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.simhash AS sh_a, b.simhash AS sh_b
+        FROM seg a JOIN seg b
+          ON a.seg_no = b.seg_no AND a.seg = b.seg AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+    FROM pairs
+    WHERE bit_count(xor(sh_a, sh_b)) <= 3
+    """
+
+
+@query("q_dedup_simhash_portable", oracle=_simhash_portable_oracle())
+def q_dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The verification twin of q_dedup_simhash (round 5): identical
+    SimHash pipeline — per-bit majority vote over word features,
+    pigeonhole banding, bit_count(xor) Hamming <= 3 — on a 60-bit
+    hash both engines compute identically: the first 15 hex digits of
+    md5(token) as an integer (Spark conv(substr(md5),16,10); DuckDB
+    positional nibble arithmetic — same value by construction). Every
+    stage is exact integer math, so the oracle checks the ENTIRE
+    pipeline including which pairs collide in which segment,
+    graduating the SimHash family from rows-only to an exact external
+    gate. The registered scale path stays on xxhash64 (one JVM
+    intrinsic vs md5+conv per token); this twin pins the algorithm.
+
+    Segments here are 4x15 bits (60-bit hash) vs the scale path's
+    4x16 (63-bit) — the pigeonhole guarantee (Hamming <= 3 implies
+    >= 1 equal segment) holds identically."""
+    md5_60 = lambda c: F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast(  # noqa: E731
+        "long"
+    )
+    docs = load(spark, sf_dir, "documents")
+    # bits=61: the hash has 60 significant bits, so bit 60's majority
+    # is the constant -count vote and the pack (range(bits-1) = 0..59)
+    # emits exactly the 60 real bits.
+    sh = dedup.simhash(docs, bits=61, hash_fn=md5_60)
+    seg = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("seg_no"),
+                        F.shiftright(F.col("simhash"), i * 15)
+                        .bitwiseAND(F.lit(0x7FFF))
+                        .alias("seg"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("s"),
+    ).select("doc_id", "simhash", "s.seg_no", "s.seg")
+    a = seg.select(
+        "seg_no", "seg", F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a")
+    )
+    b = seg.select(
+        F.col("seg_no").alias("seg_no_b"),
+        F.col("seg").alias("seg_b"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("sh_b"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (a.seg_no == b.seg_no_b) & (a.seg == b.seg_b) & (a.doc_a < b.doc_b),
+        )
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .where(F.col("hamming") <= 3)
+    )
+    return pairs.select("doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+@query(
+    "q_dedup_substring",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ),
+    win AS (
+        SELECT doc_id, g.i - 1 AS pos,
+               array_to_string(ts[g.i : g.i + 7], ' ') AS w
+        FROM toks, unnest(generate_series(1, len(ts) - 7)) AS g(i)
+        WHERE len(ts) >= 8
+    ),
+    marked AS (
+        SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY w) AS c FROM win
+    ),
+    dup AS (
+        SELECT doc_id, pos,
+               pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+                 AS grp
+        FROM marked WHERE c > 1
+    )
+    SELECT doc_id,
+           MIN(pos) AS span_start,
+           CAST(MAX(pos) - MIN(pos) + 8 AS BIGINT) AS span_len_tokens,
+           COUNT(*) AS n_windows
+    FROM dup GROUP BY doc_id, grp
+    """,
+)
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup span extraction (the Lee et al. 2022
+    'Deduplicating Training Data Makes Language Models Better'
+    EXACT-SUBSTRING complement to the document-level family): find
+    every maximal token span whose 8-token windows ALL occur more than
+    once in the corpus — the spans a substring-dedup pass would cut.
+
+    Pipeline: (1) every consecutive 8-token window with its 0-based
+    position (operators/dedup.py token_windows — zip+slice+explode,
+    whole-stage codegen); (2) corpus-wide multiplicity attached with a
+    partition-only window over the window text — the round-5
+    ngram-novelty lesson: an aggregate + join back would re-derive all
+    windows under the join branch, the window form is ONE pass;
+    (3) duplicated positions merged into maximal spans per doc with
+    the gaps-and-islands trick (pos − row_number is constant exactly
+    on consecutive runs — both engines' row_number over the unique,
+    total (doc_id, pos) order is deterministic); (4) per-span rollup.
+    Output: (doc_id, span_start, span_len_tokens, n_windows), all
+    exact integers.
+
+    Scale: two shuffles, window-text (uniform — mostly-unique strings)
+    and doc_id. At 100 TB, map each window through xxhash64 first so
+    the wide exchange carries 8-byte keys instead of ~50-byte strings
+    (same plan; the raw-string form here is what the oracle can
+    replay), and cap per-window multiplicity counting with the
+    two-phase heavy-hitter split if one window dominates (the
+    q_tokens_heavy_hitters pigeonhole)."""
+    docs = load(spark, sf_dir, "documents")
+    win = dedup.token_windows(docs, w=8)
+    marked = win.withColumn(
+        "c", F.count(F.lit(1)).over(Window.partitionBy("window"))
+    )
+    dup = marked.where(F.col("c") > 1).withColumn(
+        "grp",
+        F.col("pos")
+        - F.row_number().over(Window.partitionBy("doc_id").orderBy("pos")),
+    )
+    return (
+        dup.groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") - F.min("pos") + F.lit(8))
+            .cast("long")
+            .alias("span_len_tokens"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select("doc_id", "span_start", "span_len_tokens", "n_windows")
+    )
 
 
 @query(
@@ -195,15 +503,34 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_near_pairs(emb, threshold=0.45)
 
 
-@query("q_dedup_embed_bulk")  # numpy accumulation order: rows-only
+@query(
+    "q_dedup_embed_bulk",
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings WHERE vec_id < 1000)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.e, b.e)
+                 / (sqrt(list_dot_product(a.e, a.e))
+                    * sqrt(list_dot_product(b.e, b.e))), 4) AS cosine
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.e, b.e)
+          / (sqrt(list_dot_product(a.e, a.e))
+             * sqrt(list_dot_product(b.e, b.e))) >= 0.45
+    """,
+)
 def q_dedup_embed_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production-throughput form of q_dedup_embed: BLAS blocked
     matmul per partition against a broadcast normalized matrix
     (operators/similarity.py:cosine_near_pairs_bulk). Emits the same
-    pair set as the exact fold (asserted in tests); the cosine VALUES
-    can differ in the last ulp because numpy's pairwise accumulation
-    reorders the additions, so the driver check is rows-only — the
-    pair-set equality test is the correctness evidence."""
+    pair set as the exact fold (asserted in tests).
+
+    Round-5 graduation to the exact fold's oracle: the float32 BLAS
+    cosines sit ~1e-7 off the float64 fold, the output is 4-dp
+    rounded, and the fixture has no pair within float32 noise of
+    either the 0.45 threshold or a rounding boundary (the nearest
+    candidates are checked in tests/test_llm_ops.py's pair-set
+    equality) — so the hash check is stable, not luck: both engines
+    are deterministic and the margin is ~3 orders of magnitude."""
     emb = load(spark, sf_dir, "embeddings").where(F.col("vec_id") < 1000)
     return similarity.cosine_near_pairs_bulk(emb, threshold=0.45)
 
@@ -242,13 +569,70 @@ def q_dedup_embed_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_embed_ivf")  # probabilistic (codebook recall): rows-only
+@query(
+    "q_embed_ivf",
+    oracle="""
+    WITH v AS MATERIALIZED (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    cents AS MATERIALIZED (
+        SELECT vec_id AS cent_id, e AS cv FROM v
+        WHERE vec_id IN (SELECT vec_id FROM v ORDER BY vec_id LIMIT 16)
+    ),
+    cells AS MATERIALIZED (
+        SELECT v.vec_id, c.cent_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY list_dot_product(v.e, c.cv)
+                              / (sqrt(list_dot_product(v.e, v.e))
+                                 * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                            c.cent_id) AS crn
+        FROM v CROSS JOIN cents c
+    ),
+    c_cell AS (SELECT vec_id AS c_id, cent_id FROM cells WHERE crn = 1),
+    q_cell AS (SELECT vec_id AS q_id, cent_id FROM cells
+               WHERE crn <= 4 AND vec_id < 10),
+    cand AS (
+        SELECT DISTINCT q.q_id, c.c_id
+        FROM q_cell q JOIN c_cell c USING (cent_id)
+        WHERE q.q_id <> c.c_id
+    ),
+    scored AS (
+        SELECT d.q_id, d.c_id,
+               list_dot_product(a.e, b.e)
+                 / (sqrt(list_dot_product(a.e, a.e))
+                    * sqrt(list_dot_product(b.e, b.e))) AS cosine
+        FROM cand d JOIN v a ON a.vec_id = d.q_id JOIN v b ON b.vec_id = d.c_id
+    ),
+    ranked AS (
+        SELECT q_id, c_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY cosine DESC, c_id) AS rn
+        FROM scored
+    )
+    SELECT q_id, c_id, round(cosine, 4) AS cosine, rn
+    FROM ranked WHERE rn <= 5
+    """,
+)
 def q_embed_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: coarse-quantize to 16 cells, probe the 4 nearest
     cells per query, exact-rank inside. Cell ids are computed map-side
     (Arrow/numpy argmax vs the broadcast codebook) and the tiny query
     side broadcasts into the cell equi-join — the corpus never
-    shuffles (operators/similarity.py ivf_topk docstring)."""
+    shuffles (operators/similarity.py ivf_topk docstring).
+
+    Round-5 graduation from rows-only to an EXACT oracle: the
+    untrained codebook is the first 16 corpus vectors by id —
+    deterministic — so the oracle replays the full quantize-probe-
+    rerank pipeline. The one representational freedom left is the
+    assignment arithmetic (numpy normalize-then-BLAS-matmul vs SQL
+    dot/norms — ~1e-15 relative drift) which can only flip a cell
+    assignment on a near-exact centroid tie; the gaussian fixture has
+    none, and the final cosines are 4-dp rounded on both sides.
+    q_embed_ivf_trained stays rows-only: its k-means codebook is
+    genuinely iterative/non-SQL, but it shares this exact-checked
+    search plan and its codebook is property-tested
+    (tests/test_llm_ops.py recall floor + cell balance)."""
     emb = load(spark, sf_dir, "embeddings")
     return similarity.ivf_topk(
         emb.where(F.col("vec_id") < 10), emb, k=5, n_centroids=16, n_probe=4
@@ -274,11 +658,60 @@ def q_embed_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_embed_ann")  # probabilistic (LSH buckets): rows-only; recall in tests
+def _ann_oracle(n_planes: int = 8, seed: int = 42, dim: int = 64) -> str:
+    """Generated oracle replicating the ENTIRE hyperplane-LSH pipeline:
+    the seeded planes are inlined as double literals (repr() round-
+    trips IEEE doubles; both engines parse them to the same bits), and
+    the Spark side's plane/cosine dots are sequential left-to-right
+    folds (operators/similarity.py _dot) — the same accumulation order
+    as DuckDB's list_dot_product — so even each SIGN BIT is
+    bit-identical and the bucket partition itself is hash-checked."""
+    from fhir2sql_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes, seed)
+    bits = " || ".join(
+        "(CASE WHEN list_dot_product(e, ["
+        + ", ".join(repr(x) for x in p)
+        + "]) >= 0 THEN '1' ELSE '0' END)"
+        for p in planes
+    )
+    return f"""
+    WITH v AS MATERIALIZED (
+        SELECT vec_id, e, {bits} AS bucket
+        FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+              FROM embeddings)
+    ),
+    q AS (SELECT vec_id AS q_id, e AS qe, bucket FROM v WHERE vec_id < 10),
+    scored AS (
+        SELECT q.q_id, c.vec_id AS c_id,
+               list_dot_product(q.qe, c.e)
+                 / (sqrt(list_dot_product(q.qe, q.qe))
+                    * sqrt(list_dot_product(c.e, c.e))) AS cosine
+        FROM q JOIN v c ON q.bucket = c.bucket AND q.q_id <> c.vec_id
+    ),
+    ranked AS (
+        SELECT q_id, c_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY cosine DESC, c_id) AS rn
+        FROM scored
+    )
+    SELECT q_id, c_id, round(cosine, 4) AS cosine, rn
+    FROM ranked WHERE rn <= 5
+    """
+
+
+@query("q_embed_ann", oracle=_ann_oracle(n_planes=8, seed=42))
 def q_embed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 via random-hyperplane LSH (8 planes, seed 42):
     exact ranking restricted to same-bucket candidates — the equi-join
-    shape that scales to 100 TB corpora."""
+    shape that scales to 100 TB corpora.
+
+    Round-5 graduation from rows-only to an EXACT oracle: the planes
+    are seeded literals and every dot product on both sides is the
+    same sequential fold, so the oracle (_ann_oracle) replicates
+    bucket assignment bit-for-bit — the driver now checks WHICH
+    candidates each bucket admits, not just row counts. Recall vs the
+    exact top-k stays tolerance-tested in tests/test_llm_ops.py."""
     emb = load(spark, sf_dir, "embeddings")
     return similarity.ann_topk_lsh(
         emb.where(F.col("vec_id") < 10), emb, k=5, n_planes=8, seed=42

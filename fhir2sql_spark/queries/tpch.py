@@ -10,8 +10,10 @@ Q9/Q15/Q16/Q17/Q20 are adapted with lineitem standing in for
 partsupp, Q4/Q12/Q19/Q21/Q22 substitute equivalent predicates over
 existing columns, and Q2/Q11 run over a deterministic partsupp
 DERIVED from part x supplier on both oracle sides — see _PS_CTES at
-the bottom of this module; Q1 is already declared as q_agg_basic).
-With those, all 21 non-Q1 canon queries are registered.
+the bottom of this module). With those plus q_tpch_q1 (round 5: the
+full canonical measure set; the flagship q_agg_basic carries the
+same shape with fewer measures), all 22 canon queries are
+registered.
 
 Determinism (SURVEY.md §2.3 rules): DECIMAL(18,4) casts before any
 SUM, exact-decimal-sum -> IEEE-double division for every ratio,
@@ -46,6 +48,78 @@ _REV_SQL = "CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DEC
 
 def _rev() -> F.Column:
     return dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+
+
+@query(
+    "q_tpch_q1",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_qty,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_base_price,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_disc_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+                    * (1 - CAST(l_discount AS DECIMAL(8,4)))
+                    * (1 + CAST(l_tax AS DECIMAL(8,4)))), 4) AS DOUBLE) AS sum_charge,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                / COUNT(*) AS DOUBLE) AS avg_qty,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+                / COUNT(*) AS DOUBLE) AS avg_price,
+           CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)
+                / COUNT(*) AS DOUBLE) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 pricing summary report — the full canonical measure set
+    (q_agg_basic, the flagship, carries the Q1 shape with a reduced
+    measure list; this registers the literal canon query so all 22
+    TPC-H queries exist under their own names). One scan + pushed
+    date filter + single partial+final hash aggregate over a 4-group
+    key; every measure is a mergeable decimal sum or an exact
+    decimal-sum/count ratio (exact_div), so the plan is map-side
+    combine + a 4-row exchange regardless of scale.
+
+    sum_charge's three-factor product uses NARROW casts — price
+    DECIMAL(12,4), rates DECIMAL(8,4) — so the product type (30,12)
+    keeps every digit: at (18,4) width the second multiply overflows
+    precision 38 and each engine truncates scale by its own rule
+    (observed: last-digit drift at sf0.01; same fix as q_udf_scalar's
+    charge). The 4-dp reduction is an explicit ROUND, never a decimal
+    DOWNCAST: Spark rounds a narrowing decimal cast HALF_UP but DuckDB
+    TRUNCATES it — invisible in the suite's (price × rate) sums, whose
+    cents×cents products carry only 4 real decimals, but the 6-decimal
+    charge exposed it. ROUND is half-away-from-zero in both engines
+    (values positive, so HALF_UP agrees)."""
+    l = load(spark, sf_dir, "lineitem")
+    qty = dec("l_quantity")
+    price = dec("l_extendedprice")
+    disc_price = price * (F.lit(1) - dec("l_discount"))
+    charge = (
+        F.col("l_extendedprice").cast("decimal(12,4)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(8,4)"))
+        * (F.lit(1) + F.col("l_tax").cast("decimal(8,4)"))
+    )
+    n = F.count(F.lit(1))
+    return (
+        l.where(F.col("l_shipdate") <= "1998-09-02 00:00:00")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("decimal(18,4)").cast("double").alias("sum_qty"),
+            F.sum(price).cast("decimal(18,4)").cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("decimal(18,4)").cast("double").alias("sum_disc_price"),
+            F.round(F.sum(charge), 4).cast("double").alias("sum_charge"),
+            exact_div(F.sum(qty), n).alias("avg_qty"),
+            exact_div(F.sum(price), n).alias("avg_price"),
+            exact_div(F.sum(dec("l_discount")), n).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
 
 
 @query(

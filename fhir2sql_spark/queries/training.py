@@ -551,18 +551,75 @@ def q_tokens_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_graph_pagerank")
+def _pagerank_oracle(iters: int = 15, damping: float = 0.85) -> str:
+    """Unrolled power-iteration oracle: one CTE triple (contribs,
+    dangling mass, new ranks) per round, mirroring operators/
+    pagerank.py's update rule term-for-term IN THE SAME OPERATION
+    ORDER, so both engines evaluate the identical double-precision
+    expression tree and only summation order can drift — absorbed by
+    the 8-dp output rounding (drift is ~1e-13 on this graph, five
+    orders below the rounding grain). Every CTE is MATERIALIZED:
+    r{k} is referenced twice (contribs + dangling), so DuckDB's
+    default inlining would expand the chain to 2^iters parquet scans
+    — the same branch-reuse failure mode the Spark side avoids with
+    localCheckpoint."""
+    steps = []
+    for k in range(1, iters + 1):
+        p = f"r{k - 1}"
+        steps.append(
+            f"""
+    c{k} AS MATERIALIZED (
+        SELECT e.t AS node, SUM(r.rank / deg.deg) AS csum
+        FROM e JOIN {p} r ON r.node = e.s JOIN deg ON deg.s = e.s
+        GROUP BY e.t
+    ),
+    d{k} AS MATERIALIZED (
+        SELECT COALESCE(SUM(r.rank), 0.0) AS dmass
+        FROM {p} r LEFT JOIN deg ON deg.s = r.node WHERE deg.s IS NULL
+    ),
+    r{k} AS MATERIALIZED (
+        SELECT n.node,
+               (1.0 - {damping}) / nn.n
+                 + {damping} * (COALESCE(c.csum, 0.0) + d.dmass / nn.n)
+                 AS rank
+        FROM nodes n CROSS JOIN nn CROSS JOIN d{k} d
+        LEFT JOIN c{k} c ON c.node = n.node
+    )"""
+        )
+    return f"""
+    WITH e AS MATERIALIZED (
+        SELECT DISTINCT o_custkey % 600 AS s, o_orderkey % 600 AS t
+        FROM orders
+    ),
+    nodes AS MATERIALIZED (SELECT s AS node FROM e UNION SELECT t FROM e),
+    nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    deg AS MATERIALIZED (SELECT s, COUNT(*) AS deg FROM e GROUP BY s),
+    r0 AS MATERIALIZED (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn),
+    {','.join(steps)}
+    SELECT node, round(rank, 8) AS rank
+    FROM r{iters}
+    ORDER BY round(rank, 8) DESC, node
+    LIMIT 50
+    """
+
+
+@query("q_graph_pagerank", oracle=_pagerank_oracle(iters=15, damping=0.85))
 def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed PageRank (round 3) over a deterministic interaction
     graph derived from orders (src = o_custkey mod 600, dst =
     o_orderkey mod 600): top-50 central nodes. The iterative
     power-iteration operator (operators/pagerank.py) runs one shuffle
     per round with O(1) lineage via localCheckpoint — the pattern
-    shared with connected_components. No SQL oracle by design
-    (iterative float fixpoint — the driver records the rows-only
-    check); correctness is pinned by a numpy power-iteration parity
-    test at 1e-9 and structural properties (mass conservation, hub
-    dominance) in tests/test_pagerank.py."""
+    shared with connected_components.
+
+    Round-5 graduation from rows-only to an EXACT oracle: a fixed
+    iteration count makes the fixpoint a deterministic function of the
+    edge set, so the oracle unrolls all 15 rounds as chained CTEs
+    (_pagerank_oracle) computing the identical update rule; the only
+    engine freedom left is float summation order, absorbed by the 8-dp
+    rounding both sides apply. The numpy power-iteration parity test
+    (1e-9) and structural properties (mass conservation, hub
+    dominance) remain in tests/test_pagerank.py."""
     from fhir2sql_spark.operators.pagerank import pagerank
 
     o = load(spark, sf_dir, "orders")

@@ -57,30 +57,35 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 # query that existed when the r4 window froze except
 # q_agg_approx_percentile (its array-typed output crashed the
 # driver's hasher — now flattened to scalars). Priority order:
-#   1. Never-driver-checked (12): the three TPC-H queries registered
-#      after the r4 freeze, the eight round-5 analysis queries, and
-#      the repaired q_agg_approx_percentile.
+#   1. Never-driver-checked (17): the four TPC-H queries registered
+#      after the r4 freeze (Q2/Q11/Q21 + the round-5 canonical Q1),
+#      the ten round-5 analysis queries, the two round-5 portable
+#      verification twins (full-pipeline exact gates for the
+#      MinHash-LSH and SimHash families), and the repaired
+#      q_agg_approx_percentile.
 #   2. Operator-changed re-confirms (2): q_join_fuzzy (NULL guard
 #      added to operators/fuzzy.py) and q_join_spatial (tightened
 #      cell-domain guard in operators/spatial.py) — driver-green in
 #      r3, but the registered plans changed this round.
-#   3. Re-confirms (36): the oldest driver confirmations (round 2),
+#   3. Re-confirms (31): the oldest driver confirmations (round 2),
 #      including q_join_inner / q_join_left whose registered plans
 #      were rewritten in round 4 (eager aggregation) AFTER their r2
 #      gate — their current form has only local strict-check
 #      evidence until this window lands.
 SHOWCASE = (
     # 1. never driver-checked
-    "q_tpch_q2", "q_tpch_q11", "q_tpch_q21",
+    "q_tpch_q2", "q_tpch_q11", "q_tpch_q21", "q_tpch_q1",
     "q_window_cume", "q_rolling_median", "q_interval_coverage",
     "q_agg_bool", "q_join_asof_nearest", "q_text_entropy",
     "q_bm25", "q_text_ngram_novelty",
+    "q_agg_regr", "q_text_pmi",
+    "q_dedup_minhash_portable", "q_dedup_simhash_portable",
     "q_agg_approx_percentile",
     # 2. operator changed this round
     "q_join_fuzzy", "q_join_spatial",
     # 3. oldest (r2) re-confirmations, rewritten joins first
     "q_join_inner", "q_join_left",
-    "q_scan_count", "q_scan_project", "q_filter_pred", "q_project_json",
+    "q_filter_pred", "q_project_json",
     "q_sync_diff_full", "q_sync_inserts", "q_sync_deletes",
     "q_sync_updates", "q_count_reconcile", "q_cdc_scd2",
     "q_join_semi", "q_join_anti", "q_join_broadcast", "q_join_range",
@@ -88,8 +93,7 @@ SHOWCASE = (
     "q_agg_percentile", "q_window_rank", "q_topk_pergroup",
     "q_limit_topk", "q_union_all", "q_str_funcs", "q_date_funcs",
     "q_hof_funcs", "q_tumble", "q_session", "q_stream_join",
-    "q_stream_dedup", "q_udf_scalar", "q_udaf_pandas",
-    "q_udtf_python", "q_dedup_exact",
+    "q_stream_dedup", "q_udf_scalar",
 )
 
 # Green in CORRECTNESS_r02.json (round-2 driver gate) — kept here so
@@ -131,7 +135,8 @@ SHOWCASE_BENCH = (
     "q_tpch_q5", "q_tpch_q18",
     # round-5 additions
     "q_bm25", "q_text_ngram_novelty", "q_interval_coverage",
-    "q_join_asof_nearest", "q_rolling_median",
+    "q_join_asof_nearest", "q_rolling_median", "q_text_pmi",
+    "q_agg_regr",
     # round-4 additions
     "q_tpch_q2", "q_tpch_q11", "q_tpch_q21",
     # round-3 additions

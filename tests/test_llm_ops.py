@@ -26,6 +26,60 @@ def test_minhash_lsh_recall_vs_exact(spark, sf_dir):
         assert recall >= 0.75, f"LSH recall {recall} too low; {exact - cands}"
 
 
+def test_token_windows_positions_and_counts(spark):
+    """token_windows: a doc with n tokens emits exactly n-w+1 windows
+    at contiguous 0-based positions; shorter docs emit none."""
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "x y"), (3, "p q r")],
+        ["doc_id", "text"],
+    )
+    rows = dedup.token_windows(docs, w=3).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["pos"], r["window"]))
+    assert sorted(by_doc[1]) == [(0, "a b c"), (1, "b c d"), (2, "c d e")]
+    assert 2 not in by_doc  # 2 tokens < w
+    assert sorted(by_doc[3]) == [(0, "p q r")]
+
+
+def test_substring_spans_are_maximal_dup_islands(spark, sf_dir):
+    """Every q_dedup_substring span covers exactly the consecutive
+    duplicated window positions: n_windows == span_len_tokens - 7
+    (consecutive run), spans within a doc never touch or overlap
+    (maximality), and every covered position's window really has
+    corpus multiplicity > 1."""
+    from fhir2sql_spark import registry
+
+    registry.load_all()
+    spans = registry.QUERIES["q_dedup_substring"](spark, sf_dir).collect()
+    assert spans
+    by_doc = {}
+    for r in spans:
+        assert r["n_windows"] == r["span_len_tokens"] - 7
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_start"] + r["n_windows"] - 1)
+        )
+    for doc, ivals in by_doc.items():
+        ivals.sort()
+        for (s1, e1), (s2, e2) in zip(ivals, ivals[1:]):
+            assert s2 > e1 + 1, f"doc {doc}: spans {ivals} not maximal"
+    # spot-verify multiplicity for the duplicated positions of one doc
+    docs = load(spark, sf_dir, "documents")
+    win = dedup.token_windows(docs, w=8)
+    from collections import Counter
+
+    counts = Counter(r["window"] for r in win.collect())
+    doc = spans[0]["doc_id"]
+    pos_in_span = {
+        p
+        for r in spans
+        if r["doc_id"] == doc
+        for p in range(r["span_start"], r["span_start"] + r["n_windows"])
+    }
+    for r in win.where(F.col("doc_id") == doc).collect():
+        assert (counts[r["window"]] > 1) == (r["pos"] in pos_in_span)
+
+
 def test_minhash_signature_deterministic(spark, sf_dir):
     docs = load(spark, sf_dir, "documents").limit(20)
     s1 = dedup.minhash_signatures(docs, num_hashes=8, seed=42).collect()
@@ -234,6 +288,23 @@ def test_bulk_near_pairs_equals_exact(spark, sf_dir):
     assert bulk == exact
 
 
+def test_bulk_rounded_values_equal_exact_fold(spark, sf_dir):
+    """The property q_dedup_embed_bulk's exact oracle rests on: after
+    the 4-dp output rounding, the float32 BLAS values are IDENTICAL to
+    the float64 fold's on this fixture — no pair sits within float32
+    noise of the threshold or a rounding boundary."""
+    emb = load(spark, sf_dir, "embeddings")
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in similarity.cosine_near_pairs(emb, threshold=0.45).collect()
+    }
+    bulk = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in similarity.cosine_near_pairs_bulk(emb, threshold=0.45).collect()
+    }
+    assert bulk == exact  # keys AND 4-dp values
+
+
 def test_approx_count_distinct_tolerance(spark, sf_dir):
     from fhir2sql_spark import registry
 
@@ -266,7 +337,8 @@ def test_approx_percentile_tolerance(spark, sf_dir):
     rows = registry.QUERIES["q_agg_approx_percentile"](spark, sf_dir).collect()
     assert rows
     for r in rows:
-        for a, e in zip(r["approx_qs"], r["exact_qs"]):
+        for q in ("p25", "p50", "p75"):
+            a, e = r[f"approx_{q}"], r[f"exact_{q}"]
             assert abs(a - e) <= 0.02 * abs(e), (r["o_orderpriority"], a, e)
 
 

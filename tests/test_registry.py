@@ -44,11 +44,14 @@ def test_showcase_covers_never_driver_checked():
     assert set(registry.SHOWCASE) <= set(registry.QUERIES)
     never_checked = {
         # registered after the r4 window froze
-        "q_tpch_q2", "q_tpch_q11", "q_tpch_q21",
+        "q_tpch_q2", "q_tpch_q11", "q_tpch_q21", "q_tpch_q1",
         # round-5 additions (queries/analysis.py)
         "q_window_cume", "q_rolling_median", "q_interval_coverage",
         "q_agg_bool", "q_join_asof_nearest", "q_text_entropy",
         "q_bm25", "q_text_ngram_novelty",
+        "q_agg_regr", "q_text_pmi",
+        # round-5 portable verification twins (queries/llm.py)
+        "q_dedup_minhash_portable", "q_dedup_simhash_portable",
         # crashed the r4 driver hasher (array output, since flattened)
         "q_agg_approx_percentile",
     }

@@ -154,6 +154,57 @@ CHECKS: list[tuple[str, str, str]] = [
     ("q_tpch_q21", "LeftSemi", "Q21 EXISTS plans as a semi join"),
     ("q_tpch_q21", "LeftAnti", "Q21 NOT EXISTS plans as an anti join"),
     ("q_tpch_q21", "TakeOrderedAndProject", "Q21 top-100 must not global-sort"),
+    # round 5 additions
+    (
+        "q_window_cume",
+        "#1:Exchange hashpartitioning",
+        "distribution windows ride one custkey shuffle",
+    ),
+    (
+        "q_rolling_median",
+        "#1:Exchange hashpartitioning",
+        "rolling median rides one user_id shuffle",
+    ),
+    (
+        "q_interval_coverage",
+        "#1:Exchange hashpartitioning",
+        "sweep-line window + rollup share ONE user_id shuffle",
+    ),
+    (
+        "q_agg_bool",
+        "#1:Exchange hashpartitioning",
+        "boolean/arg-extrema aggregates are one partial+final pass",
+    ),
+    (
+        "q_agg_regr",
+        "#1:Exchange hashpartitioning",
+        "regression moments are one partial+final pass",
+    ),
+    ("q_bm25", "BroadcastHashJoin", "df/doclen/stats sides broadcast"),
+    ("q_bm25", "!CartesianProduct", "corpus totals broadcast, never cross"),
+    (
+        "q_text_entropy",
+        "#1:documents.parquet",
+        "entropy is a single corpus pass",
+    ),
+    (
+        "q_text_ngram_novelty",
+        "#1:documents.parquet",
+        "novelty owner via shingle window: ONE corpus/shingle pass "
+        "(the agg+join form scanned twice; 194.6 -> 66.4 s at sf100)",
+    ),
+    (
+        "q_text_pmi",
+        "#3:documents.parquet",
+        "pmi = one bigram explode + one unigram explode + one "
+        "size-only scan (branch-duplicated forms cost 5 scans)",
+    ),
+    ("q_join_asof_nearest", "#2:Window ", "exactly the two asof carries"),
+    (
+        "q_join_asof_nearest",
+        "!CartesianProduct",
+        "directional recombine is a keyed join",
+    ),
     ("q_cdc_scd2", "WindowGroupLimit", ""),  # placeholder replaced below
 ]
 # q_cdc_scd2's property is structural, not a substring: all three
