@@ -105,6 +105,62 @@ def token_windows(
     )
 
 
+def dup_window_spans(
+    docs: DataFrame, w: int = 8, text_col: str = "text", hashed: bool = False
+) -> DataFrame:
+    """Maximal duplicated-substring spans (Lee et al. 2022 exact-
+    substring dedup, re-expressed relationally): per document, every
+    maximal token span all of whose w-token windows occur more than
+    once in the corpus. Output (doc_id, span_start, span_len_tokens,
+    n_windows) — exact integers.
+
+    Plan: positional windows (token_windows) → corpus multiplicity
+    attached via a partition-only window over the window key (ONE
+    pass; an aggregate + join back re-derives every window under the
+    join branch — the q_text_ngram_novelty round-5 lesson) →
+    duplicated positions merged with gaps-and-islands (pos −
+    row_number over the unique (doc_id, pos) order) → per-span rollup.
+    Two shuffles: window key (uniform — mostly-unique windows), then
+    doc_id.
+
+    ``hashed=True`` is the 100 TB form: the multiplicity exchange
+    carries xxhash64(window) — an 8-byte long — instead of the ~50-byte
+    window string (same plan, ~6× narrower shuffle). Output is
+    identical unless two DISTINCT windows collide in xxhash64 (would
+    falsely mark both duplicated): probability ~n²/2⁶⁵, and
+    deterministic for a given corpus — the fixture equality is
+    asserted in tests, which is why the hashed form can share the
+    raw form's exact oracle."""
+    win = token_windows(docs, w=w, text_col=text_col)
+    if hashed:
+        # project the string away BEFORE the exchange — rekeying the
+        # window alone would still ship the string through the shuffle
+        win = win.select(
+            "doc_id", "pos", F.xxhash64("window").alias("wkey")
+        )
+    else:
+        win = win.withColumnRenamed("window", "wkey")
+    marked = win.withColumn(
+        "c", F.count(F.lit(1)).over(Window.partitionBy("wkey"))
+    ).select("doc_id", "pos", "c")
+    dup = marked.where(F.col("c") > 1).withColumn(
+        "grp",
+        F.col("pos")
+        - F.row_number().over(Window.partitionBy("doc_id").orderBy("pos")),
+    )
+    return (
+        dup.groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") - F.min("pos") + F.lit(w))
+            .cast("long")
+            .alias("span_len_tokens"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select("doc_id", "span_start", "span_len_tokens", "n_windows")
+    )
+
+
 def jaccard_pairs(docs: DataFrame, threshold_num: int, threshold_den: int, n: int = 3) -> DataFrame:
     """Exact pairwise Jaccard >= threshold within each lang.
 

@@ -3,9 +3,15 @@ first-class extras: minhash/simhash dedup, ANN similarity, language
 ID, quality scoring, token counting, fingerprinting).
 
 These are the operators a 100 TB pretraining-data pipeline needs; the
-exact variants carry DuckDB oracles, the probabilistic scale paths
-(MinHash banding, cosine LSH) are rows-only checked by the driver and
-recall-tested against their exact twins in tests/test_llm_ops.py.
+exact variants carry DuckDB oracles. Round 5 closed most of the
+verification gap on the probabilistic scale paths: the hyperplane-ANN
+and IVF searches and the BLAS bulk dedup are now exactly oracled
+(seeded literals / deterministic codebooks / tested rounding margins),
+and the MinHash-LSH and SimHash pipelines are exact-gated through
+md5-based portable twins that replay banding end to end. Only the
+xxhash64 twins themselves (engine-specific hash) and the trained-IVF
+codebook (iterative k-means) remain rows-only, each recall-tested
+against its exact counterpart in tests/test_llm_ops.py.
 """
 
 from __future__ import annotations
@@ -366,9 +372,7 @@ def q_dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming"))
 
 
-@query(
-    "q_dedup_substring",
-    oracle="""
+_SUBSTRING_ORACLE = """
     WITH toks AS (
         SELECT doc_id, string_split(text, ' ') AS ts FROM documents
     ),
@@ -392,8 +396,10 @@ def q_dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(MAX(pos) - MIN(pos) + 8 AS BIGINT) AS span_len_tokens,
            COUNT(*) AS n_windows
     FROM dup GROUP BY doc_id, grp
-    """,
-)
+"""
+
+
+@query("q_dedup_substring", oracle=_SUBSTRING_ORACLE)
 def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level dedup span extraction (the Lee et al. 2022
     'Deduplicating Training Data Makes Language Models Better'
@@ -415,32 +421,142 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integers.
 
     Scale: two shuffles, window-text (uniform — mostly-unique strings)
-    and doc_id. At 100 TB, map each window through xxhash64 first so
-    the wide exchange carries 8-byte keys instead of ~50-byte strings
-    (same plan; the raw-string form here is what the oracle can
-    replay), and cap per-window multiplicity counting with the
-    two-phase heavy-hitter split if one window dominates (the
-    q_tokens_heavy_hitters pigeonhole)."""
+    and doc_id. q_dedup_substring_hashed is the 100 TB form (8-byte
+    xxhash64 shuffle keys); this raw-string form is what the oracle
+    can replay verbatim."""
     docs = load(spark, sf_dir, "documents")
-    win = dedup.token_windows(docs, w=8)
-    marked = win.withColumn(
-        "c", F.count(F.lit(1)).over(Window.partitionBy("window"))
+    return dedup.dup_window_spans(docs, w=8, hashed=False)
+
+
+@query("q_dedup_substring_hashed", oracle=_SUBSTRING_ORACLE)
+def q_dedup_substring_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of q_dedup_substring: the corpus-wide
+    multiplicity exchange carries xxhash64(window) — an 8-byte long,
+    projected BEFORE the shuffle — instead of the ~50-byte window
+    string (~6× narrower wide exchange, same two-shuffle plan). The
+    output is identical to the raw-string form unless two DISTINCT
+    windows collide in xxhash64 (probability ~n²/2⁶⁵, deterministic
+    per corpus; fixture equality asserted in tests/test_llm_ops.py),
+    which is why this scale path shares the raw form's EXACT oracle —
+    both the algorithm and its cheap-key variant are externally
+    hash-gated."""
+    docs = load(spark, sf_dir, "documents")
+    return dedup.dup_window_spans(docs, w=8, hashed=True)
+
+
+@query(
+    "q_dedup_substring_cut",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ),
+    win AS (
+        SELECT doc_id, g.i - 1 AS pos,
+               array_to_string(ts[g.i : g.i + 7], ' ') AS w
+        FROM toks, unnest(generate_series(1, len(ts) - 7)) AS g(i)
+        WHERE len(ts) >= 8
+    ),
+    marked AS (
+        SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY w) AS c FROM win
+    ),
+    dup AS (
+        SELECT doc_id, pos,
+               pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+                 AS grp
+        FROM marked WHERE c > 1
+    ),
+    sp AS (
+        SELECT doc_id, MIN(pos) AS s, MAX(pos) + 8 AS e
+        FROM dup GROUP BY doc_id, grp
+    ),
+    tok_pos AS (
+        SELECT doc_id, g.i - 1 AS pos, ts[g.i] AS tok, len(ts) AS n_tokens
+        FROM toks, unnest(generate_series(1, len(ts))) AS g(i)
+    ),
+    kept AS (
+        SELECT t.doc_id, t.pos, t.tok
+        FROM tok_pos t
+        WHERE NOT EXISTS (SELECT 1 FROM sp
+                          WHERE sp.doc_id = t.doc_id
+                            AND t.pos >= sp.s AND t.pos < sp.e)
+    ),
+    agg AS (
+        SELECT doc_id, COUNT(*) AS n_kept,
+               string_agg(tok, ' ' ORDER BY pos) AS clean_text
+        FROM kept GROUP BY doc_id
     )
-    dup = marked.where(F.col("c") > 1).withColumn(
-        "grp",
-        F.col("pos")
-        - F.row_number().over(Window.partitionBy("doc_id").orderBy("pos")),
+    SELECT b.doc_id,
+           CAST(b.n_tokens AS BIGINT) AS n_tokens,
+           CAST(b.n_tokens - COALESCE(a.n_kept, 0) AS BIGINT) AS n_cut,
+           COALESCE(a.clean_text, '') AS clean_text
+    FROM (SELECT doc_id, len(ts) AS n_tokens FROM toks) b
+    LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def q_dedup_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TRANSFORM of the substring-dedup family: rewrite every
+    document with its duplicated spans (q_dedup_substring's output)
+    removed — per doc: original token count, tokens cut, and the
+    cleaned text. Policy: cut every occurrence of a duplicated span;
+    canonical-copy retention is a document-level decision
+    (q_dedup_exact / q_corpus_carve keep min-doc_id canonicals), so
+    the composition 'carve then cut' matches Lee et al.'s
+    keep-one-copy semantics end to end.
+
+    Plan: spans aggregate to a per-doc interval ARRAY (tiny: a few
+    rows per affected doc), equi-joined on doc_id into the positional
+    token stream; the cut test is a per-token exists() over that tiny
+    array (JVM higher-order function — no range join, no per-token
+    shuffle); reconstruction is array_sort(collect_list(struct(pos,
+    tok))) per doc, computed as a CONDITIONAL aggregate over the
+    unfiltered stream (cut rows contribute NULL structs collect_list
+    skips) so a fully-duplicated document survives as an empty
+    clean_text row without a third corpus scan joined back. Shuffles:
+    window-key + doc_id (span derivation, shared shapes with
+    q_dedup_substring) + one doc_id exchange for the rebuild — every
+    key uniform. Two corpus scans total (spans + rebuild), audited."""
+    docs = load(spark, sf_dir, "documents")
+    spans = dedup.dup_window_spans(docs, w=8, hashed=False)
+    sp_arr = spans.groupBy("doc_id").agg(
+        F.collect_list(
+            F.struct(
+                F.col("span_start").alias("s"),
+                (F.col("span_start") + F.col("span_len_tokens")).alias("e"),
+            )
+        ).alias("sps")
     )
+    toks = docs.select(
+        "doc_id",
+        F.split("text", " ").alias("ts"),
+    ).select(
+        "doc_id",
+        F.size("ts").alias("n_tokens"),
+        F.posexplode("ts").alias("pos", "tok"),
+    )
+    joined = toks.join(sp_arr, "doc_id", "left")
+    cut = ~F.col("sps").isNull() & F.exists(
+        "sps", lambda x: (F.col("pos") >= x["s"]) & (F.col("pos") < x["e"])
+    )
+    # Conditional aggregation over the UNFILTERED token stream (cut
+    # rows contribute NULL structs, which collect_list skips) instead
+    # of filter → agg → left-join a third documents scan back for the
+    # fully-cut docs: one corpus scan and one join fewer, and every
+    # doc keeps its output row by construction.
+    keep_struct = F.when(~cut, F.struct(F.col("pos"), F.col("tok")))
     return (
-        dup.groupBy("doc_id", "grp")
+        joined.groupBy("doc_id")
         .agg(
-            F.min("pos").alias("span_start"),
-            (F.max("pos") - F.min("pos") + F.lit(8))
-            .cast("long")
-            .alias("span_len_tokens"),
-            F.count(F.lit(1)).alias("n_windows"),
+            F.max("n_tokens").cast("long").alias("n_tokens"),
+            F.sum(cut.cast("long")).alias("n_cut"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(keep_struct)),
+                    lambda x: x["tok"],
+                ),
+                " ",
+            ).alias("clean_text"),
         )
-        .select("doc_id", "span_start", "span_len_tokens", "n_windows")
+        .select("doc_id", "n_tokens", "n_cut", "clean_text")
     )
 
 

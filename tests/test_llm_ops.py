@@ -80,6 +80,41 @@ def test_substring_spans_are_maximal_dup_islands(spark, sf_dir):
         assert (counts[r["window"]] > 1) == (r["pos"] in pos_in_span)
 
 
+def test_substring_hashed_equals_raw(spark, sf_dir):
+    """The xxhash64-keyed scale form must emit the identical span set
+    as the raw-string form (no hash collision on the fixture) — the
+    property that lets q_dedup_substring_hashed share the exact
+    oracle."""
+    docs = load(spark, sf_dir, "documents")
+    raw = {tuple(r) for r in dedup.dup_window_spans(docs, hashed=False).collect()}
+    hashed = {tuple(r) for r in dedup.dup_window_spans(docs, hashed=True).collect()}
+    assert raw == hashed
+    assert raw
+
+
+def test_substring_cut_invariants(spark, sf_dir):
+    """q_dedup_substring_cut: every doc emits exactly one row; n_cut
+    equals the doc's span-covered position count (spans never overlap
+    — islands are maximal — so the sum of span lengths IS the union);
+    untouched docs round-trip their text verbatim."""
+    from fhir2sql_spark import registry
+
+    registry.load_all()
+    spans = registry.QUERIES["q_dedup_substring"](spark, sf_dir).collect()
+    cut = registry.QUERIES["q_dedup_substring_cut"](spark, sf_dir).collect()
+    docs = {r["doc_id"]: r["text"] for r in load(spark, sf_dir, "documents").collect()}
+    assert {r["doc_id"] for r in cut} == set(docs)
+    covered = {}
+    for s in spans:
+        covered[s["doc_id"]] = covered.get(s["doc_id"], 0) + s["span_len_tokens"]
+    for r in cut:
+        assert r["n_cut"] == covered.get(r["doc_id"], 0), r["doc_id"]
+        if r["n_cut"] == 0:
+            assert r["clean_text"] == " ".join(docs[r["doc_id"]].split(" "))
+        else:
+            assert len(r["clean_text"].split(" ")) <= r["n_tokens"] - r["n_cut"] + 1
+
+
 def test_minhash_signature_deterministic(spark, sf_dir):
     docs = load(spark, sf_dir, "documents").limit(20)
     s1 = dedup.minhash_signatures(docs, num_hashes=8, seed=42).collect()

@@ -52,6 +52,9 @@ def test_showcase_covers_never_driver_checked():
         "q_agg_regr", "q_text_pmi",
         # round-5 portable verification twins (queries/llm.py)
         "q_dedup_minhash_portable", "q_dedup_simhash_portable",
+        # round-5 substring-dedup trio (raw + hashed + cut transform)
+        "q_dedup_substring", "q_dedup_substring_hashed",
+        "q_dedup_substring_cut",
         # crashed the r4 driver hasher (array output, since flattened)
         "q_agg_approx_percentile",
     }

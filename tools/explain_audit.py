@@ -199,6 +199,47 @@ CHECKS: list[tuple[str, str, str]] = [
         "pmi = one bigram explode + one unigram explode + one "
         "size-only scan (branch-duplicated forms cost 5 scans)",
     ),
+    (
+        "q_tpch_q1",
+        "#1:Exchange hashpartitioning",
+        "Q1 is one partial+final agg pass (the only other exchange is "
+        "the 4-row range sort)",
+    ),
+    (
+        "q_dedup_substring",
+        "#2:Exchange hashpartitioning",
+        "substring spans: window-key + doc_id shuffles only; the span "
+        "rollup reuses the doc_id exchange",
+    ),
+    (
+        "q_dedup_substring",
+        "#1:documents.parquet",
+        "one corpus scan (multiplicity via partition-only window, "
+        "not agg+join-back)",
+    ),
+    (
+        "q_dedup_substring_hashed",
+        "#2:Exchange hashpartitioning",
+        "hashed scale form keeps the identical two-shuffle plan",
+    ),
+    (
+        "q_dedup_substring_hashed",
+        "xxhash64",
+        "the 8-byte window key is computed below the wide exchange "
+        "(the string is projected away before the shuffle)",
+    ),
+    (
+        "q_dedup_substring_cut",
+        "#2:documents.parquet",
+        "span derivation + rebuild: exactly two corpus scans (the "
+        "conditional aggregate removes the base-join third scan)",
+    ),
+    (
+        "q_dedup_substring_cut",
+        "!CartesianProduct",
+        "the span-interval test is an equi-join + per-token exists(), "
+        "never a range join",
+    ),
     ("q_join_asof_nearest", "#2:Window ", "exactly the two asof carries"),
     (
         "q_join_asof_nearest",
