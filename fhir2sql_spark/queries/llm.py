@@ -372,6 +372,78 @@ def q_dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming"))
 
 
+@query(
+    "q_dedup_incremental",
+    oracle="""
+    WITH h AS (
+        SELECT doc_id,
+               sha256(array_to_string(
+                   string_split(trim(regexp_replace(lower(text), '\\s+', ' ',
+                                                    'g')), ' ')[1:8], ' '))
+                 AS th,
+               doc_id % 3 = 0 AS is_new
+        FROM documents
+    ),
+    corp AS (SELECT DISTINCT th FROM h WHERE NOT is_new),
+    nb AS (
+        SELECT doc_id, th, MIN(doc_id) OVER (PARTITION BY th) AS keeper
+        FROM h WHERE is_new
+    )
+    SELECT nb.doc_id, nb.th AS text_hash,
+           CASE WHEN c.th IS NOT NULL THEN 'dup_corpus'
+                WHEN nb.doc_id <> nb.keeper THEN 'dup_batch'
+                ELSE 'new' END AS status
+    FROM nb LEFT JOIN corp c ON nb.th = c.th
+    """,
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (daily-shard) exact dedup — the form a production
+    pipeline actually runs: nobody re-deduplicates a 100 TB corpus per
+    ingest; the NEW batch (here: doc_id % 3 == 0 as the deterministic
+    stand-in shard) is classified against the EXISTING corpus's key
+    index. The key is sha2 over the normalized first-8-token PREFIX —
+    the cheap ingest-dedup heuristic (crawl mirrors share openings) —
+    because the fixture contains no byte-exact duplicates: the prefix
+    key makes its near-dup clone pairs collide, so all three statuses
+    are exercised (full-text sha2 would classify everything 'new').
+    Every new-batch doc is tagged: 'dup_corpus' (key already indexed),
+    'dup_batch' (another new doc with the same key wins the min-doc_id
+    keeper rule), or 'new' (admit + append to the index).
+
+    Scale shape: the batch side is ingest-sized, not corpus-sized —
+    it shuffles on sha2 (uniform) for the within-batch keeper window
+    and probes the corpus index with a hash equi-join. Stored BUCKETED
+    by hash (tests/test_bucketed_join.py proves the exchange-free
+    read), the corpus index never re-shuffles across daily runs — the
+    per-ingest cost is O(batch), independent of corpus size. The
+    left-join + CASE (instead of anti-join chains) classifies all
+    three outcomes in ONE probe pass."""
+    docs = load(spark, sf_dir, "documents")
+    prefix = F.concat_ws(
+        " ", F.slice(F.split(dedup.normalize_text(F.col("text")), " "), 1, 8)
+    )
+    h = docs.select(
+        "doc_id",
+        F.sha2(prefix, 256).alias("th"),
+        (F.col("doc_id") % 3 == 0).alias("is_new"),
+    )
+    corp = h.where(~F.col("is_new")).select("th").distinct()
+    nb = h.where(F.col("is_new")).withColumn(
+        "keeper", F.min("doc_id").over(Window.partitionBy("th"))
+    )
+    return (
+        nb.join(corp.withColumn("in_corp", F.lit(True)), "th", "left")
+        .select(
+            "doc_id",
+            F.col("th").alias("text_hash"),
+            F.when(F.col("in_corp").isNotNull(), F.lit("dup_corpus"))
+            .when(F.col("doc_id") != F.col("keeper"), F.lit("dup_batch"))
+            .otherwise(F.lit("new"))
+            .alias("status"),
+        )
+    )
+
+
 _SUBSTRING_ORACLE = """
     WITH toks AS (
         SELECT doc_id, string_split(text, ' ') AS ts FROM documents

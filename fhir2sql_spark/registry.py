@@ -62,13 +62,14 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 #      the ten round-5 analysis queries, the two round-5 portable
 #      verification twins (full-pipeline exact gates for the
 #      MinHash-LSH and SimHash families), the round-5 substring-dedup
-#      trio (raw + hashed scale form + cut transform), and the
-#      repaired q_agg_approx_percentile.
+#      trio (raw + hashed scale form + cut transform), the round-5
+#      incremental-ingest dedup, and the repaired
+#      q_agg_approx_percentile.
 #   2. Operator-changed re-confirms (2): q_join_fuzzy (NULL guard
 #      added to operators/fuzzy.py) and q_join_spatial (tightened
 #      cell-domain guard in operators/spatial.py) — driver-green in
 #      r3, but the registered plans changed this round.
-#   3. Re-confirms (28): the oldest driver confirmations (round 2),
+#   3. Re-confirms (27): the oldest driver confirmations (round 2),
 #      including q_join_inner / q_join_left whose registered plans
 #      were rewritten in round 4 (eager aggregation) AFTER their r2
 #      gate — their current form has only local strict-check
@@ -82,7 +83,7 @@ SHOWCASE = (
     "q_agg_regr", "q_text_pmi",
     "q_dedup_minhash_portable", "q_dedup_simhash_portable",
     "q_dedup_substring", "q_dedup_substring_hashed",
-    "q_dedup_substring_cut",
+    "q_dedup_substring_cut", "q_dedup_incremental",
     "q_agg_approx_percentile",
     # 2. operator changed this round
     "q_join_fuzzy", "q_join_spatial",
@@ -95,7 +96,7 @@ SHOWCASE = (
     "q_join_asof", "q_agg_basic", "q_agg_distinct", "q_agg_rollup",
     "q_agg_percentile", "q_window_rank", "q_topk_pergroup",
     "q_limit_topk", "q_union_all", "q_str_funcs", "q_date_funcs",
-    "q_hof_funcs", "q_tumble", "q_session",
+    "q_tumble", "q_session",
 )
 
 # Green in CORRECTNESS_r02.json (round-2 driver gate) — kept here so

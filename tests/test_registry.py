@@ -55,6 +55,8 @@ def test_showcase_covers_never_driver_checked():
         # round-5 substring-dedup trio (raw + hashed + cut transform)
         "q_dedup_substring", "q_dedup_substring_hashed",
         "q_dedup_substring_cut",
+        # round-5 incremental-ingest dedup
+        "q_dedup_incremental",
         # crashed the r4 driver hasher (array output, since flattened)
         "q_agg_approx_percentile",
     }
