@@ -428,3 +428,124 @@ def test_m4_stream_equals_batch(spark, sf_dir, events_dir):
         spark, events_dir, EVENTS_SCHEMA, m4, output_mode="complete"
     )
     assert _rows(stream) == _rows(batch)
+
+
+def test_incremental_dedup_foreachbatch(spark, tmp_path):
+    """q_dedup_incremental's policy run as a CONTINUOUS ingest: the key
+    index is a parquet table, each micro-batch classifies against it in
+    one probe (new / dup_corpus / dup_batch) and appends its admitted
+    keys — so a batch-2 clone of a key admitted in batch 1 classifies
+    dup_corpus ACROSS batches. First-arrival replaces the one-shot
+    query's min-doc_id keeper (the documented streaming difference);
+    the final classification must equal a sequential replay of the
+    same policy.
+
+    Sink discipline: foreachBatch may REPLAY a batch after a restart,
+    so both sinks write per-batch subdirectories in overwrite mode —
+    a replayed batch rewrites its own output identically instead of
+    appending duplicate rows whose classifications straddle the index
+    append (observed as nondeterministic 'new'/'dup_corpus' flips).
+
+    Runs on sf0.01 (the oracle fixture): the suite's sf0.001 corpus is
+    too small to guarantee a cross-batch clone pair."""
+    from pyspark.sql import Window
+
+    from fhir2sql_spark.operators import dedup as dedup_ops
+
+    from tests.conftest import SF_MED
+
+    docs = load(spark, SF_MED, "documents")
+    prefix = F.concat_ws(
+        " ",
+        F.slice(F.split(dedup_ops.normalize_text(F.col("text")), " "), 1, 8),
+    )
+    h = docs.select(
+        "doc_id",
+        F.sha2(prefix, 256).alias("th"),
+        (F.col("doc_id") % 3 == 0).alias("is_new"),
+    )
+    index_dir = str(tmp_path / "index")
+    out_dir = str(tmp_path / "classified")
+    in_dir = str(tmp_path / "ingest")
+    ckpt = str(tmp_path / "ckpt")
+    h.where(~F.col("is_new")).select("th").distinct().write.parquet(
+        index_dir + "/base"
+    )
+    new_docs = h.where(F.col("is_new")).select("doc_id", "th")
+
+    def classify(bdf: DataFrame, batch_id: int) -> None:
+        s = bdf.sparkSession
+        idx = (
+            s.read.option("recursiveFileLookup", "true")
+            .parquet(index_dir)
+            .withColumn("in_corp", F.lit(True))
+        )
+        keeper = bdf.withColumn(
+            "keeper", F.min("doc_id").over(Window.partitionBy("th"))
+        )
+        tagged = keeper.join(idx, "th", "left").select(
+            "doc_id",
+            "th",
+            F.when(F.col("in_corp").isNotNull(), F.lit("dup_corpus"))
+            .when(F.col("doc_id") != F.col("keeper"), F.lit("dup_batch"))
+            .otherwise(F.lit("new"))
+            .alias("status"),
+        )
+        # pin ONE evaluation: the admitted-keys write below must not
+        # recompute tagged after the index it read has grown
+        tagged = tagged.localCheckpoint()
+        tagged.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+        tagged.where(F.col("status") == "new").select("th").write.mode(
+            "overwrite"
+        ).parquet(f"{index_dir}/batch={batch_id}")
+
+    def drain() -> None:
+        stream = spark.readStream.schema("doc_id long, th string").parquet(in_dir)
+        q = (
+            stream.writeStream.foreachBatch(classify)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    b1 = new_docs.where(F.col("doc_id") % 2 == 0)
+    b2 = new_docs.where(F.col("doc_id") % 2 == 1)
+    b1.write.mode("append").parquet(in_dir)
+    drain()
+    b2.write.mode("append").parquet(in_dir)
+    drain()
+
+    out_rows = (
+        spark.read.option("recursiveFileLookup", "true").parquet(out_dir).collect()
+    )
+    got = {r["doc_id"]: r["status"] for r in out_rows}
+    rows = sorted(
+        ((r["doc_id"], r["th"]) for r in new_docs.collect()),
+        key=lambda t: (t[0] % 2, t[0]),  # batch1 (even) before batch2 (odd)
+    )
+    assert len(out_rows) == len(rows)  # no replay-duplicated rows
+    assert set(got) == {d for d, _ in rows}  # each doc classified once
+    # sequential replay of the policy: per batch, first-keeper wins
+    corpus = {r["th"] for r in h.where(~F.col("is_new")).collect()}
+    expect = {}
+    for parity in (0, 1):
+        batch = [(d, t) for d, t in rows if d % 2 == parity]
+        keepers = {}
+        for d, t in batch:
+            keepers.setdefault(t, d)
+        for d, t in batch:
+            if t in corpus:
+                expect[d] = "dup_corpus"
+            elif keepers[t] != d:
+                expect[d] = "dup_batch"
+            else:
+                expect[d] = "new"
+        corpus |= {t for d, t in batch if expect[d] == "new"}
+    assert got == expect
+    # the cross-batch case must actually occur on this fixture: doc 420
+    # (batch 1) and 393 (batch 2) share a prefix key with no corpus
+    # member — streaming admits 420 then flags 393 as dup_corpus, where
+    # the one-shot query's min-doc_id keeper would have kept 393.
+    assert got[420] == "new" and got[393] == "dup_corpus"
