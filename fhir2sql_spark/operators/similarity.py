@@ -627,3 +627,114 @@ def kmeans_codebook(
         # doesn't accumulate one codebook matrix per round
         bc.unpersist(False)
     return cents
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    tau: float = 0.4,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): coarse-cluster the corpus, then mark as
+    duplicate every item that has a same-cluster neighbour with cosine
+    >= ``tau`` and a smaller id (keep-lowest-id, no transitive
+    chaining — each drop decision is a local pairwise predicate, which
+    is what makes the operator embarrassingly parallel).
+
+    Scale shape: cell assignment is the map-side Arrow/numpy argmax
+    against the broadcast codebook (identical pattern + tie rule to
+    ivf_topk above — lowest cent_id on a tie); the quadratic pairwise
+    stage is confined within cells, so total work is
+    sum(cell_size^2) ≈ N^2 / n_centroids with a balanced codebook —
+    pick n_centroids ∝ sqrt(N) (trained via kmeans_codebook) and the
+    per-cell work stays constant as the corpus grows. The only
+    shuffle is the cell equi-join.
+
+    Returns ``(id_col, cell int, is_dup boolean)`` for every corpus
+    row. When ``centroids`` is omitted the codebook is the first
+    ``n_centroids`` corpus vectors by id (deterministic,
+    oracle-replayable — the q_embed_ivf convention)."""
+    import numpy as np
+    import pandas as pd
+
+    if centroids is not None:
+        cents = centroids.select("cent_id", "cent_vec")
+    else:
+        cents = (
+            corpus.orderBy(id_col)
+            .limit(n_centroids)
+            .select(
+                F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
+            )
+        )
+    cent_rows = cents.orderBy("cent_id").collect()
+    if not cent_rows:
+        return corpus.sparkSession.createDataFrame(
+            [], f"{id_col} long, cell int, is_dup boolean"
+        )
+    code = np.array([r["cent_vec"] for r in cent_rows], dtype=np.float64)
+    code_n = np.linalg.norm(code, axis=1)
+    code_n[code_n == 0] = 1.0
+    code_unit = code / code_n[:, None]
+    cids = np.array([r["cent_id"] for r in cent_rows], dtype=np.int64)
+    bc = corpus.sparkSession.sparkContext.broadcast((cids, code_unit))
+
+    types = {f.name: f.dataType.simpleString() for f in corpus.schema.fields}
+    id_type = types.get(id_col, "long")
+    vec_type = types.get(vec_col, "array<float>")
+
+    def batches(it):
+        b_cids, b_code = bc.value
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            x = np.array(pdf["__vec"].tolist(), dtype=np.float64)
+            xn = np.linalg.norm(x, axis=1, keepdims=True)
+            xn[xn == 0] = 1.0
+            sims = (x / xn) @ b_code.T
+            best = np.argsort(-sims, axis=1, kind="stable")[:, 0]
+            yield pd.DataFrame(
+                {
+                    "__id": pdf["__id"].to_numpy(),
+                    "__vec": pdf["__vec"].to_numpy(),
+                    "cell": b_cids[best].astype("int32"),
+                }
+            )
+
+    assigned = corpus.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec")
+    ).mapInPandas(batches, f"__id {id_type}, __vec {vec_type}, cell int")
+
+    a = assigned.select(
+        F.col("cell"), F.col("__id").alias("a_id"), F.col("__vec").alias("a_vec")
+    )
+    b = assigned.select(
+        F.col("cell").alias("cell_b"),
+        F.col("__id").alias("b_id"),
+        F.col("__vec").alias("b_vec"),
+    )
+    # cosine stays the JVM-side sequential fold (_dot/_norm) so the
+    # oracle's list_dot_product accumulates in the same order.
+    cos = _dot("a_vec", "b_vec") / (_norm("a_vec") * _norm("b_vec"))
+    dup_ids = (
+        a.join(
+            b,
+            (a["cell"] == b["cell_b"]) & (F.col("a_id") < F.col("b_id")),
+        )
+        .where(cos >= tau)
+        .select(F.col("b_id").alias("__dup"))
+        .distinct()
+    )
+    return (
+        assigned.join(
+            dup_ids, assigned["__id"] == dup_ids["__dup"], "left"
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            "cell",
+            F.col("__dup").isNotNull().alias("is_dup"),
+        )
+    )

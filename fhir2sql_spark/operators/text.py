@@ -350,3 +350,69 @@ def lm_score_docs(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .cast("double")
         .alias("avg_bits"),
     )
+
+
+def phrase_hits(col: Column, phrase: str) -> Column:
+    """Exact phrase-occurrence count: how many times the whitespace
+    token sequence of ``phrase`` appears verbatim in ``col``.
+
+    Pure higher-order array expressions — no explode, no shuffle, no
+    Python: positions are `filter(sequence(0, n_tokens - phrase_len),
+    i -> tokens[i+j] == word_j ∀j)`, entirely inside whole-stage
+    codegen, so phrase search rides the scan (a narrow map) at any
+    scale. The posting-list formulation (posexplode + position
+    adjacency self-join) is what the DuckDB oracle replays — same
+    semantics, deliberately different plan."""
+    words = phrase.split()
+    if not words:
+        raise ValueError("phrase must contain at least one token")
+    t = tokens(col)
+    n = len(words)
+
+    def match_at(i: Column) -> Column:
+        cond = F.element_at(t, i + 1) == words[0]
+        for j, w in enumerate(words[1:], start=1):
+            cond = cond & (F.element_at(t, i + F.lit(j + 1)) == w)
+        return cond
+
+    starts = F.filter(F.sequence(F.lit(0), F.size(t) - n), match_at)
+    return F.when(F.size(t) >= n, F.size(starts)).otherwise(F.lit(0))
+
+
+def hashed_ngram_score(col: Column, buckets: int = 1001) -> Column:
+    """Linear text-quality classifier over hashed word-bigram features
+    (the fasttext shape: score = mean of per-feature weights, here a
+    deterministic weight table w(h) = (h mod ``buckets``) - offset so
+    both engines can replay it).
+
+    The feature hash is the engine-portable 60-bit md5 prefix
+    (``conv(substr(md5(gram),1,15),16,10)`` — the same construction as
+    the q_dedup_*_portable twins, queries/llm.py), and the weights are
+    INTEGERS summed exactly, so the score (integer sum / count via one
+    IEEE double division) is bit-identical across engines — no float
+    accumulation order to drift. All higher-order array expressions:
+    no explode, no shuffle, no Python in the hot path.
+
+    Returns the mean centred weight as DOUBLE (NULL when the text has
+    fewer than 2 tokens)."""
+    t = tokens(col)
+    offset = buckets // 2
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(t) - 2),
+        lambda i: F.concat_ws(" ", F.element_at(t, i + 1), F.element_at(t, i + 2)),
+    )
+    weights = F.transform(
+        grams,
+        lambda g: (
+            F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")
+            % buckets
+            - offset
+        ),
+    )
+    total = F.aggregate(
+        weights, F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    return F.when(
+        F.size(t) >= 2,
+        total.cast("double") / (F.size(t) - 1).cast("double"),
+    )

@@ -1,0 +1,118 @@
+"""Distributed triangle counting (degree-ordered wedge join).
+
+Triangle participation counts over an undirected graph — the classic
+"mutual connections" / community-density primitive. The naive 3-way
+self-join enumerates every wedge at every vertex: sum(deg^2), which a
+single hub vertex turns quadratic. The standard distributed fix
+(Cohen's MapReduce algorithm; also Suri & Vassilvitskii's "Counting
+Triangles and the Curse of the Last Reducer", WWW'11) orients every
+edge from the lower-(degree, id) endpoint to the higher one:
+
+  - every triangle {a,b,c} keeps exactly ONE wedge — the one centered
+    at its lowest-rank vertex — so nothing is double-counted;
+  - each vertex's out-degree is bounded by O(sqrt(m)), so the wedge
+    join is O(m^1.5) total regardless of hub skew — the property that
+    makes the plan survive a power-law graph at 100 TB.
+
+Both joins are plain equi-joins (shuffle on vertex id / edge pair), so
+Catalyst/AQE handle physical strategy; no driver-side state.
+
+The reference (samply/fhir2sql, src/main.rs — a sync daemon) has no
+graph surface; this extends SURVEY.md §2.4 alongside
+operators/pagerank.py and operators/components.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# rank = deg * 2^33 + node packs the (degree, node) orientation order
+# into one comparable long: valid while node < 2^33 and deg < 2^30
+# (fixture node ids are part keys, < 2^21 at sf100; degrees < |V|).
+_RANK_SHIFT = 1 << 33
+
+
+def cooccurrence_edges(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    min_weight: int = 2,
+) -> DataFrame:
+    """Build an undirected co-occurrence graph: an edge (src < dst)
+    between two items that appear in at least ``min_weight`` distinct
+    groups together. One self-equi-join on the group key + one
+    aggregation; the per-group pair fan-out is C(items-per-group, 2),
+    bounded by the group size (small for order-like groups)."""
+    base = df.select(
+        F.col(group_col).alias("__g"), F.col(item_col).alias("__i")
+    ).distinct()
+    a = base.select("__g", F.col("__i").alias("src"))
+    b = base.select(F.col("__g").alias("__g2"), F.col("__i").alias("dst"))
+    pairs = a.join(
+        b, (a["__g"] == b["__g2"]) & (F.col("src") < F.col("dst"))
+    ).select("src", "dst")
+    return (
+        pairs.groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("weight"))
+        .where(F.col("weight") >= min_weight)
+    )
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-vertex triangle participation counts.
+
+    ``edges`` holds each undirected edge once as (src < dst), unique.
+    Returns ``(node, triangles long)`` for every vertex in at least one
+    triangle. Wedges are enumerated only at each triangle's
+    lowest-(degree, id) vertex (see module docstring), then closed
+    against the oriented edge set; each closed triangle credits all
+    three corners via an explode — a config-free, fully distributed
+    plan (two equi-joins + one aggregation)."""
+    deg = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .select(
+            "node",
+            (F.col("deg").cast("long") * F.lit(_RANK_SHIFT) + F.col("node"))
+            .alias("rank"),
+        )
+    )
+    ranked = (
+        edges.join(deg.withColumnRenamed("node", "src"), "src")
+        .withColumnRenamed("rank", "rank_src")
+        .join(deg.withColumnRenamed("node", "dst"), "dst")
+        .withColumnRenamed("rank", "rank_dst")
+    )
+    lo_first = F.col("rank_src") < F.col("rank_dst")
+    oriented = ranked.select(
+        F.when(lo_first, F.col("src")).otherwise(F.col("dst")).alias("u"),
+        F.when(lo_first, F.col("dst")).otherwise(F.col("src")).alias("v"),
+        F.when(lo_first, F.col("rank_dst"))
+        .otherwise(F.col("rank_src"))
+        .alias("rank_v"),
+    )
+    e1 = oriented.select(
+        F.col("u"), F.col("v").alias("v1"), F.col("rank_v").alias("rv1")
+    )
+    e2 = oriented.select(
+        F.col("u").alias("u2"), F.col("v").alias("v2"), F.col("rank_v").alias("rv2")
+    )
+    wedges = e1.join(
+        e2, (e1["u"] == e2["u2"]) & (F.col("rv1") < F.col("rv2"))
+    ).select("u", "v1", "v2")
+    closer = oriented.select(
+        F.col("u").alias("v1"), F.col("v").alias("v2")
+    )
+    tri = wedges.join(closer, ["v1", "v2"])
+    return (
+        tri.select(
+            F.explode(F.array(F.col("u"), F.col("v1"), F.col("v2"))).alias(
+                "node"
+            )
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )

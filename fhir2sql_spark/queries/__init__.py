@@ -20,6 +20,8 @@ _MODULES = (
     "training",
     "curation",
     "analysis",
+    "behavior",
+    "retrieval",
 )
 
 

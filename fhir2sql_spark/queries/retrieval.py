@@ -1,0 +1,183 @@
+"""Retrieval / curation additions (round 5, SURVEY.md §2.4): exact
+phrase search, a hashed-ngram linear quality classifier, and
+SemDeDup-style semantic deduplication.
+
+The reference (samply/fhir2sql — a Rust sync daemon, src/main.rs) has
+no text/IR surface; these extend the LLM-curation inventory next to
+queries/llm.py (BM25, minhash/simhash dedup, ANN) with three shapes it
+lacked: positional phrase matching, an ML-style hashed feature scorer,
+and cluster-bounded embedding dedup.
+
+Engine-portability notes: the classifier hash is the 60-bit md5
+prefix both engines compute identically (the q_dedup_*_portable
+construction); its weights are integers so sums are order-free; the
+semantic-dedup codebook is the deterministic first-16-by-id
+(q_embed_ivf convention) and its pairwise cosines are the shared
+sequential fold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fhir2sql_spark.operators import similarity
+from fhir2sql_spark.operators.text import hashed_ngram_score, phrase_hits
+from fhir2sql_spark.registry import query
+from fhir2sql_spark.tables import load
+
+# 60-bit md5-prefix of an expression, as DuckDB positional nibble
+# arithmetic — identical to Spark's conv(substr(md5(x),1,15),16,10)
+# (same construction as the portable dedup twins in queries/llm.py).
+def _md5_60(expr: str) -> str:
+    return "(" + " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5({expr}), {k}, 1)) - 1)"
+        f" * {16 ** (15 - k)}"
+        for k in range(1, 16)
+    ) + ")"
+
+
+_PHRASE = "table hash"
+
+
+@query(
+    "q_search_phrase",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    u AS (
+        SELECT doc_id, unnest(toks) AS tok,
+               generate_subscripts(toks, 1) AS pos
+        FROM t
+    )
+    SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+    FROM u a JOIN u b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    WHERE a.tok = '{_PHRASE.split()[0]}' AND b.tok = '{_PHRASE.split()[1]}'
+    GROUP BY a.doc_id
+    """,
+)
+def q_search_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search: documents containing the token sequence
+    '{phrase}' with per-document occurrence counts. The Spark side is
+    a pure higher-order array expression (operators/text.py
+    phrase_hits) — no explode, no shuffle, no Python: phrase search
+    rides the parquet scan inside whole-stage codegen. The oracle
+    replays the classic posting-list plan (posexplode + position
+    adjacency self-join) — same semantics, deliberately different
+    plan, so the hash check pins the operator's semantics rather than
+    its implementation."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id", phrase_hits(F.col("text"), _PHRASE).cast("long").alias("n_hits")
+        )
+        .where(F.col("n_hits") > 0)
+    )
+
+
+@query(
+    "q_quality_classifier",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    u AS (
+        SELECT doc_id, unnest(toks) AS tok,
+               generate_subscripts(toks, 1) AS pos
+        FROM t WHERE len(toks) >= 2
+    ),
+    grams AS (
+        SELECT a.doc_id, a.tok || ' ' || b.tok AS gram
+        FROM u a JOIN u b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    ),
+    w AS (
+        SELECT doc_id, ({_md5_60('gram')} % 1001) - 500 AS wt FROM grams
+    ),
+    s AS (
+        SELECT doc_id, CAST(SUM(wt) AS DOUBLE) / COUNT(*) AS score
+        FROM w GROUP BY doc_id
+    )
+    SELECT doc_id, score, score > 0 AS kept FROM s
+    """,
+)
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality classifier over hashed word-bigram features —
+    the fasttext-classifier shape used for corpus filtering, with a
+    deterministic weight table (w(h) = h mod 1001 - 500 over the
+    engine-portable 60-bit md5 feature hash) standing in for trained
+    weights so the ENTIRE pipeline gets an exact external gate.
+
+    Spark side: higher-order array expressions only
+    (operators/text.py hashed_ngram_score) — bigrams, hashes, and the
+    integer weight sum all inside whole-stage codegen; no explode, no
+    shuffle, no Python. Integer sums are accumulation-order-free and
+    the single double division is IEEE-identical across engines, so
+    no rounding tolerance is needed anywhere."""
+    docs = load(spark, sf_dir, "documents")
+    score = hashed_ngram_score(F.col("text"), buckets=1001)
+    return (
+        docs.where(F.size(F.split(F.col("text"), r"\s+")) >= 2)
+        .select(
+            "doc_id",
+            score.alias("score"),
+            (score > 0).alias("kept"),
+        )
+    )
+
+
+@query(
+    "q_dedup_semantic",
+    oracle="""
+    WITH v AS MATERIALIZED (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    cents AS MATERIALIZED (
+        SELECT vec_id AS cent_id, e AS cv FROM v
+        WHERE vec_id IN (SELECT vec_id FROM v ORDER BY vec_id LIMIT 16)
+    ),
+    asg AS MATERIALIZED (
+        SELECT vec_id, cell FROM (
+            SELECT v.vec_id, c.cent_id AS cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY list_dot_product(v.e, c.cv)
+                                  / (sqrt(list_dot_product(v.e, v.e))
+                                     * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                                c.cent_id) AS rn
+            FROM v CROSS JOIN cents c
+        ) t WHERE rn = 1
+    ),
+    dup AS (
+        SELECT DISTINCT b.vec_id
+        FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        JOIN v va ON va.vec_id = a.vec_id
+        JOIN v vb ON vb.vec_id = b.vec_id
+        WHERE list_dot_product(va.e, vb.e)
+                / (sqrt(list_dot_product(va.e, va.e))
+                   * sqrt(list_dot_product(vb.e, vb.e))) >= 0.4
+    )
+    SELECT asg.vec_id, CAST(asg.cell AS INTEGER) AS cell,
+           (dup.vec_id IS NOT NULL) AS is_dup
+    FROM asg LEFT JOIN dup ON asg.vec_id = dup.vec_id
+    """,
+)
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023):
+    coarse-cluster into 16 cells (deterministic first-16-by-id
+    codebook, the q_embed_ivf convention), then mark every vector with
+    a same-cell, smaller-id neighbour at cosine >= 0.4 as a duplicate.
+    Emits the keep/drop verdict for EVERY corpus row.
+
+    Scale shape (operators/similarity.py semantic_dedup): map-side
+    Arrow/numpy cell assignment against the broadcast codebook — the
+    corpus never shuffles for assignment — and the quadratic pairwise
+    stage is confined within cells (sum(cell^2) ≈ N^2/k; train the
+    codebook with kmeans_codebook and pick k ∝ sqrt(N) at real
+    scale). Exact oracle: the codebook is deterministic, pairwise
+    cosines are the shared sequential fold, and the only
+    representational freedom (numpy matmul vs SQL fold in the argmax,
+    ~1e-15) cannot flip an assignment on this fixture (no near-tied
+    centroids — same argument as q_embed_ivf's graduation)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup(emb, tau=0.4, n_centroids=16)

@@ -692,3 +692,51 @@ def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.select(
         "doc_id", "lang", "stage", F.col("train_pos").cast("long").alias("train_pos")
     )
+
+
+@query(
+    "q_graph_triangles",
+    oracle="""
+    WITH pc AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+               COUNT(DISTINCT a.l_orderkey) AS c
+        FROM lineitem a
+        JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    ),
+    e AS MATERIALIZED (SELECT pa, pb FROM pc WHERE c >= 2),
+    tri AS (
+        SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+        FROM e e1
+        JOIN e e2 ON e1.pb = e2.pa
+        JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+    ),
+    n AS (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+    )
+    SELECT node, COUNT(*) AS triangles FROM n GROUP BY node
+    """,
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle participation counts over the part co-purchase graph
+    (edge = two parts sharing >= 2 distinct orders): the
+    community-density primitive, counted with the degree-ordered wedge
+    join (operators/triangles.py — every triangle enumerated exactly
+    once at its lowest-(degree, id) corner, out-degrees bounded
+    O(sqrt(m)) so hub skew cannot blow up the wedge stage at 100 TB).
+
+    The oracle counts the same triangle set with the simple id-ordered
+    3-way self-join — orientation changes the enumeration plan, never
+    the triangle SET, so per-node counts hash-match exactly. All
+    integer equi-joins + aggregations; no floats anywhere."""
+    from fhir2sql_spark.operators.triangles import (
+        cooccurrence_edges,
+        triangle_counts,
+    )
+
+    li = load(spark, sf_dir, "lineitem")
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey", min_weight=2)
+    return triangle_counts(edges.select("src", "dst"))
