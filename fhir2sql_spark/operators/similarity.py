@@ -708,25 +708,39 @@ def semantic_dedup(
         F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec")
     ).mapInPandas(batches, f"__id {id_type}, __vec {vec_type}, cell int")
 
-    a = assigned.select(
-        F.col("cell"), F.col("__id").alias("a_id"), F.col("__vec").alias("a_vec")
-    )
-    b = assigned.select(
-        F.col("cell").alias("cell_b"),
-        F.col("__id").alias("b_id"),
-        F.col("__vec").alias("b_vec"),
-    )
-    # cosine stays the JVM-side sequential fold (_dot/_norm) so the
-    # oracle's list_dot_product accumulates in the same order.
-    cos = _dot("a_vec", "b_vec") / (_norm("a_vec") * _norm("b_vec"))
-    dup_ids = (
-        a.join(
-            b,
-            (a["cell"] == b["cell_b"]) & (F.col("a_id") < F.col("b_id")),
-        )
-        .where(cos >= tau)
-        .select(F.col("b_id").alias("__dup"))
-        .distinct()
+    # Pairwise stage: per-cell blocked float64 BLAS via applyInPandas
+    # (one shuffle on cell). The join+HOF-fold rendering paid
+    # interpreted per-element evaluation for every pair dot product
+    # (Spark runs lambda expressions outside codegen): 5.3 s at
+    # sf0.1 vs ~1 s for this form. Hash safety vs the oracle's
+    # sequential fold: float64 matmul differs only in accumulation
+    # order (~1e-15 relative), and the fixture's closest pair sits
+    # 1.3e-4 from tau at the sf0.01 gate (9.9e-6 at sf0.1) — margins
+    # asserted in tests/test_round5_ops.py.
+    def cell_dups(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        if len(pdf) < 2:
+            return pd.DataFrame({"__dup": np.array([], dtype=np.int64)})
+        order = np.argsort(pdf["__id"].to_numpy(), kind="stable")
+        ids = pdf["__id"].to_numpy()[order]
+        x = np.array(pdf["__vec"].iloc[order].tolist(), dtype=np.float64)
+        nrm = np.linalg.norm(x, axis=1)
+        nrm[nrm == 0] = 1.0
+        u = x / nrm[:, None]
+        m = len(ids)
+        cols = np.arange(m)
+        dup = np.zeros(m, dtype=bool)
+        blk = 4096  # bounds the sim-matrix slab at blk x m doubles
+        for s in range(0, m, blk):
+            e = min(s + blk, m)
+            sims = u[s:e] @ u.T
+            valid = np.arange(s, e)[:, None] < cols[None, :]
+            dup |= ((sims >= tau) & valid).any(axis=0)
+        return pd.DataFrame({"__dup": ids[dup]})
+
+    # cells partition the corpus and ids are unique, so the emitted
+    # dup ids are already globally unique — no distinct needed
+    dup_ids = assigned.groupBy("cell").applyInPandas(
+        cell_dups, f"__dup {id_type}"
     )
     return (
         assigned.join(

@@ -12,17 +12,19 @@ Engine-portability notes: the classifier hash is the 60-bit md5
 prefix both engines compute identically (the q_dedup_*_portable
 construction); its weights are integers so sums are order-free; the
 semantic-dedup codebook is the deterministic first-16-by-id
-(q_embed_ivf convention) and its pairwise cosines are the shared
-sequential fold.
+(q_embed_ivf convention) and its BLAS pairwise cosines sit ~1e-15
+from the oracle's fold against a measured 1e-4 threshold margin.
 """
 
 from __future__ import annotations
+
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fhir2sql_spark.operators import similarity
-from fhir2sql_spark.operators.text import hashed_ngram_score, phrase_hits
+from fhir2sql_spark.operators.text import hashed_ngram_scores, phrase_hits
 from fhir2sql_spark.registry import query
 from fhir2sql_spark.tables import load
 
@@ -68,8 +70,17 @@ def q_search_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan, so the hash check pins the operator's semantics rather than
     its implementation."""
     docs = load(spark, sf_dir, "documents")
+    # cheap-filter-then-verify: the regex is a strict SUPERSET of the
+    # token-adjacency predicate (adjacent tokens imply the substring
+    # 'table\s+hash'; false positives like 'notable hash' survive the
+    # prefilter and are rejected by the exact positional count), so
+    # the interpreted HOF scan runs only on candidate docs — 2.4 s ->
+    # ~0.5 s at sf0.1 with a ~9% hit rate
+    candidates = docs.where(
+        F.col("text").rlike(r"\s+".join(map(re.escape, _PHRASE.split())))
+    )
     return (
-        docs.select(
+        candidates.select(
             "doc_id", phrase_hits(F.col("text"), _PHRASE).cast("long").alias("n_hits")
         )
         .where(F.col("n_hits") > 0)
@@ -108,21 +119,19 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-portable 60-bit md5 feature hash) standing in for trained
     weights so the ENTIRE pipeline gets an exact external gate.
 
-    Spark side: higher-order array expressions only
-    (operators/text.py hashed_ngram_score) — bigrams, hashes, and the
-    integer weight sum all inside whole-stage codegen; no explode, no
-    shuffle, no Python. Integer sums are accumulation-order-free and
-    the single double division is IEEE-identical across engines, so
-    no rounding tolerance is needed anywhere."""
+    Spark side: the exploded hash-aggregate form (operators/text.py
+    hashed_ngram_scores) — md5/conv run as compiled codegen
+    expressions on a flat bigram column with one doc_id-keyed shuffle
+    (the equivalent no-shuffle HOF-array form, hashed_ngram_score,
+    pays interpreted lambda evaluation and measured 4x slower at
+    sf0.1; both are property-tested equal). Integer sums are
+    accumulation-order-free and the single double division is
+    IEEE-identical across engines, so no rounding tolerance is needed
+    anywhere."""
     docs = load(spark, sf_dir, "documents")
-    score = hashed_ngram_score(F.col("text"), buckets=1001)
-    return (
-        docs.where(F.size(F.split(F.col("text"), r"\s+")) >= 2)
-        .select(
-            "doc_id",
-            score.alias("score"),
-            (score > 0).alias("kept"),
-        )
+    scored = hashed_ngram_scores(docs, "doc_id", "text", buckets=1001)
+    return scored.select(
+        "doc_id", "score", (F.col("score") > 0).alias("kept")
     )
 
 
@@ -174,8 +183,11 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus never shuffles for assignment — and the quadratic pairwise
     stage is confined within cells (sum(cell^2) ≈ N^2/k; train the
     codebook with kmeans_codebook and pick k ∝ sqrt(N) at real
-    scale). Exact oracle: the codebook is deterministic, pairwise
-    cosines are the shared sequential fold, and the only
+    scale). Exact oracle: the codebook is deterministic, the pairwise
+    verdict comes from per-cell blocked float64 BLAS whose only
+    divergence from the oracle's sequential fold is accumulation
+    order (~1e-15, vs a measured 1.3e-4 fixture margin to tau —
+    asserted in tests/test_round5_ops.py), and the only
     representational freedom (numpy matmul vs SQL fold in the argmax,
     ~1e-15) cannot flip an assignment on this fixture (no near-tied
     centroids — same argument as q_embed_ivf's graduation)."""

@@ -259,3 +259,46 @@ def test_graph_triangles_nonempty_at_sf_med(spark):
     out = QUERIES["q_graph_triangles"](spark, SF_MED).collect()
     # sf0.01 fixture: 61 triangles (each credits 3 corners)
     assert sum(r["triangles"] for r in out) == 3 * 61
+
+
+def test_classifier_forms_agree(spark):
+    """The no-shuffle HOF form and the exploded hash-aggregate form
+    (the registered hot path) compute identical scores."""
+    from fhir2sql_spark.operators.text import (
+        hashed_ngram_score,
+        hashed_ngram_scores,
+    )
+
+    docs = spark.read.parquet(f"{SF_MED}/documents.parquet").limit(100)
+    hof = docs.select(
+        "doc_id", hashed_ngram_score(F.col("text")).alias("score")
+    ).where(F.col("score").isNotNull())
+    exploded = hashed_ngram_scores(docs)
+    a = {r["doc_id"]: r["score"] for r in hof.collect()}
+    b = {r["doc_id"]: r["score"] for r in exploded.collect()}
+    assert a == b  # bit-exact: same integer sum, same IEEE division
+
+
+def test_semantic_dedup_margin_vs_tau(spark):
+    """The BLAS pairwise stage is hash-safe only while no same-cell
+    pair sits within float noise of tau=0.4 — assert the margin on
+    the oracle-gate fixture (sf0.01) with plenty of headroom."""
+    import numpy as np
+
+    emb = spark.read.parquet(f"{SF_MED}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    rows = emb.orderBy("vec_id").collect()
+    x = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    u = x / np.linalg.norm(x, axis=1, keepdims=True)
+    cents = u[:16]
+    cells = np.argmax(u @ cents.T, axis=1)
+    margin = 1.0
+    for c in range(16):
+        idx = np.where(cells == c)[0]
+        if len(idx) < 2:
+            continue
+        sims = u[idx] @ u[idx].T
+        iu = np.triu_indices(len(idx), k=1)
+        margin = min(margin, np.abs(sims[iu] - 0.4).min())
+    assert margin > 1e-6  # measured 1.3e-4; BLAS drift is ~1e-15

@@ -246,6 +246,41 @@ CHECKS: list[tuple[str, str, str]] = [
         "!CartesianProduct",
         "directional recombine is a keyed join",
     ),
+    # round-5 late additions
+    (
+        "q_rolling_active",
+        "!BroadcastNestedLoopJoin",
+        "window expansion is a generate + broadcast HASH join on the "
+        "grid (the range-join form planned BNLJ: |rows| x |grid|)",
+    ),
+    (
+        "q_rolling_active",
+        "BroadcastHashJoin",
+        "grid clip is an equi broadcast join",
+    ),
+    (
+        "q_quality_classifier",
+        "#1:Exchange hashpartitioning",
+        "classifier = one doc_id-keyed shuffle (md5/conv compiled on "
+        "the flat bigram column; partial agg carries two longs/doc)",
+    ),
+    (
+        "q_search_phrase",
+        "!Exchange",
+        "phrase search rides the scan: regex prefilter + positional "
+        "verify, zero shuffles",
+    ),
+    (
+        "q_graph_triangles",
+        "!CartesianProduct",
+        "wedge join + closure are equi-joins; orientation bounds "
+        "out-degrees, never a cross product",
+    ),
+    (
+        "q_dedup_semantic",
+        "FlatMapGroupsInPandas",
+        "pairwise stage is per-cell blocked BLAS via applyInPandas",
+    ),
     ("q_cdc_scd2", "WindowGroupLimit", ""),  # placeholder replaced below
 ]
 # q_cdc_scd2's property is structural, not a substring: all three
