@@ -138,3 +138,38 @@ def shard_assign(
     return ranked.select(
         "doc_id", "n_tokens", shard.cast("int").alias("shard")
     )
+
+
+def distributed_prefix_sum(
+    df: DataFrame,
+    order_exprs: list,
+    value_col: str,
+    out_col: str = "csum",
+    n_parts: int = 32,
+) -> DataFrame:
+    """Global inclusive running sum of ``value_col`` in ``order_exprs``
+    order without a single-task window — the cumsum twin of
+    distributed_rank above (same shape: range-repartition on the sort
+    key, per-partition running sums in parallel, then add offsets from
+    the tiny n_parts-row per-partition total table)."""
+    ranged = df.repartitionByRange(n_parts, *order_exprs).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    sums = ranged.groupBy("__pid").agg(F.sum(value_col).alias("__s"))
+    w_off = Window.partitionBy(F.lit(0)).orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = sums.select(
+        "__pid",
+        F.coalesce(F.sum("__s").over(w_off), F.lit(0)).alias("__off"),
+    )
+    w_in = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_exprs)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ranged.join(F.broadcast(offsets), "__pid")
+        .withColumn(out_col, F.sum(value_col).over(w_in) + F.col("__off"))
+        .drop("__pid", "__off")
+    )

@@ -43,10 +43,13 @@ _FMT = "yyyy-MM-dd HH:mm:ss"
 )
 def q_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 24-hour active users at hourly grain — the exact
-    sliding COUNT(DISTINCT) (operators/rolling.py): pre-dedup to
-    (hour, user), broadcast range-join against the hour grid (grid
-    size = time span, data-volume independent), one distinct
-    aggregation. The trailing window is inclusive of the current hour
+    sliding COUNT(DISTINCT) in sweep-line form (operators/rolling.py):
+    pre-dedup to (hour, user), merge each user's coverage intervals
+    into islands, emit a ±1 difference array, and read the answer off
+    one distributed prefix sum over the time-span-sized delta stream.
+    O(distinct (hour,user)) work, flat in the window width — no
+    ×window explode, no corpus-wide distinct aggregation (306 → 56.7 s
+    at sf100). The trailing window is inclusive of the current hour
     (23 preceding + current)."""
     e = load(spark, sf_dir, "events")
     r = rolling_distinct(e, "ts", "user_id", grain="hour", window_buckets=24)

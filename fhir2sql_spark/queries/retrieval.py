@@ -193,3 +193,26 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids — same argument as q_embed_ivf's graduation)."""
     emb = load(spark, sf_dir, "embeddings")
     return similarity.semantic_dedup(emb, tau=0.4, n_centroids=16)
+
+
+@query("q_dedup_semantic_trained")  # trained k-means codebook: rows-only
+def q_dedup_semantic_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup in its real-scale configuration: the coarse clustering
+    uses the TRAINED spherical k-means codebook (operators/
+    similarity.py kmeans_codebook — deterministic k-center seeding,
+    fused Arrow/BLAS assign+update rounds) with k ~ sqrt(N), replacing
+    q_dedup_semantic's fixed first-16 codebook. Balanced trained cells
+    keep the quadratic pairwise stage at ~N^2/k ≈ N^1.5 total work as
+    the corpus grows — the documented fix for the fixed codebook's
+    cell bloat measured at sf10 (SCALE.md round-5 block).
+
+    Rows-only like q_embed_ivf_trained (the iterative codebook is not
+    SQL-expressible); the shared search/pairwise plan is exactly the
+    one q_dedup_semantic hash-checks, and the trained variant's
+    semantics are property-tested (clone recall, verdict-per-row,
+    cell agreement) in tests/test_round5_ops.py."""
+    emb = load(spark, sf_dir, "embeddings")
+    n = emb.count()
+    k = max(16, int(n ** 0.5))
+    cents = similarity.kmeans_codebook(emb, k=k, iters=2, seed=42)
+    return similarity.semantic_dedup(emb, tau=0.4, centroids=cents)

@@ -57,19 +57,21 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 # query that existed when the r4 window froze except
 # q_agg_approx_percentile (its array-typed output crashed the
 # driver's hasher — now flattened to scalars). Priority order:
-#   1. Never-driver-checked (19): the four TPC-H queries registered
+#   1. Never-driver-checked (28): the four TPC-H queries registered
 #      after the r4 freeze (Q2/Q11/Q21 + the round-5 canonical Q1),
 #      the ten round-5 analysis queries, the two round-5 portable
 #      verification twins (full-pipeline exact gates for the
 #      MinHash-LSH and SimHash families), the round-5 substring-dedup
 #      trio (raw + hashed scale form + cut transform), the round-5
-#      incremental-ingest dedup, and the repaired
-#      q_agg_approx_percentile.
+#      incremental-ingest dedup, the repaired
+#      q_agg_approx_percentile, and the seven round-5 late additions
+#      (rolling actives, attribution, triangles, phrase search,
+#      quality classifier, SemDeDup + its rows-only trained twin).
 #   2. Operator-changed re-confirms (2): q_join_fuzzy (NULL guard
 #      added to operators/fuzzy.py) and q_join_spatial (tightened
 #      cell-domain guard in operators/spatial.py) — driver-green in
 #      r3, but the registered plans changed this round.
-#   3. Re-confirms (27): the oldest driver confirmations (round 2),
+#   3. Re-confirms (20): the oldest driver confirmations (round 2),
 #      including q_join_inner / q_join_left whose registered plans
 #      were rewritten in round 4 (eager aggregation) AFTER their r2
 #      gate — their current form has only local strict-check
@@ -85,6 +87,9 @@ SHOWCASE = (
     "q_dedup_substring", "q_dedup_substring_hashed",
     "q_dedup_substring_cut", "q_dedup_incremental",
     "q_agg_approx_percentile",
+    "q_rolling_active", "q_attribution", "q_graph_triangles",
+    "q_search_phrase", "q_quality_classifier",
+    "q_dedup_semantic", "q_dedup_semantic_trained",
     # 2. operator changed this round
     "q_join_fuzzy", "q_join_spatial",
     # 3. oldest (r2) re-confirmations, rewritten joins first
@@ -94,9 +99,7 @@ SHOWCASE = (
     "q_sync_updates", "q_count_reconcile", "q_cdc_scd2",
     "q_join_semi", "q_join_anti", "q_join_broadcast", "q_join_range",
     "q_join_asof", "q_agg_basic", "q_agg_distinct", "q_agg_rollup",
-    "q_agg_percentile", "q_window_rank", "q_topk_pergroup",
-    "q_limit_topk", "q_union_all", "q_str_funcs", "q_date_funcs",
-    "q_tumble", "q_session",
+    "q_agg_percentile", "q_window_rank",
 )
 
 # Green in CORRECTNESS_r02.json (round-2 driver gate) — kept here so

@@ -302,3 +302,117 @@ def test_semantic_dedup_margin_vs_tau(spark):
         iu = np.triu_indices(len(idx), k=1)
         margin = min(margin, np.abs(sims[iu] - 0.4).min())
     assert margin > 1e-6  # measured 1.3e-4; BLAS drift is ~1e-15
+
+
+def test_semantic_dedup_trained_codebook(spark):
+    """Trained-codebook SemDeDup: every row gets a verdict, planted
+    clones are always dropped (same-cell is guaranteed for exact
+    clones: identical vectors share an argmax), originals survive at
+    tau=0.99."""
+    from fhir2sql_spark.operators import similarity
+
+    emb = (
+        spark.read.parquet(f"{SF_MED}/embeddings.parquet")
+        .where(F.col("vec_id") < 150)
+        .select("vec_id", "embedding")
+    )
+    clones = emb.select((F.col("vec_id") + 1000).alias("vec_id"), "embedding")
+    corpus = emb.unionByName(clones)
+    cents = similarity.kmeans_codebook(corpus, k=12, iters=2, seed=7)
+    out = similarity.semantic_dedup(corpus, tau=0.99, centroids=cents)
+    rows = {r["vec_id"]: (r["cell"], r["is_dup"]) for r in out.collect()}
+    assert len(rows) == 300
+    for vid in range(150):
+        assert rows[vid][0] == rows[vid + 1000][0]
+        assert rows[vid + 1000][1] is True
+    assert not any(rows[v][1] for v in range(150))
+
+
+def test_triangles_property_random_graphs(spark):
+    """Hypothesis: degree-ordered distributed counts == brute force on
+    random graphs."""
+    import itertools
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from fhir2sql_spark.operators.triangles import triangle_counts
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        edges=st.sets(
+            st.tuples(
+                st.integers(0, 9), st.integers(0, 9)
+            ).filter(lambda p: p[0] != p[1]),
+            min_size=0,
+            max_size=25,
+        )
+    )
+    def run(edges):
+        und = sorted({(min(a, b), max(a, b)) for a, b in edges})
+        got = (
+            {}
+            if not und
+            else {
+                r["node"]: r["triangles"]
+                for r in triangle_counts(_edges(spark, und)).collect()
+            }
+        )
+        eset = set(und)
+        naive = {}
+        nodes = sorted(set(itertools.chain.from_iterable(und)))
+        for a, b, c in itertools.combinations(nodes, 3):
+            if {(a, b), (a, c), (b, c)} <= eset:
+                for v in (a, b, c):
+                    naive[v] = naive.get(v, 0) + 1
+        assert got == naive
+
+    run()
+
+
+def test_rolling_distinct_property(spark):
+    """Hypothesis: operator == brute force over random (hour, key)
+    event sets, for several window sizes."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from fhir2sql_spark.operators.rolling import rolling_distinct
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        pts=st.lists(
+            st.tuples(st.integers(0, 30), st.integers(0, 5)),
+            min_size=1,
+            max_size=40,
+        ),
+        w=st.integers(1, 5),
+    )
+    def run(pts, w):
+        df = spark.createDataFrame(
+            [Row(ts=f"2024-03-01 {h:02d}:00:00" if h < 24
+                 else f"2024-03-02 {h-24:02d}:00:00", k=k) for h, k in pts]
+        ).select(F.col("ts").cast("timestamp").alias("ts"), "k")
+        got = {
+            (r["bucket"].day, r["bucket"].hour): r["n_distinct"]
+            for r in rolling_distinct(df, "ts", "k", "hour", w).collect()
+        }
+        data = {}
+        for h, k in pts:
+            data.setdefault(h, set()).add(k)
+        want = {
+            (1 + hh // 24, hh % 24): len(
+                set().union(*[data.get(x, set()) for x in range(hh - w + 1, hh + 1)])
+            )
+            for hh in data
+        }
+        assert got == want
+
+    run()

@@ -250,13 +250,13 @@ CHECKS: list[tuple[str, str, str]] = [
     (
         "q_rolling_active",
         "!BroadcastNestedLoopJoin",
-        "window expansion is a generate + broadcast HASH join on the "
-        "grid (the range-join form planned BNLJ: |rows| x |grid|)",
+        "sweep-line rolling distinct: no range join anywhere (the "
+        "range-join form planned BNLJ: |rows| x |grid|)",
     ),
     (
         "q_rolling_active",
         "BroadcastHashJoin",
-        "grid clip is an equi broadcast join",
+        "prefix-sum partition offsets join via broadcast",
     ),
     (
         "q_quality_classifier",
