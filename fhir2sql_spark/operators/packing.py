@@ -143,33 +143,47 @@ def shard_assign(
 def distributed_prefix_sum(
     df: DataFrame,
     order_exprs: list,
-    value_col: str,
-    out_col: str = "csum",
+    value_col: str | list[str],
+    out_col: str | list[str] = "csum",
     n_parts: int = 32,
 ) -> DataFrame:
-    """Global inclusive running sum of ``value_col`` in ``order_exprs``
-    order without a single-task window — the cumsum twin of
-    distributed_rank above (same shape: range-repartition on the sort
-    key, per-partition running sums in parallel, then add offsets from
-    the tiny n_parts-row per-partition total table)."""
+    """Global inclusive running sum of each ``value_col`` in
+    ``order_exprs`` order without a single-task window — the cumsum
+    twin of distributed_rank above (same shape: range-repartition on
+    the sort key, per-partition running sums in parallel, then add
+    offsets from the tiny n_parts-row per-partition total table).
+    Multiple value columns share the ONE repartition, offset table and
+    per-partition sort (a second call would pay all three again)."""
+    vals = [value_col] if isinstance(value_col, str) else list(value_col)
+    outs = [out_col] if isinstance(out_col, str) else list(out_col)
+    if len(vals) != len(outs):
+        raise ValueError(f"{len(vals)} value cols vs {len(outs)} out cols")
     ranged = df.repartitionByRange(n_parts, *order_exprs).withColumn(
         "__pid", F.spark_partition_id()
     )
-    sums = ranged.groupBy("__pid").agg(F.sum(value_col).alias("__s"))
+    sums = ranged.groupBy("__pid").agg(
+        *[F.sum(v).alias(f"__s{i}") for i, v in enumerate(vals)]
+    )
     w_off = Window.partitionBy(F.lit(0)).orderBy("__pid").rowsBetween(
         Window.unboundedPreceding, -1
     )
     offsets = sums.select(
         "__pid",
-        F.coalesce(F.sum("__s").over(w_off), F.lit(0)).alias("__off"),
+        *[
+            F.coalesce(F.sum(f"__s{i}").over(w_off), F.lit(0)).alias(
+                f"__off{i}"
+            )
+            for i in range(len(vals))
+        ],
     )
     w_in = (
         Window.partitionBy("__pid")
         .orderBy(*order_exprs)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return (
-        ranged.join(F.broadcast(offsets), "__pid")
-        .withColumn(out_col, F.sum(value_col).over(w_in) + F.col("__off"))
-        .drop("__pid", "__off")
-    )
+    joined = ranged.join(F.broadcast(offsets), "__pid")
+    for i, (v, o) in enumerate(zip(vals, outs)):
+        joined = joined.withColumn(
+            o, F.sum(v).over(w_in) + F.col(f"__off{i}")
+        )
+    return joined.drop("__pid", *[f"__off{i}" for i in range(len(vals))])

@@ -116,3 +116,112 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("triangles"))
     )
+
+
+def edge_jaccard(edges: DataFrame) -> DataFrame:
+    """Neighborhood Jaccard similarity per EDGE — the classic
+    link-strength feature (|N(a) ∩ N(b)| / |N(a) ∪ N(b)| for each
+    existing edge; endpoints stay in the union, standard
+    common-neighbors convention).
+
+    ``edges`` holds each undirected edge once as (src < dst), unique.
+    Returns ``(src, dst, common long, jaccard double)`` for EVERY
+    input edge (zero-common edges included via a left join).
+
+    |N(a) ∩ N(b)| for an edge is exactly the number of triangles
+    through it, so the plan reuses the degree-ordered wedge
+    enumeration above — every triangle found once at its lowest-rank
+    corner, out-degrees bounded O(sqrt(m)) — then credits each
+    triangle to its three edges (canonicalized src < dst) and joins
+    degree counts for the union size. Same scale posture as
+    triangle_counts: equi-joins + aggregations only, hub-skew-proof.
+    The division common/(deg_a + deg_b - common) is one IEEE double
+    op over exact longs — bit-identical in any engine."""
+    deg_raw = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    deg = deg_raw.select(
+        "node",
+        "deg",
+        (F.col("deg").cast("long") * F.lit(_RANK_SHIFT) + F.col("node"))
+        .alias("rank"),
+    )
+    ranked = (
+        edges.join(
+            deg.select(F.col("node").alias("src"), F.col("rank").alias("rank_src")),
+            "src",
+        ).join(
+            deg.select(F.col("node").alias("dst"), F.col("rank").alias("rank_dst")),
+            "dst",
+        )
+    )
+    lo_first = F.col("rank_src") < F.col("rank_dst")
+    oriented = ranked.select(
+        F.when(lo_first, F.col("src")).otherwise(F.col("dst")).alias("u"),
+        F.when(lo_first, F.col("dst")).otherwise(F.col("src")).alias("v"),
+        F.when(lo_first, F.col("rank_dst"))
+        .otherwise(F.col("rank_src"))
+        .alias("rank_v"),
+    )
+    e1 = oriented.select(
+        F.col("u"), F.col("v").alias("v1"), F.col("rank_v").alias("rv1")
+    )
+    e2 = oriented.select(
+        F.col("u").alias("u2"), F.col("v").alias("v2"), F.col("rank_v").alias("rv2")
+    )
+    wedges = e1.join(
+        e2, (e1["u"] == e2["u2"]) & (F.col("rv1") < F.col("rv2"))
+    ).select("u", "v1", "v2")
+    closer = oriented.select(F.col("u").alias("v1"), F.col("v").alias("v2"))
+    tri = wedges.join(closer, ["v1", "v2"])
+    # each triangle contributes one common neighbor to each of its
+    # three edges; canonicalize to (min, max) = the input edge form
+    tri_edges = tri.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.least("u", "v1").alias("src"),
+                    F.greatest("u", "v1").alias("dst"),
+                ),
+                F.struct(
+                    F.least("u", "v2").alias("src"),
+                    F.greatest("u", "v2").alias("dst"),
+                ),
+                F.struct(
+                    F.least("v1", "v2").alias("src"),
+                    F.greatest("v1", "v2").alias("dst"),
+                ),
+            )
+        ).alias("__e")
+    ).select("__e.src", "__e.dst")
+    common = tri_edges.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).alias("common")
+    )
+    out = (
+        edges.join(common, ["src", "dst"], "left")
+        .join(
+            deg_raw.select(
+                F.col("node").alias("src"), F.col("deg").alias("deg_src")
+            ),
+            "src",
+        )
+        .join(
+            deg_raw.select(
+                F.col("node").alias("dst"), F.col("deg").alias("deg_dst")
+            ),
+            "dst",
+        )
+    )
+    c = F.coalesce(F.col("common"), F.lit(0)).cast("long")
+    return out.select(
+        "src",
+        "dst",
+        c.alias("common"),
+        (
+            c.cast("double")
+            / (F.col("deg_src") + F.col("deg_dst") - c).cast("double")
+        ).alias("jaccard"),
+    )

@@ -22,6 +22,7 @@ _MODULES = (
     "analysis",
     "behavior",
     "retrieval",
+    "vocab",
 )
 
 

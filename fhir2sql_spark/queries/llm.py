@@ -846,6 +846,83 @@ def q_embed_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_embed_pq",
+    oracle="""
+    WITH v AS MATERIALIZED (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    sub AS (SELECT * FROM (VALUES (0),(1),(2),(3)) s(s)),
+    cents AS MATERIALIZED (
+      SELECT vec_id AS cent_id, e AS cv FROM v
+      WHERE vec_id IN (SELECT vec_id FROM v ORDER BY vec_id LIMIT 16)
+    ),
+    vs AS MATERIALIZED (
+      SELECT vec_id, s, list_slice(e, s*16+1, s*16+16) AS x
+      FROM v CROSS JOIN sub
+    ),
+    cs AS MATERIALIZED (
+      SELECT cent_id, s, list_slice(cv, s*16+1, s*16+16) AS c
+      FROM cents CROSS JOIN sub
+    ),
+    d AS MATERIALIZED (
+      SELECT vs.vec_id, vs.s, cs.cent_id,
+             list_dot_product(x,x) - 2*list_dot_product(x,c)
+               + list_dot_product(c,c) AS d2
+      FROM vs JOIN cs USING (s)
+    ),
+    codes AS (
+      SELECT vec_id, s, cent_id FROM (
+        SELECT vec_id, s, cent_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                  ORDER BY d2, cent_id) AS rn
+        FROM d) t WHERE rn = 1
+    ),
+    scored AS (
+      SELECT d.vec_id AS q_id, codes.vec_id AS c_id, SUM(d.d2) AS adist
+      FROM codes JOIN d ON d.s = codes.s AND d.cent_id = codes.cent_id
+      WHERE d.vec_id < 5 AND codes.vec_id <> d.vec_id
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT q_id, c_id, adist,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY adist, c_id) AS rn
+      FROM scored
+    )
+    SELECT q_id, c_id, round(adist, 4) AS adist, rn
+    FROM ranked WHERE rn <= 5
+    """,
+)
+def q_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with ADC scoring (Jégou et al. 2011 —
+    the memory-bounded path that makes billion-vector search fit in
+    RAM; FAISS's IVF-PQ core). 64-dim vectors split into m=4
+    subspaces, each quantized against a 16-codeword codebook, so a
+    candidate costs 4 LUT lookups instead of a 64-dim dot product and
+    stores 4 small codes instead of 256 bytes of floats.
+
+    Spark shape (operators/pq.py): broadcast codebook, encode + ADC
+    scoring fused into ONE mapInPandas corpus pass emitting only
+    per-(query, batch) top-k — the corpus never shuffles and the
+    single exchange carries <= k x n_q x n_batches rows into the
+    exact re-rank window.
+
+    Exact oracle via the q_embed_ivf graduation argument: the
+    codebook is the deterministic first-16 corpus vectors, both
+    engines expand squared L2 as |x|^2 - 2<x,c> + |c|^2, and the only
+    representational freedom (dot accumulation order, ~1e-13) is
+    absorbed by 4-dp rounding; np.argmin's first-minimum matches the
+    oracle's (d2, cent_id) tie rule."""
+    from fhir2sql_spark.operators.pq import pq_search
+
+    emb = load(spark, sf_dir, "embeddings")
+    out = pq_search(emb.where(F.col("vec_id") < 5), emb, k=5, m=4, n_codes=16)
+    return out.select(
+        "q_id", "c_id", F.round("adist", 4).alias("adist"), "rn"
+    )
+
+
 def _ann_oracle(n_planes: int = 8, seed: int = 42, dim: int = 64) -> str:
     """Generated oracle replicating the ENTIRE hyperplane-LSH pipeline:
     the seeded planes are inlined as double literals (repr() round-

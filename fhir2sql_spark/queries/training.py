@@ -740,3 +740,61 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     edges = cooccurrence_edges(li, "l_orderkey", "l_partkey", min_weight=2)
     return triangle_counts(edges.select("src", "dst"))
+
+
+@query(
+    "q_graph_jaccard",
+    oracle="""
+    WITH pc AS (
+        SELECT a.l_partkey AS src, b.l_partkey AS dst,
+               COUNT(DISTINCT a.l_orderkey) AS c
+        FROM lineitem a
+        JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    ),
+    e AS MATERIALIZED (SELECT src, dst FROM pc WHERE c >= 2),
+    adj AS MATERIALIZED (
+        SELECT src AS n, dst AS m FROM e
+        UNION ALL SELECT dst AS n, src AS m FROM e
+    ),
+    deg AS (SELECT n, COUNT(*) AS deg FROM adj GROUP BY n),
+    common AS (
+      SELECT e.src, e.dst, COUNT(*) AS c
+      FROM e JOIN adj a ON a.n = e.src
+             JOIN adj b ON b.n = e.dst AND b.m = a.m
+      GROUP BY e.src, e.dst
+    )
+    SELECT e.src, e.dst, CAST(COALESCE(c.c, 0) AS BIGINT) AS common,
+           ROUND(CAST(COALESCE(c.c, 0) AS DOUBLE)
+                 / CAST(ds.deg + dd.deg - COALESCE(c.c, 0) AS DOUBLE),
+                 6) AS jaccard
+    FROM e
+    LEFT JOIN common c ON c.src = e.src AND c.dst = e.dst
+    JOIN deg ds ON ds.n = e.src
+    JOIN deg dd ON dd.n = e.dst
+    """,
+)
+def q_graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood Jaccard per co-purchase edge — the classic
+    link-prediction / edge-strength feature (|N(a) ∩ N(b)| over
+    |N(a) ∪ N(b)| for every existing edge). The common-neighbor count
+    of an edge is exactly its triangle count, so the Spark plan reuses
+    the degree-ordered wedge enumeration (operators/triangles.py
+    edge_jaccard): each triangle found once at its lowest-(deg, id)
+    corner — O(m^1.5) total, hub-skew-proof — then credited to its
+    three canonical edges; degrees join in for the union size. The
+    oracle counts the same set via the naive adjacency-list join
+    (enumeration plan differs, the SET cannot). The one double
+    division runs over exact longs — IEEE-identical both sides."""
+    from fhir2sql_spark.operators.triangles import (
+        cooccurrence_edges,
+        edge_jaccard,
+    )
+
+    li = load(spark, sf_dir, "lineitem")
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey", min_weight=2)
+    out = edge_jaccard(edges.select("src", "dst"))
+    return out.select(
+        "src", "dst", "common", F.round("jaccard", 6).alias("jaccard")
+    )

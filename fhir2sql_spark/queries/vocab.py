@@ -1,0 +1,277 @@
+"""Vocabulary / corpus-statistics queries (round-5 additions to the
+SURVEY.md §2.4 LLM-curation inventory): the measurements a tokenizer
+or data-mix team runs before training.
+
+- BPE merge-candidate mining: corpus-wide adjacent character-pair
+  counts over the word-frequency dictionary — one merge round of
+  byte-pair encoding (Sennrich et al. 2016). The frequency-dict
+  formulation IS the scale form: the corpus collapses to its
+  vocabulary before any pair is generated, so the pair stage's input
+  is vocabulary-sized, not corpus-sized.
+- Zipf rank-frequency fit: log-log OLS slope over the top token
+  ranks — the sanity check that a corpus has natural-language token
+  statistics (slope ~ -1) rather than boilerplate.
+- Heaps' law vocabulary growth: cumulative distinct-vocabulary vs
+  cumulative token count in document order — the diagnostic for
+  "is new data still adding new vocabulary". The running totals use
+  the distributed prefix sum (operators/packing.py), never a
+  single-task global window.
+- Winsorized quality z-scores: per-language p05/p95-clipped,
+  standardized chars-per-token — robust outlier scoring for mixture
+  weighting (clipping first so tail docs cannot drag the mean).
+
+The reference (samply/fhir2sql, src/main.rs — a 621-line Rust sync
+daemon) has no text surface; determinism rules follow
+queries/util.py (exact integer counts; one IEEE division; 6-dp
+rounding only where engine summation order genuinely drifts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fhir2sql_spark.operators.packing import distributed_prefix_sum
+from fhir2sql_spark.registry import query
+from fhir2sql_spark.tables import load
+
+
+@query(
+    "q_bpe_pairs",
+    oracle="""
+    WITH wc AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+      WHERE length(w) >= 2 GROUP BY w
+    )
+    SELECT substr(w, CAST(i AS INT), 2) AS pair,
+           CAST(SUM(cnt) AS BIGINT) AS cnt
+    FROM wc, unnest(generate_series(1, length(w) - 1)) AS t(i)
+    GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20
+    """,
+)
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE merge round: the 20 most frequent adjacent character
+    pairs corpus-wide, weighted by word frequency. The plan is the
+    textbook (and scale-optimal) frequency-dict form: tokenize →
+    word-count aggregate (map-side combine collapses the corpus to
+    its VOCABULARY — the only corpus-sized shuffle carries distinct
+    words per partition), then the pair generation explodes
+    vocabulary-sized input only and re-aggregates over the ~alphabet²
+    pair domain. Top-20 is an orderBy+limit → TakeOrderedAndProject,
+    no global sort shuffle. Pairs stay within words (no cross-word
+    merges), the standard BPE convention."""
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split("text", " ")).alias("w")
+    ).where(F.length("w") >= 2)
+    wc = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    pairs = wc.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+        "cnt",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+        .orderBy(F.desc("cnt"), "pair")
+        .limit(20)
+    )
+
+
+@query(
+    "q_tokens_zipf",
+    oracle="""
+    WITH wc AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+      WHERE w <> '' GROUP BY w
+    ),
+    top AS (SELECT w, cnt FROM wc ORDER BY cnt DESC, w LIMIT 100),
+    r AS (
+      SELECT cnt,
+             ROW_NUMBER() OVER (ORDER BY cnt DESC, w) AS rank
+      FROM top
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_types,
+           ROUND(regr_slope(ln(cnt), ln(rank)), 6) AS zipf_slope,
+           ROUND(regr_intercept(ln(cnt), ln(rank)), 6) AS zipf_intercept,
+           ROUND(corr(ln(cnt), ln(rank)), 6) AS loglog_corr
+    FROM r
+    """,
+)
+def q_tokens_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit: OLS slope/intercept/corr of
+    ln(frequency) on ln(rank) over the top-100 token types — natural
+    text sits near slope -1; templated/boilerplate corpora flatten.
+    The token count is the one corpus-sized aggregate (map-side
+    combine → vocabulary-sized exchange); top-100 is orderBy+limit
+    (TakeOrderedAndProject); ranking the LIMIT-bounded rows goes
+    through distributed_rank anyway (a lit(0)-partitioned window gets
+    constant-folded by Catalyst back into the unpartitioned
+    single-task form the suite-wide audit bans — cheap here, but the
+    registered plan should be the one that survives without the
+    LIMIT). 6-dp rounding absorbs the regr moment-accumulation order
+    drift (q_agg_regr convention)."""
+    from fhir2sql_spark.operators.packing import distributed_rank
+
+    docs = load(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top = wc.orderBy(F.desc("cnt"), "w").limit(100)
+    ranked = distributed_rank(
+        top, [F.desc("cnt"), F.asc("w")], out_col="rnk"
+    ).withColumn("rank", F.col("rnk") + 1)
+    lc, lr = F.log(F.col("cnt")), F.log(F.col("rank"))
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.round(F.regr_slope(lc, lr), 6).alias("zipf_slope"),
+        F.round(F.regr_intercept(lc, lr), 6).alias("zipf_intercept"),
+        F.round(F.corr(lc, lr), 6).alias("loglog_corr"),
+    )
+
+
+@query(
+    "q_vocab_growth",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    tok1 AS (SELECT doc_id, w FROM tok WHERE w <> ''),
+    per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok
+            FROM tok1 GROUP BY doc_id),
+    own AS (SELECT w, MIN(doc_id) AS doc_id FROM tok1 GROUP BY w),
+    nw AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_new
+           FROM own GROUP BY doc_id),
+    j AS (
+      SELECT p.doc_id, p.n_tok, COALESCE(nw.n_new, 0) AS n_new
+      FROM per p LEFT JOIN nw USING (doc_id)
+    ),
+    c AS (
+      SELECT doc_id,
+             SUM(n_tok) OVER (ORDER BY doc_id) AS cum_tokens,
+             SUM(n_new) OVER (ORDER BY doc_id) AS cum_vocab
+      FROM j
+    )
+    SELECT doc_id, CAST(cum_tokens AS BIGINT) AS cum_tokens,
+           CAST(cum_vocab AS BIGINT) AS cum_vocab
+    FROM c WHERE doc_id % 20 = 0
+    """,
+)
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth curve: cumulative token count and
+    cumulative distinct vocabulary after each document (in doc_id
+    ingest order), sampled every 20th doc. "New vocabulary" is
+    attributed by first owner (min doc_id per word — the same
+    first-owner idea as q_text_ngram_novelty), which turns the
+    running COUNT(DISTINCT) into a plain running SUM of per-doc
+    new-word counts; both running totals ride ONE distributed prefix
+    sum (operators/packing.py — range-repartition + broadcast
+    per-partition offsets, both columns sharing the repartition and
+    sort), never a single-task global window. All counts are exact
+    longs — no floats anywhere."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).where(F.col("w") != "")
+    per = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    own = tok.groupBy("w").agg(F.min("doc_id").alias("doc_id"))
+    nw = own.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_new"))
+    j = per.join(nw, "doc_id", "left").select(
+        "doc_id",
+        "n_tok",
+        F.coalesce("n_new", F.lit(0)).alias("n_new"),
+    )
+    c = distributed_prefix_sum(
+        j,
+        [F.col("doc_id")],
+        ["n_tok", "n_new"],
+        out_col=["cum_tokens", "cum_vocab"],
+    )
+    return c.where(F.col("doc_id") % 20 == 0).select(
+        "doc_id",
+        F.col("cum_tokens").cast("long").alias("cum_tokens"),
+        F.col("cum_vocab").cast("long").alias("cum_vocab"),
+    )
+
+
+@query(
+    "q_quality_winsorize",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, lang,
+             CAST(length(replace(text, ' ', '')) AS DOUBLE)
+               / CAST(length(text) - length(replace(text, ' ', '')) + 1
+                      AS DOUBLE) AS score
+      FROM documents
+    ),
+    b AS (
+      SELECT lang,
+             quantile_cont(score, 0.05) AS p05,
+             quantile_cont(score, 0.95) AS p95
+      FROM s GROUP BY lang
+    ),
+    cl AS (
+      SELECT s.doc_id, s.lang,
+             least(greatest(s.score, b.p05), b.p95) AS clipped
+      FROM s JOIN b USING (lang)
+    ),
+    m AS (
+      SELECT lang, avg(clipped) AS mu, stddev_pop(clipped) AS sd
+      FROM cl GROUP BY lang
+    )
+    SELECT cl.doc_id, cl.lang,
+           ROUND(cl.clipped, 6) AS clipped,
+           ROUND((cl.clipped - m.mu) / NULLIF(m.sd, 0), 6) AS winsor_z
+    FROM cl JOIN m USING (lang)
+    """,
+)
+def q_quality_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-language quality scoring: chars-per-token, winsorized
+    at the language's p05/p95, then standardized — the clip-first
+    ordering keeps tail documents from dragging the mean, the standard
+    robust-mixture-weighting preprocessor. The score is computed
+    scan-side with pure string arithmetic (length/replace — no
+    tokenizer explode, no lambda): chars = length minus spaces, slots
+    = spaces + 1. Exact percentiles per language are the CONTRACT
+    form (per-group sort state grows with group size — the documented
+    scale swap is approx_percentile's mergeable t-digest, which the
+    clip tolerates by construction); the mean/stddev pass is a plain
+    partial+final aggregate. Percentile interpolation matches DuckDB
+    quantile_cont (q_agg_percentile convention); 6-dp rounding
+    absorbs moment summation-order drift."""
+    docs = load(spark, sf_dir, "documents")
+    chars = F.length(F.regexp_replace("text", " ", "")).cast("double")
+    slots = (
+        F.length("text") - F.length(F.regexp_replace("text", " ", "")) + 1
+    ).cast("double")
+    s = docs.select("doc_id", "lang", (chars / slots).alias("score"))
+    b = s.groupBy("lang").agg(
+        F.expr("percentile(score, 0.05D)").alias("p05"),
+        F.expr("percentile(score, 0.95D)").alias("p95"),
+    )
+    cl = s.join(F.broadcast(b), "lang").select(
+        "doc_id",
+        "lang",
+        F.least(F.greatest("score", F.col("p05")), F.col("p95")).alias(
+            "clipped"
+        ),
+    )
+    m = cl.groupBy("lang").agg(
+        F.avg("clipped").alias("mu"), F.stddev_pop("clipped").alias("sd")
+    )
+    return cl.join(F.broadcast(m), "lang").select(
+        "doc_id",
+        "lang",
+        F.round("clipped", 6).alias("clipped"),
+        F.round(
+            (F.col("clipped") - F.col("mu"))
+            / F.nullif(F.col("sd"), F.lit(0.0)),
+            6,
+        ).alias("winsor_z"),
+    )

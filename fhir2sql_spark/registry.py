@@ -64,14 +64,21 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 #      MinHash-LSH and SimHash families), the round-5 substring-dedup
 #      trio (raw + hashed scale form + cut transform), the round-5
 #      incremental-ingest dedup, the repaired
-#      q_agg_approx_percentile, and the seven round-5 late additions
+#      q_agg_approx_percentile, the seven round-5 late additions
 #      (rolling actives, attribution, triangles, phrase search,
-#      quality classifier, SemDeDup + its rows-only trained twin).
-#   2. Operator-changed re-confirms (2): q_join_fuzzy (NULL guard
+#      quality classifier, SemDeDup + its rows-only trained twin),
+#      and the six round-5 final-stretch queries (BPE pair mining,
+#      Zipf fit, Heaps vocabulary growth, winsorized quality scores,
+#      edge Jaccard, PQ/ADC similarity search).
+#   2. Oracle graduations (4): q_embed_ann / q_embed_ivf /
+#      q_dedup_embed_bulk / q_graph_pagerank got only the weak
+#      rows-only driver row in r4 (they had no SQL oracle then);
+#      their round-5 exact oracles have never been driver-hashed.
+#   3. Operator-changed re-confirms (2): q_join_fuzzy (NULL guard
 #      added to operators/fuzzy.py) and q_join_spatial (tightened
 #      cell-domain guard in operators/spatial.py) — driver-green in
 #      r3, but the registered plans changed this round.
-#   3. Re-confirms (20): the oldest driver confirmations (round 2),
+#   4. Re-confirms (10): the oldest driver confirmations (round 2),
 #      including q_join_inner / q_join_left whose registered plans
 #      were rewritten in round 4 (eager aggregation) AFTER their r2
 #      gate — their current form has only local strict-check
@@ -90,16 +97,18 @@ SHOWCASE = (
     "q_rolling_active", "q_attribution", "q_graph_triangles",
     "q_search_phrase", "q_quality_classifier",
     "q_dedup_semantic", "q_dedup_semantic_trained",
-    # 2. operator changed this round
+    "q_bpe_pairs", "q_tokens_zipf", "q_vocab_growth",
+    "q_quality_winsorize", "q_graph_jaccard", "q_embed_pq",
+    # 2. round-5 oracle graduations (r4 saw them rows-only)
+    "q_embed_ann", "q_embed_ivf", "q_dedup_embed_bulk",
+    "q_graph_pagerank",
+    # 3. operator changed this round
     "q_join_fuzzy", "q_join_spatial",
-    # 3. oldest (r2) re-confirmations, rewritten joins first
+    # 4. oldest (r2) re-confirmations, rewritten joins first
     "q_join_inner", "q_join_left",
     "q_filter_pred", "q_project_json",
     "q_sync_diff_full", "q_sync_inserts", "q_sync_deletes",
     "q_sync_updates", "q_count_reconcile", "q_cdc_scd2",
-    "q_join_semi", "q_join_anti", "q_join_broadcast", "q_join_range",
-    "q_join_asof", "q_agg_basic", "q_agg_distinct", "q_agg_rollup",
-    "q_agg_percentile", "q_window_rank",
 )
 
 # Green in CORRECTNESS_r02.json (round-2 driver gate) — kept here so
@@ -142,7 +151,7 @@ SHOWCASE_BENCH = (
     # round-5 additions
     "q_bm25", "q_text_ngram_novelty", "q_interval_coverage",
     "q_join_asof_nearest", "q_rolling_median", "q_text_pmi",
-    "q_agg_regr",
+    "q_agg_regr", "q_embed_pq", "q_bpe_pairs", "q_graph_jaccard",
     # round-4 additions
     "q_tpch_q2", "q_tpch_q11", "q_tpch_q21",
     # round-3 additions

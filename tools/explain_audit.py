@@ -281,6 +281,54 @@ CHECKS: list[tuple[str, str, str]] = [
         "FlatMapGroupsInPandas",
         "pairwise stage is per-cell blocked BLAS via applyInPandas",
     ),
+    (
+        "q_bpe_pairs",
+        "#2:Exchange hashpartitioning",
+        "frequency-dict BPE: word-count shuffle (vocab-sized after "
+        "map-side combine) + pair re-aggregation; pair generation "
+        "explodes vocabulary-sized input only",
+    ),
+    (
+        "q_bpe_pairs",
+        "TakeOrderedAndProject",
+        "top-20 pairs never run a global sort shuffle",
+    ),
+    (
+        "q_tokens_zipf",
+        "TakeOrderedAndProject",
+        "top-100 types via limit, not a global sort; rank is "
+        "distributed_rank over the bounded rows",
+    ),
+    (
+        "q_vocab_growth",
+        "!BroadcastNestedLoopJoin",
+        "running totals are ONE distributed prefix sum (range "
+        "repartition + broadcast offsets), no grid range-join",
+    ),
+    (
+        "q_quality_winsorize",
+        "!Generate",
+        "score is scan-side string arithmetic — no tokenizer explode "
+        "anywhere in the plan",
+    ),
+    (
+        "q_graph_jaccard",
+        "!CartesianProduct",
+        "common-neighbor counting is the degree-ordered wedge join, "
+        "equi-joins only",
+    ),
+    (
+        "q_embed_pq",
+        "MapInPandas",
+        "encode + ADC scoring fused into one Arrow corpus pass "
+        "against the broadcast codebook/LUT",
+    ),
+    (
+        "q_embed_pq",
+        "#1:Exchange hashpartitioning",
+        "the only exchange carries the per-(query, batch) top-k into "
+        "the final re-rank window",
+    ),
     ("q_cdc_scd2", "WindowGroupLimit", ""),  # placeholder replaced below
 ]
 # q_cdc_scd2's property is structural, not a substring: all three
@@ -364,6 +412,8 @@ BUILDER_ACTION_QUERIES = frozenset(
         "q_dedup_components",
         "q_graph_pagerank",
         "q_embed_ivf_trained",
+        "q_dedup_semantic_trained",
+        "q_embed_pq",
     }
 )
 
