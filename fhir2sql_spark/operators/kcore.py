@@ -1,0 +1,73 @@
+"""Distributed k-core decomposition (iterative peeling).
+
+The k-core of an undirected graph is the maximal subgraph in which
+every vertex has degree >= k — the standard dense-region /
+community-backbone primitive (Seidman 1983; distributed peeling as in
+Montresor et al.). The algorithm is the textbook fixpoint: repeatedly
+delete every vertex of degree < k (with its edges) until none
+remains. Deletion is monotone, so the fixpoint is unique and extra
+rounds past convergence are no-ops — the property the unrolled SQL
+oracle relies on.
+
+Spark shape: each round is one degree aggregation plus two left-anti
+equi-joins against the (shrinking) low-degree vertex set — all
+shuffle-partitioned by vertex/edge key, no driver-side graph state.
+Round count equals the peeling depth of the graph (10 on the sf0.01
+co-purchase fixture), each round localCheckpointed so lineage stays
+flat, same pattern as operators/pagerank.py and
+operators/components.py.
+
+The reference (samply/fhir2sql, src/main.rs — a sync daemon) has no
+graph surface; this extends SURVEY.md §2.4 alongside
+operators/triangles.py (triangles / edge Jaccard) and
+operators/pagerank.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _degrees(edges: DataFrame) -> DataFrame:
+    return (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+
+
+def kcore(edges: DataFrame, k: int, max_rounds: int = 60) -> DataFrame:
+    """Vertices of the k-core with their core-subgraph degrees.
+
+    ``edges`` holds each undirected edge once as (src < dst), unique.
+    Returns ``(node, deg long)`` for every vertex surviving the peel
+    (deg is the degree WITHIN the k-core, >= k by construction; an
+    empty result means the graph has no k-core).
+
+    Each round materializes the surviving edge set with an eager
+    localCheckpoint: the next round's degree aggregate, the
+    convergence probe and the two anti-joins all re-read the
+    checkpointed partitions instead of re-running the whole peeling
+    lineage (which doubles per round otherwise)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    cur = edges.select("src", "dst").localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        deg = _degrees(cur)
+        bad = deg.where(F.col("deg") < k).select("node").localCheckpoint(
+            eager=True
+        )
+        if bad.limit(1).count() == 0:
+            return deg
+        cur = (
+            cur.join(
+                bad.withColumnRenamed("node", "src"), "src", "left_anti"
+            )
+            .join(bad.withColumnRenamed("node", "dst"), "dst", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+    raise RuntimeError(
+        f"k-core peeling did not converge within {max_rounds} rounds"
+    )

@@ -81,6 +81,57 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_dedup_setsim",
+    oracle="""
+    WITH s AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
+               FROM documents),
+    pos AS (
+        SELECT doc_id, lang, toks,
+               unnest(generate_series(1, len(toks) - 1)) AS i
+        FROM s
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, lang,
+               toks[CAST(i AS INT)] || ' ' || toks[CAST(i+1 AS INT)]
+                 AS shingle
+        FROM pos
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+        FROM sh a JOIN sh b
+          ON a.lang = b.lang AND a.shingle = b.shingle
+             AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, common,
+           sa.n + sb.n - common AS union_n,
+           CAST(common AS DOUBLE)
+             / CAST(sa.n + sb.n - common AS DOUBLE) AS jac
+    FROM pairs p
+    JOIN sz sa ON p.doc_a = sa.doc_id
+    JOIN sz sb ON p.doc_b = sb.doc_id
+    WHERE common * 2 >= (sa.n + sb.n - common) * 1
+    """,
+)
+def q_dedup_setsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by EXACT set similarity with prefix filtering
+    (AllPairs/PPJoin — Bayardo et al. WWW'07): word-2-gram Jaccard >=
+    0.5 within each lang, candidates generated ONLY from rarest-first
+    token prefixes of length |S| - ceil(t|S|) + 1 (the completeness
+    guarantee), then exact-verified. Deterministic and hash-free —
+    the third dedup scale path next to MinHash-LSH (probabilistic)
+    and SimHash (Hamming), with an exactness guarantee neither offers:
+    output EQUALS the brute-force inverted-index join by theorem, so
+    the oracle replays q_dedup_near's naive formulation at n=2,
+    t=1/2. Integer threshold arithmetic everywhere; the emitted jac
+    is the IEEE ratio of exact longs."""
+    return dedup.setsim_pairs(
+        load(spark, sf_dir, "documents"), threshold_num=1, threshold_den=2
+    )
+
+
 @query("q_dedup_minhash")  # probabilistic: rows-only; recall vs exact in tests
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32 perms, seed 42) + 8x4 banding -> candidate pairs ->

@@ -798,3 +798,69 @@ def q_graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "src", "dst", "common", F.round("jaccard", 6).alias("jaccard")
     )
+
+
+def _kcore_oracle(k: int = 3, rounds: int = 14) -> str:
+    """Unrolled k-core peel, the q_graph_pagerank oracle technique:
+    peeling is MONOTONE (once converged, further rounds are no-ops),
+    so a fixed unroll >= the fixture's peeling depth computes the
+    exact fixpoint. The sf0.01 co-purchase graph converges in 10
+    rounds (tests assert the Spark side's actual round count fits the
+    unroll); every stage is MATERIALIZED or DuckDB inlines the CTE
+    chain exponentially."""
+    parts = [
+        """pc AS (
+        SELECT a.l_partkey AS src, b.l_partkey AS dst,
+               COUNT(DISTINCT a.l_orderkey) AS c
+        FROM lineitem a
+        JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    ),
+    e0 AS MATERIALIZED (SELECT src, dst FROM pc WHERE c >= 2)"""
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"""b{i} AS MATERIALIZED (
+        SELECT n FROM (
+          SELECT n, COUNT(*) AS d
+          FROM (SELECT src AS n FROM e{i} UNION ALL SELECT dst FROM e{i}) t
+          GROUP BY n) dd
+        WHERE d < {k}
+    ),
+    e{i + 1} AS MATERIALIZED (
+        SELECT src, dst FROM e{i}
+        WHERE src NOT IN (SELECT n FROM b{i})
+          AND dst NOT IN (SELECT n FROM b{i})
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT n AS node, CAST(COUNT(*) AS BIGINT) AS deg
+    FROM (SELECT src AS n FROM e{rounds} UNION ALL SELECT dst FROM e{rounds}) t
+    GROUP BY n"""
+    )
+
+
+@query("q_graph_kcore", oracle=_kcore_oracle(k=3, rounds=14))
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the part co-purchase graph (Seidman's k-core — the
+    dense-backbone primitive): iteratively peel vertices of degree
+    < 3 until the fixpoint; emit survivors with their in-core degree.
+    Spark side (operators/kcore.py) runs the true data-dependent
+    fixpoint loop — per round one degree aggregate + two left-anti
+    equi-joins, localCheckpointed so lineage stays flat (the
+    pagerank/components iteration pattern); the oracle unrolls 14
+    peel rounds, more than the fixture's 10-round depth, exact
+    because peeling is monotone (converged rounds are no-ops). All
+    integer counts — no floats anywhere."""
+    from fhir2sql_spark.operators.kcore import kcore
+    from fhir2sql_spark.operators.triangles import cooccurrence_edges
+
+    li = load(spark, sf_dir, "lineitem")
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey", min_weight=2)
+    return kcore(edges.select("src", "dst"), k=3).select(
+        "node", F.col("deg").cast("long").alias("deg")
+    )

@@ -318,6 +318,17 @@ CHECKS: list[tuple[str, str, str]] = [
         "equi-joins only",
     ),
     (
+        "q_dedup_setsim",
+        "!CartesianProduct",
+        "prefix filtering joins on the token-rank long; candidates "
+        "and verification are equi-joins only",
+    ),
+    (
+        "q_dedup_setsim",
+        "!BroadcastNestedLoopJoin",
+        "no range/theta join anywhere in the AllPairs pipeline",
+    ),
+    (
         "q_embed_pq",
         "MapInPandas",
         "encode + ADC scoring fused into one Arrow corpus pass "
@@ -414,6 +425,7 @@ BUILDER_ACTION_QUERIES = frozenset(
         "q_embed_ivf_trained",
         "q_dedup_semantic_trained",
         "q_embed_pq",
+        "q_graph_kcore",
     }
 )
 
