@@ -434,49 +434,56 @@ def setsim_pairs(
     """Exact set-similarity join via PREFIX FILTERING (the
     AllPairs/PPJoin family: Bayardo, Ma & Srikant WWW'07; Xiao et al.
     ICDE'08): every doc pair with shingle-set Jaccard >=
-    threshold_num/threshold_den, found WITHOUT hashing and WITHOUT
-    the inverted index's full O(pairs-sharing-any-token) blow-up.
+    threshold_num/threshold_den, WITHOUT the inverted index's full
+    O(pairs-sharing-any-token) blow-up.
 
-    The completeness guarantee: order all tokens by one global rank
-    (rarest-first document frequency, tie-broken on the token itself
-    so the order is total); if J(A, B) >= t then A and B must share a
-    token among each side's first |S| - ceil(t*|S|) + 1 tokens — so
-    equi-joining ONLY those prefixes finds every qualifying pair.
-    Rarest-first makes prefixes maximally selective: a token's
-    candidate contribution is C(df, 2) over its PREFIX df, and the
-    frequent tokens (the quadratic mass) sit at the ends of the
-    order, outside every prefix.
+    The completeness guarantee: order all tokens by one global total
+    order (rarest-first document frequency, tie-broken on the token
+    id); if J(A, B) >= t then A and B must share a token among each
+    side's first |S| - ceil(t*|S|) + 1 tokens — so equi-joining ONLY
+    those prefixes finds every qualifying pair. Rarest-first makes
+    prefixes maximally selective: a token's candidate contribution is
+    C(df, 2) over its PREFIX df, and the frequent tokens (the
+    quadratic mass) sit at the ends of the order, outside every
+    prefix.
 
-    Plan shape: one vocabulary-sized df aggregate -> distributed_rank
-    over the vocabulary (range-repartition + offsets, never a global
-    window) -> per-doc rank windows (partitioned by doc_id) -> prefix
-    equi-join on the rank long -> exact verification restricted to
-    candidates (verify_candidate_pairs above). Every stage is an
-    equi-join/aggregation; prefix lengths use pure integer arithmetic
-    (ceil(t*s) = (s*num + den - 1) div den) so no float threshold
-    boundary exists anywhere.
+    Plan shape (the first rendering materialized a global integer
+    rank and joined it back through string keys — lineage
+    re-execution plus ~40-byte shuffle payloads made it 12x slower
+    at sf10):
 
-    Token identity is (lang, shingle) — pairs are within-language by
-    construction (cross-language Jaccard is 0 under this identity),
-    matching jaccard_pairs' hashed (lang, shingle) convention.
-    Output contract matches jaccard_pairs/verify_candidate_pairs:
+      - shingles are hashed ONCE to xxhash64(lang, shingle) longs and
+        the (doc_id, sid) table is localCheckpointed — three
+        consumers (df aggregate, sizes, prefix window) read the
+        materialized longs instead of re-running the explode;
+      - no rank table at all: (df, sid) IS the total order, so the
+        per-doc prefix window orders by the joined df directly and
+        candidates equi-join on the sid long;
+      - exact verification restricted to candidates
+        (verify_candidate_pairs above) runs on the original shingle
+        STRINGS, so the output is exact regardless of hashing.
+
+    Prefix lengths use pure integer arithmetic (ceil(t*s) =
+    (s*num + den - 1) div den) — no float threshold boundary exists
+    anywhere. Hash-equality-as-identity carries jaccard_pairs'
+    convention: a 64-bit collision (birthday ~n^2/2^65 over the
+    corpus' distinct shingles) could merge two tokens in the FILTER's
+    view — almost always only adding false candidates the string
+    verify rejects; the oracle gate re-verifies exact output every
+    round. Token identity is (lang, shingle) — pairs are
+    within-language by construction. Output contract matches
+    jaccard_pairs/verify_candidate_pairs:
     (doc_a, doc_b, common, union_n, jac)."""
-    from fhir2sql_spark.operators.packing import distributed_rank
-
-    sh = shingles(docs, n=n)
-    vocab = sh.groupBy("lang", "shingle").agg(
-        F.count(F.lit(1)).alias("__df")
+    sh = (
+        shingles(docs, n=n)
+        .select("doc_id", F.xxhash64("lang", "shingle").alias("__sid"))
+        .distinct()
+        .localCheckpoint(eager=True)
     )
-    ranked_vocab = distributed_rank(
-        vocab,
-        [F.asc("__df"), F.asc("lang"), F.asc("shingle")],
-        out_col="__tok_rank",
-    ).select("lang", "shingle", "__tok_rank")
-    toks = sh.join(ranked_vocab, ["lang", "shingle"]).select(
-        "doc_id", "__tok_rank"
-    )
-    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__s"))
-    w = Window.partitionBy("doc_id").orderBy("__tok_rank")
+    df_map = sh.groupBy("__sid").agg(F.count(F.lit(1)).alias("__df"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__s"))
+    toks = sh.join(df_map, "__sid")
+    w = Window.partitionBy("doc_id").orderBy("__df", "__sid")
     prefix_len = (
         F.col("__s")
         - F.expr(
@@ -489,16 +496,16 @@ def setsim_pairs(
         toks.join(sizes, "doc_id")
         .withColumn("__pos", F.row_number().over(w))
         .where(F.col("__pos") <= prefix_len)
-        .select("doc_id", "__tok_rank")
+        .select("doc_id", "__sid")
     )
-    a = pref.select(F.col("__tok_rank"), F.col("doc_id").alias("doc_a"))
+    a = pref.select(F.col("__sid"), F.col("doc_id").alias("doc_a"))
     b = pref.select(
-        F.col("__tok_rank").alias("__rank_b"), F.col("doc_id").alias("doc_b")
+        F.col("__sid").alias("__sid_b"), F.col("doc_id").alias("doc_b")
     )
     cand = (
         a.join(
             b,
-            (a["__tok_rank"] == b["__rank_b"])
+            (a["__sid"] == b["__sid_b"])
             & (F.col("doc_a") < F.col("doc_b")),
         )
         .select("doc_a", "doc_b")

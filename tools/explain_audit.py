@@ -426,6 +426,7 @@ BUILDER_ACTION_QUERIES = frozenset(
         "q_dedup_semantic_trained",
         "q_embed_pq",
         "q_graph_kcore",
+        "q_dedup_setsim",
     }
 )
 
