@@ -97,7 +97,9 @@ def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(COUNT(*) AS BIGINT) AS n_types,
            ROUND(regr_slope(ln(cnt), ln(rank)), 6) AS zipf_slope,
            ROUND(regr_intercept(ln(cnt), ln(rank)), 6) AS zipf_intercept,
-           ROUND(corr(ln(cnt), ln(rank)), 6) AS loglog_corr
+           ROUND(covar_pop(ln(cnt), ln(rank))
+                 / NULLIF(stddev_pop(ln(cnt)) * stddev_pop(ln(rank)), 0),
+                 6) AS loglog_corr
     FROM r
     """,
 )
@@ -128,11 +130,23 @@ def q_tokens_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
         top, [F.desc("cnt"), F.asc("w")], out_col="rnk"
     ).withColumn("rank", F.col("rnk") + 1)
     lc, lr = F.log(F.col("cnt")), F.log(F.col("rank"))
+    # corr is expanded to covar_pop / (sd*sd) with a NULL-safe divide:
+    # a corpus whose top-k counts are all EQUAL (zero ln(cnt)
+    # variance — the sf100 clone fixture does exactly this) must
+    # yield NULL, not an ANSI DIVIDE_BY_ZERO; DuckDB's corr() nulls
+    # silently, Spark 4's throws, so both sides compute the explicit
+    # guarded formula.
     return ranked.agg(
         F.count(F.lit(1)).alias("n_types"),
         F.round(F.regr_slope(lc, lr), 6).alias("zipf_slope"),
         F.round(F.regr_intercept(lc, lr), 6).alias("zipf_intercept"),
-        F.round(F.corr(lc, lr), 6).alias("loglog_corr"),
+        F.round(
+            F.try_divide(
+                F.covar_pop(lc, lr),
+                F.stddev_pop(lc) * F.stddev_pop(lr),
+            ),
+            6,
+        ).alias("loglog_corr"),
     )
 
 
@@ -274,4 +288,114 @@ def q_quality_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.nullif(F.col("sd"), F.lit(0.0)),
             6,
         ).alias("winsor_z"),
+    )
+
+
+@query(
+    "q_text_llr",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ), bi AS MATERIALIZED (
+      SELECT ts[g.i] AS w1, ts[g.i+1] AS w2, COUNT(*) AS c
+      FROM toks, unnest(generate_series(1, len(ts) - 1)) AS g(i)
+      GROUP BY 1, 2
+    ),
+    r AS (SELECT w1, SUM(c) AS r1 FROM bi GROUP BY w1),
+    cc AS (SELECT w2, SUM(c) AS c1 FROM bi GROUP BY w2),
+    nn AS (SELECT SUM(c) AS n FROM bi),
+    m AS (
+      SELECT b.w1 || ' ' || b.w2 AS bigram,
+             CAST(b.c AS DOUBLE) AS k11,
+             CAST(r.r1 - b.c AS DOUBLE) AS k12,
+             CAST(cc.c1 - b.c AS DOUBLE) AS k21,
+             CAST(nn.n - r.r1 - cc.c1 + b.c AS DOUBLE) AS k22,
+             CAST(r.r1 AS DOUBLE) AS r1, CAST(cc.c1 AS DOUBLE) AS c1,
+             CAST(nn.n AS DOUBLE) AS n,
+             CAST(b.c AS BIGINT) AS n_pair
+      FROM bi b JOIN r USING (w1) JOIN cc USING (w2) CROSS JOIN nn
+      WHERE b.c >= 20
+    )
+    SELECT bigram, n_pair,
+           ROUND(2.0 * (
+             CASE WHEN k11 > 0 THEN k11 * ln(k11) ELSE 0 END
+             + CASE WHEN k12 > 0 THEN k12 * ln(k12) ELSE 0 END
+             + CASE WHEN k21 > 0 THEN k21 * ln(k21) ELSE 0 END
+             + CASE WHEN k22 > 0 THEN k22 * ln(k22) ELSE 0 END
+             - CASE WHEN r1 > 0 THEN r1 * ln(r1) ELSE 0 END
+             - CASE WHEN n - r1 > 0 THEN (n - r1) * ln(n - r1) ELSE 0 END
+             - CASE WHEN c1 > 0 THEN c1 * ln(c1) ELSE 0 END
+             - CASE WHEN n - c1 > 0 THEN (n - c1) * ln(n - c1) ELSE 0 END
+             + CASE WHEN n > 0 THEN n * ln(n) ELSE 0 END
+           ), 6) + 0.0 AS llr
+    FROM m
+    """,
+)
+def q_text_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunning log-likelihood-ratio collocations (Dunning 1993) —
+    the significance test that replaces raw PMI at scale (PMI
+    over-weights rare pairs; LLR is the 2x2 contingency G-test on
+    exact counts, the statistic Mahout-era collocation miners
+    standardized on). Complements q_text_pmi on the same bigram
+    machinery.
+
+    Plan: ONE arrays_zip bigram explode -> count aggregate,
+    localCheckpointed eagerly because THREE consumers need it (the
+    row margins, column margins, and the final join) — without the
+    barrier each vocabulary-sized margin aggregate re-runs the
+    corpus-sized explode (the q_text_pmi branch-duplication lesson).
+    Margins and the 1-row total then cost vocabulary-sized work; the
+    margin joins hash on the word keys the aggregates already
+    produced. All contingency cells are exact longs; both engines
+    evaluate the identical left-associated xlogx chain, 6-dp rounded
+    (moment-drift convention), -0.0 normalized."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(F.split("text", " ").alias("ts"))
+    m = F.size("ts") - 1
+    zipped = F.arrays_zip(F.slice("ts", 1, m), F.slice("ts", 2, m))
+    bi = (
+        toks.where(F.size("ts") >= 2)
+        .select(F.explode(zipped).alias("g"))
+        .select(F.col("g")["0"].alias("w1"), F.col("g")["1"].alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    r = bi.groupBy("w1").agg(F.sum("c").alias("r1"))
+    cc = bi.groupBy("w2").agg(F.sum("c").alias("c1"))
+    nn = bi.agg(F.sum("c").alias("n"))
+    j = (
+        bi.where(F.col("c") >= 20)
+        .join(r, "w1")
+        .join(cc, "w2")
+        .crossJoin(F.broadcast(nn))
+    )
+    k11 = F.col("c").cast("double")
+    k12 = (F.col("r1") - F.col("c")).cast("double")
+    k21 = (F.col("c1") - F.col("c")).cast("double")
+    k22 = (F.col("n") - F.col("r1") - F.col("c1") + F.col("c")).cast(
+        "double"
+    )
+    r1d = F.col("r1").cast("double")
+    c1d = F.col("c1").cast("double")
+    nd = F.col("n").cast("double")
+
+    def xlogx(x):
+        return F.when(x > 0, x * F.log(x)).otherwise(F.lit(0.0))
+
+    llr = 2.0 * (
+        xlogx(k11)
+        + xlogx(k12)
+        + xlogx(k21)
+        + xlogx(k22)
+        - xlogx(r1d)
+        - xlogx(nd - r1d)
+        - xlogx(c1d)
+        - xlogx(nd - c1d)
+        + xlogx(nd)
+    )
+    return j.select(
+        F.concat_ws(" ", "w1", "w2").alias("bigram"),
+        F.col("c").cast("long").alias("n_pair"),
+        (F.round(llr, 6) + F.lit(0.0)).alias("llr"),
     )

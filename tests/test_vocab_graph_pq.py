@@ -300,3 +300,56 @@ def test_winsorize_bounds_and_standardization(spark):
         z = np.array([v[1] for v in vals], dtype=np.float64)
         assert abs(z.mean()) < 1e-4, lang
         assert abs(z.std() - 1.0) < 1e-3, lang
+
+
+def test_llr_bruteforce(spark):
+    """q_text_llr == a plain-python contingency computation on the
+    fixture (exact counts; float compared at the query's 6-dp
+    rounding)."""
+    import math
+    from collections import Counter
+
+    import duckdb
+
+    from fhir2sql_spark.registry import QUERIES, load_all
+
+    load_all()
+    docs = duckdb.sql(
+        f"SELECT text FROM read_parquet('{SF_MED}/documents.parquet')"
+    ).fetchall()
+    bi = Counter()
+    for (text,) in docs:
+        ws = text.split(" ")
+        for i in range(len(ws) - 1):
+            bi[(ws[i], ws[i + 1])] += 1
+    r = Counter()
+    c = Counter()
+    n = sum(bi.values())
+    for (w1, w2), k in bi.items():
+        r[w1] += k
+        c[w2] += k
+
+    def xlogx(x):
+        return x * math.log(x) if x > 0 else 0.0
+
+    want = {}
+    for (w1, w2), k11 in bi.items():
+        if k11 < 20:
+            continue
+        r1, c1 = r[w1], c[w2]
+        k12, k21, k22 = r1 - k11, c1 - k11, n - r1 - c1 + k11
+        llr = 2.0 * (
+            xlogx(k11) + xlogx(k12) + xlogx(k21) + xlogx(k22)
+            - xlogx(r1) - xlogx(n - r1) - xlogx(c1) - xlogx(n - c1)
+            + xlogx(n)
+        )
+        want[f"{w1} {w2}"] = (k11, round(llr, 6) + 0.0)
+
+    got = {
+        rr["bigram"]: (rr["n_pair"], rr["llr"])
+        for rr in QUERIES["q_text_llr"](spark, SF_MED).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0], k
+        assert abs(got[k][1] - want[k][1]) < 1e-6, k

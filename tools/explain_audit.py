@@ -329,6 +329,13 @@ CHECKS: list[tuple[str, str, str]] = [
         "no range/theta join anywhere in the AllPairs pipeline",
     ),
     (
+        "q_text_llr",
+        "!Generate",
+        "the bigram explode runs exactly once (eager checkpoint at "
+        "build); the registered plan's margin aggregates and joins "
+        "read the materialized counts",
+    ),
+    (
         "q_embed_pq",
         "MapInPandas",
         "encode + ADC scoring fused into one Arrow corpus pass "
@@ -427,6 +434,7 @@ BUILDER_ACTION_QUERIES = frozenset(
         "q_embed_pq",
         "q_graph_kcore",
         "q_dedup_setsim",
+        "q_text_llr",
     }
 )
 
