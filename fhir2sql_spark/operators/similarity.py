@@ -54,18 +54,28 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = DIM,
+    exclude_label_col: str | None = None,
 ) -> DataFrame:
     """Exact cosine top-k: for each query vector, the k nearest corpus
-    vectors (self excluded), ties broken by candidate id ascending."""
-    q = queries.select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
-    )
-    c = corpus.select(
-        F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
-    )
+    vectors (self excluded), ties broken by candidate id ascending.
+
+    ``exclude_label_col`` names a column present on BOTH sides; when
+    set, candidates sharing the query's label are excluded BEFORE the
+    ranking — hard-negative mining (the contrastive-training data op:
+    nearest neighbors that should NOT match). The filter rides the
+    same broadcast join, so the plan shape is unchanged."""
+    q_cols = [F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")]
+    c_cols = [F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")]
+    if exclude_label_col is not None:
+        q_cols.append(F.col(exclude_label_col).alias("q_label"))
+        c_cols.append(F.col(exclude_label_col).alias("c_label"))
+    q = queries.select(*q_cols)
+    c = corpus.select(*c_cols)
     q = q.withColumn("q_norm", _norm("q_vec", dim))
     c = c.withColumn("c_norm", _norm("c_vec", dim))
     pairs = F.broadcast(q).crossJoin(c).where(F.col("q_id") != F.col("c_id"))
+    if exclude_label_col is not None:
+        pairs = pairs.where(F.col("q_label") != F.col("c_label"))
     scored = pairs.select(
         "q_id",
         "c_id",

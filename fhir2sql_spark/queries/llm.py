@@ -730,6 +730,48 @@ def q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_embed_hard_negatives",
+    oracle="""
+    WITH q AS (SELECT vec_id AS q_id, label AS q_label,
+                      CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS c_id, label AS c_label,
+                 CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+    scored AS (
+        SELECT q_id, c_id,
+               list_dot_product(qv, cv)
+                 / (sqrt(list_dot_product(qv, qv))
+                    * sqrt(list_dot_product(cv, cv))) AS cosine
+        FROM q, c WHERE q_id <> c_id AND q_label <> c_label
+    ), ranked AS (
+        SELECT q_id, c_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY cosine DESC, c_id) AS rn
+        FROM scored
+    )
+    SELECT q_id, c_id, round(cosine, 4) AS cosine, rn
+    FROM ranked WHERE rn <= 3
+    """,
+)
+def q_embed_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the 3 MOST-similar corpus vectors with a DIFFERENT label —
+    the pairs a contrastive loss learns the most from (and the
+    mislabel-candidate surface for label QA). Same broadcast plan as
+    q_embed_topk (query side broadcasts, corpus never shuffles, label
+    inequality rides the join filter); at scale the label filter
+    composes with any of the bucketed ANN paths (q_embed_ann /
+    q_embed_ivf / q_embed_pq) since it is a per-candidate predicate."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(
+        emb.where(F.col("vec_id") < 10),
+        emb,
+        k=3,
+        exclude_label_col="label",
+    )
+
+
+@query(
     "q_dedup_embed",
     oracle="""
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e

@@ -353,3 +353,29 @@ def test_llr_bruteforce(spark):
     for k in want:
         assert got[k][0] == want[k][0], k
         assert abs(got[k][1] - want[k][1]) < 1e-6, k
+
+
+def test_hard_negatives_label_excluded(spark):
+    """Every mined hard negative carries a label different from its
+    query's, and dropping the label filter recovers q_embed_topk's
+    ranking semantics (the filtered list is a subsequence of the
+    unfiltered ranking)."""
+    from fhir2sql_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF_MED}/embeddings.parquet").select(
+        "vec_id", "embedding", "label"
+    )
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    q = emb.where(F.col("vec_id") < 5)
+    hard = similarity.cosine_topk(q, emb, k=3, exclude_label_col="label").collect()
+    assert len(hard) == 15
+    for r in hard:
+        assert labels[r["c_id"]] != labels[r["q_id"]]
+    full = similarity.cosine_topk(q, emb, k=400).collect()
+    full_order = {}
+    for r in sorted(full, key=lambda r: (r["q_id"], r["rn"])):
+        full_order.setdefault(r["q_id"], []).append(r["c_id"])
+    for qid in {r["q_id"] for r in hard}:
+        want = [c for c in full_order[qid] if labels[c] != labels[qid]][:3]
+        got = [r["c_id"] for r in sorted(hard, key=lambda r: r["rn"]) if r["q_id"] == qid]
+        assert got == want, qid
