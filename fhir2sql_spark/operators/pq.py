@@ -141,3 +141,143 @@ def pq_search(
         .where(F.col("rn") <= k)
         .select("q_id", "c_id", "adist", "rn")
     )
+
+
+def ivfpq_search(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    m: int = 4,
+    n_codes: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ with ADC — the full FAISS-style composition: coarse
+    inverted lists (L2-nearest of ``n_cells`` centroids) bound WHICH
+    candidates are scored (only the ``n_probe`` cells nearest each
+    query), and product quantization of the RESIDUAL (x - centroid)
+    bounds the PER-CANDIDATE cost (m LUT lookups) and memory (m code
+    bytes). This is the index layout that serves billion-vector
+    corpora from RAM; q_embed_ivf (flat re-rank) and q_embed_pq
+    (exhaustive ADC) are its two halves.
+
+    Deterministic untrained convention (oracle-replayable, the
+    q_embed_ivf/q_embed_pq argument): coarse centroids are the first
+    ``n_cells`` corpus vectors by id; PQ codewords per subspace are
+    the RESIDUALS of the NEXT ``n_codes`` corpus vectors (ids
+    n_cells..n_cells+n_codes) under their own coarse assignment —
+    disjoint from the centroids, whose own residuals are identically
+    zero and would collapse the codebook. Coarse metric is squared L2 (the FAISS
+    IVF-PQ convention — note q_embed_ivf's flat path uses cosine),
+    ties to the lowest cell/code/candidate id everywhere (np.argmin
+    first-minimum == SQL ROW_NUMBER (d2, id)).
+
+    Spark shape: ONE fused mapInPandas corpus pass (coarse assign →
+    residual → PQ encode → per-(query, probed-cell) LUT score →
+    per-batch top-k) against broadcast centroids/codebooks/LUTs; the
+    corpus never shuffles; the single exchange carries
+    <= k x n_q x n_batches rows into the exact re-rank window.
+    Returns (q_id, c_id, adist double, rn int)."""
+    import numpy as np
+    import pandas as pd
+
+    n_lead = n_cells + n_codes
+    lead = (
+        corpus.orderBy(id_col).limit(n_lead).select(id_col, vec_col).collect()
+    )
+    q_rows = queries.select(id_col, vec_col).collect()
+    spark = corpus.sparkSession
+    out_schema = "q_id long, c_id long, adist double"
+    if len(lead) < n_lead or not q_rows:
+        return spark.createDataFrame([], out_schema + ", rn int")
+    lead_mat = np.array([r[vec_col] for r in lead], dtype=np.float64)
+    cents = lead_mat[:n_cells]
+    dim = cents.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    cents_n2 = (cents**2).sum(axis=1)
+
+    def assign(X):
+        d2 = (
+            (X**2).sum(axis=1)[:, None]
+            - 2.0 * (X @ cents.T)
+            + cents_n2[None, :]
+        )
+        return d2.argmin(axis=1), d2
+
+    base = lead_mat[n_cells : n_cells + n_codes]
+    base_cells, _ = assign(base)
+    resid_base = base - cents[base_cells]
+    books = np.stack(
+        [resid_base[:, s * sub : (s + 1) * sub] for s in range(m)]
+    )  # (m, n_codes, sub)
+    book_n2 = (books**2).sum(axis=2)
+
+    q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
+    qm = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
+    _, qd2 = assign(qm)
+    # n_probe nearest cells per query, ties -> lowest cell id
+    probes = np.argsort(qd2, axis=1, kind="stable")[:, :n_probe]
+    # LUT[qi, p, s, j] = ||(q - c_w)_s - books[s, j]||^2
+    lut = np.empty((len(q_ids), n_probe, m, n_codes))
+    for qi in range(len(q_ids)):
+        for p in range(n_probe):
+            qr = qm[qi] - cents[probes[qi, p]]
+            for s in range(m):
+                qs = qr[s * sub : (s + 1) * sub]
+                lut[qi, p, s] = (
+                    (qs**2).sum() - 2.0 * (books[s] @ qs) + book_n2[s]
+                )
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            X = np.array(list(pdf[vec_col]), dtype=np.float64)
+            cellX, _ = assign(X)
+            residX = X - cents[cellX]
+            codes = np.empty((len(ids), m), dtype=np.int64)
+            for s in range(m):
+                xs = residX[:, s * sub : (s + 1) * sub]
+                d2 = (
+                    (xs**2).sum(axis=1)[:, None]
+                    - 2.0 * (xs @ books[s].T)
+                    + book_n2[s][None, :]
+                )
+                codes[:, s] = d2.argmin(axis=1)
+            for qi, qid in enumerate(q_ids):
+                cand_ids, cand_d = [], []
+                for p in range(n_probe):
+                    mask = (cellX == probes[qi, p]) & (ids != qid)
+                    if not mask.any():
+                        continue
+                    adist = np.zeros(mask.sum())
+                    sel = codes[mask]
+                    for s in range(m):
+                        adist += lut[qi, p, s, sel[:, s]]
+                    cand_ids.append(ids[mask])
+                    cand_d.append(adist)
+                if not cand_ids:
+                    continue
+                cand_ids = np.concatenate(cand_ids)
+                cand_d = np.concatenate(cand_d)
+                top = np.lexsort((cand_ids, cand_d))[:k]
+                yield pd.DataFrame(
+                    {
+                        "q_id": np.full(len(top), qid, dtype=np.int64),
+                        "c_id": cand_ids[top],
+                        "adist": cand_d[top],
+                    }
+                )
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(gen, out_schema)
+    w = Window.partitionBy("q_id").orderBy("adist", "c_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("q_id", "c_id", "adist", "rn")
+    )

@@ -1030,6 +1030,118 @@ def q_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_embed_ivfpq",
+    oracle="""
+WITH v AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+cents AS MATERIALIZED (
+  SELECT vec_id AS cell_id, e AS cv FROM v
+  WHERE vec_id IN (SELECT vec_id FROM v ORDER BY vec_id LIMIT 16)
+),
+ad AS MATERIALIZED (
+  SELECT v.vec_id, c.cell_id,
+         list_dot_product(e,e) - 2*list_dot_product(e,cv) + list_dot_product(cv,cv) AS d2
+  FROM v CROSS JOIN cents c
+),
+cellof AS MATERIALIZED (
+  SELECT vec_id, cell_id FROM (
+    SELECT vec_id, cell_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell_id) AS rn
+    FROM ad) t WHERE rn = 1
+),
+resid AS MATERIALIZED (
+  SELECT v.vec_id, co.cell_id,
+         list_transform(list_zip(v.e, c.cv), p -> p[1] - p[2]) AS r
+  FROM v JOIN cellof co USING (vec_id) JOIN cents c ON c.cell_id = co.cell_id
+),
+sub AS (SELECT * FROM (VALUES (0),(1),(2),(3)) s(s)),
+cw AS MATERIALIZED (
+  SELECT r2.vec_id AS code_id, sub.s, list_slice(r2.r, sub.s*16+1, sub.s*16+16) AS w
+  FROM resid r2 CROSS JOIN sub
+  WHERE r2.vec_id IN (SELECT vec_id FROM v ORDER BY vec_id LIMIT 16 OFFSET 16)
+),
+rs AS MATERIALIZED (
+  SELECT vec_id, cell_id, sub.s, list_slice(r, sub.s*16+1, sub.s*16+16) AS x
+  FROM resid CROSS JOIN sub
+),
+cd AS MATERIALIZED (
+  SELECT rs.vec_id, rs.cell_id, rs.s, cw.code_id,
+         list_dot_product(x,x) - 2*list_dot_product(x,w) + list_dot_product(w,w) AS d2
+  FROM rs JOIN cw USING (s)
+),
+codes AS MATERIALIZED (
+  SELECT vec_id, cell_id, s, code_id FROM (
+    SELECT vec_id, cell_id, s, code_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2, code_id) AS rn
+    FROM cd) t WHERE rn = 1
+),
+probes AS MATERIALIZED (
+  SELECT vec_id AS q_id, cell_id FROM (
+    SELECT vec_id, cell_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell_id) AS rn
+    FROM ad WHERE vec_id < 5) t WHERE rn <= 4
+),
+qres AS (
+  SELECT p.q_id, p.cell_id,
+         list_transform(list_zip(v.e, c.cv), x -> x[1] - x[2]) AS qr
+  FROM probes p JOIN v ON v.vec_id = p.q_id
+  JOIN cents c ON c.cell_id = p.cell_id
+),
+qslice AS (
+  SELECT q_id, cell_id, sub.s, list_slice(qr, sub.s*16+1, sub.s*16+16) AS qs
+  FROM qres CROSS JOIN sub
+),
+lut AS MATERIALIZED (
+  SELECT q.q_id, q.cell_id, q.s, cw.code_id,
+         list_dot_product(qs,qs) - 2*list_dot_product(qs,w) + list_dot_product(w,w) AS d2
+  FROM qslice q JOIN cw USING (s)
+),
+scored AS (
+  SELECT lut.q_id, codes.vec_id AS c_id, SUM(lut.d2) AS adist
+  FROM codes
+  JOIN lut ON lut.cell_id = codes.cell_id AND lut.s = codes.s
+          AND lut.code_id = codes.code_id
+  WHERE codes.vec_id <> lut.q_id
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT q_id, c_id, adist,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adist, c_id) AS rn
+  FROM scored
+)
+SELECT q_id, c_id, round(adist, 4) AS adist, rn FROM ranked WHERE rn <= 5
+    """,
+)
+def q_embed_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with ADC — the full FAISS-style composition
+    (operators/pq.py ivfpq_search): coarse L2 inverted lists bound
+    WHICH candidates are scored (n_probe=4 of 16 cells per query),
+    residual product quantization bounds the per-candidate cost to
+    m=4 LUT lookups and the storage to 4 code bytes. One fused
+    mapInPandas corpus pass (assign -> residual -> encode -> LUT
+    score -> per-batch top-k) against broadcast
+    centroids/codebooks/LUTs; the corpus never shuffles.
+
+    Exact oracle by the same graduation argument as q_embed_ivf /
+    q_embed_pq: centroids = first-16 corpus vectors, PQ codewords =
+    residuals of the NEXT 16 (disjoint — a centroid's own residual is
+    identically zero and would collapse the codebook, the bug the
+    first oracle draft exposed); element-wise residual subtraction is
+    exact IEEE on both engines, every distance uses the shared
+    |x|^2-2<x,c>+|c|^2 expansion, ties break to lowest id everywhere,
+    4-dp rounding absorbs dot accumulation order."""
+    from fhir2sql_spark.operators.pq import ivfpq_search
+
+    emb = load(spark, sf_dir, "embeddings")
+    out = ivfpq_search(
+        emb.where(F.col("vec_id") < 5), emb,
+        k=5, n_cells=16, m=4, n_codes=16, n_probe=4,
+    )
+    return out.select(
+        "q_id", "c_id", F.round("adist", 4).alias("adist"), "rn"
+    )
+
+
 def _ann_oracle(n_planes: int = 8, seed: int = 42, dim: int = 64) -> str:
     """Generated oracle replicating the ENTIRE hyperplane-LSH pipeline:
     the seeded planes are inlined as double literals (repr() round-

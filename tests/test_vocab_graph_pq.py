@@ -379,3 +379,77 @@ def test_hard_negatives_label_excluded(spark):
         want = [c for c in full_order[qid] if labels[c] != labels[qid]][:3]
         got = [r["c_id"] for r in sorted(hard, key=lambda r: r["rn"]) if r["q_id"] == qid]
         assert got == want, qid
+
+
+def test_ivfpq_matches_bruteforce(spark):
+    """ivfpq_search == a plain-numpy IVF-PQ/ADC reference: same
+    centroid/codeword conventions, candidates restricted to the
+    probed cells, ADC distance summed from the residual LUT."""
+    from fhir2sql_spark.operators.pq import ivfpq_search
+
+    emb = (
+        spark.read.parquet(f"{SF_MED}/embeddings.parquet")
+        .where(F.col("vec_id") < 200)
+        .select("vec_id", "embedding")
+    )
+    rows = sorted(emb.collect(), key=lambda r: r["vec_id"])
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    n_cells, m, n_codes, n_probe, k = 16, 4, 16, 4, 5
+    sub = X.shape[1] // m
+    cents = X[:n_cells]
+
+    def assign(Y):
+        d2 = ((Y[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        return d2.argmin(axis=1), d2
+
+    base_cells, _ = assign(X[n_cells : n_cells + n_codes])
+    resid_base = X[n_cells : n_cells + n_codes] - cents[base_cells]
+    cellX, dX = assign(X)
+    residX = X - cents[cellX]
+    codes = np.empty((len(ids), m), dtype=np.int64)
+    for s in range(m):
+        xs = residX[:, s * sub : (s + 1) * sub]
+        ws = resid_base[:, s * sub : (s + 1) * sub]
+        codes[:, s] = ((xs[:, None, :] - ws[None, :, :]) ** 2).sum(
+            axis=2
+        ).argmin(axis=1)
+    want = {}
+    for qi in range(3):
+        probes = np.argsort(dX[qi], kind="stable")[:n_probe]
+        cand = []
+        for w in probes:
+            qr = X[qi] - cents[w]
+            for i in np.where((cellX == w) & (ids != ids[qi]))[0]:
+                d = 0.0
+                for s in range(m):
+                    qs = qr[s * sub : (s + 1) * sub]
+                    cw = resid_base[codes[i, s], s * sub : (s + 1) * sub]
+                    d += ((qs - cw) ** 2).sum()
+                cand.append((d, ids[i]))
+        cand.sort()
+        want[ids[qi]] = [c for _, c in cand[:k]]
+
+    out = ivfpq_search(
+        emb.where(F.col("vec_id") < 3), emb,
+        k=k, n_cells=n_cells, m=m, n_codes=n_codes, n_probe=n_probe,
+    ).collect()
+    got = {}
+    for r in sorted(out, key=lambda r: (r["q_id"], r["rn"])):
+        got.setdefault(r["q_id"], []).append(r["c_id"])
+    assert got == {int(q): v for q, v in want.items()}
+
+
+def test_ivfpq_small_corpus_empty(spark):
+    """A corpus smaller than n_cells + n_codes cannot build the
+    untrained codebooks: empty result, stable schema."""
+    from fhir2sql_spark.operators.pq import ivfpq_search
+
+    emb = spark.read.parquet(f"{SF_MED}/embeddings.parquet").where(
+        F.col("vec_id") < 20
+    ).select("vec_id", "embedding")
+    out = ivfpq_search(emb.limit(2), emb, n_cells=16, n_codes=16)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "q_id", "c_id", "adist", "rn",
+    ]

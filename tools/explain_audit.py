@@ -347,6 +347,17 @@ CHECKS: list[tuple[str, str, str]] = [
         "the only exchange carries the per-(query, batch) top-k into "
         "the final re-rank window",
     ),
+    (
+        "q_embed_ivfpq",
+        "MapInPandas",
+        "assign + residual-encode + LUT-score fused into one Arrow "
+        "corpus pass",
+    ),
+    (
+        "q_embed_ivfpq",
+        "#1:Exchange hashpartitioning",
+        "only the per-(query, batch) top-k rows exchange",
+    ),
     ("q_cdc_scd2", "WindowGroupLimit", ""),  # placeholder replaced below
 ]
 # q_cdc_scd2's property is structural, not a substring: all three
@@ -435,6 +446,7 @@ BUILDER_ACTION_QUERIES = frozenset(
         "q_graph_kcore",
         "q_dedup_setsim",
         "q_text_llr",
+        "q_embed_ivfpq",
     }
 )
 
