@@ -1030,6 +1030,32 @@ def q_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_embed_pq_trained")  # iterative trained codebooks: rows-only
+def q_embed_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC with TRAINED per-subspace codebooks (operators/pq.py
+    pq_train_codebooks — deterministic per-subspace L2 k-center init
+    over a bounded hash pool, then fused Arrow assign+partial-sum
+    Lloyd rounds whose only shuffle is m x n_codes x (d/m+1) values
+    per partition). The real-scale configuration of q_embed_pq: the
+    untrained first-16 books exist for the exact oracle; trained
+    books minimize the quantization MSE the ADC error is made of.
+    Rows-only like q_embed_ivf_trained (the codebook is iterative,
+    not SQL-expressible); shares q_embed_pq's hash-checked fused scan
+    plan, and training quality is property-tested
+    (tests/test_vocab_graph_pq.py: corpus quantization MSE strictly
+    below the untrained books')."""
+    from fhir2sql_spark.operators.pq import pq_search, pq_train_codebooks
+
+    emb = load(spark, sf_dir, "embeddings")
+    books = pq_train_codebooks(emb, m=4, n_codes=16, iters=3, seed=42)
+    out = pq_search(
+        emb.where(F.col("vec_id") < 5), emb, k=5, m=4, codebooks=books
+    )
+    return out.select(
+        "q_id", "c_id", F.round("adist", 4).alias("adist"), "rn"
+    )
+
+
 @query(
     "q_embed_ivfpq",
     oracle="""

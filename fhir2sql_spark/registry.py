@@ -71,7 +71,7 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 #      Zipf fit, Heaps vocabulary growth, winsorized quality scores,
 #      edge Jaccard, PQ/ADC similarity search, prefix-filtered set
 #      similarity, k-core decomposition, LLR collocations, hard-
-#      negative mining, IVF-PQ).
+#      negative mining, IVF-PQ, trained-PQ).
 #   2. Oracle graduations (4): q_embed_ann / q_embed_ivf /
 #      q_dedup_embed_bulk / q_graph_pagerank got only the weak
 #      rows-only driver row in r4 (they had no SQL oracle then);
@@ -80,7 +80,7 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 #      added to operators/fuzzy.py) and q_join_spatial (tightened
 #      cell-domain guard in operators/spatial.py) — driver-green in
 #      r3, but the registered plans changed this round.
-#   4. Re-confirms (5): the oldest driver confirmations (round 2),
+#   4. Re-confirms (4): the oldest driver confirmations (round 2),
 #      including q_join_inner / q_join_left whose registered plans
 #      were rewritten in round 4 (eager aggregation) AFTER their r2
 #      gate — their current form has only local strict-check
@@ -102,7 +102,7 @@ SHOWCASE = (
     "q_bpe_pairs", "q_tokens_zipf", "q_vocab_growth",
     "q_quality_winsorize", "q_graph_jaccard", "q_embed_pq",
     "q_dedup_setsim", "q_graph_kcore", "q_text_llr",
-    "q_embed_hard_negatives", "q_embed_ivfpq",
+    "q_embed_hard_negatives", "q_embed_ivfpq", "q_embed_pq_trained",
     # 2. round-5 oracle graduations (r4 saw them rows-only)
     "q_embed_ann", "q_embed_ivf", "q_dedup_embed_bulk",
     "q_graph_pagerank",
@@ -111,7 +111,6 @@ SHOWCASE = (
     # 4. oldest (r2) re-confirmations, rewritten joins first
     "q_join_inner", "q_join_left",
     "q_filter_pred", "q_project_json",
-    "q_sync_diff_full",
 )
 
 # Green in CORRECTNESS_r02.json (round-2 driver gate) — kept here so
@@ -156,7 +155,7 @@ SHOWCASE_BENCH = (
     "q_join_asof_nearest", "q_rolling_median", "q_text_pmi",
     "q_agg_regr", "q_embed_pq", "q_bpe_pairs", "q_graph_jaccard",
     "q_dedup_setsim", "q_graph_kcore", "q_text_llr",
-    "q_embed_hard_negatives", "q_embed_ivfpq",
+    "q_embed_hard_negatives", "q_embed_ivfpq", "q_embed_pq_trained",
     # round-4 additions
     "q_tpch_q2", "q_tpch_q11", "q_tpch_q21",
     # round-3 additions

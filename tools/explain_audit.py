@@ -447,6 +447,7 @@ BUILDER_ACTION_QUERIES = frozenset(
         "q_dedup_setsim",
         "q_text_llr",
         "q_embed_ivfpq",
+        "q_embed_pq_trained",
     }
 )
 
