@@ -82,6 +82,11 @@ def pq_search(
             return spark.createDataFrame([], out_schema + ", rn int")
         n_codes = max(r["code_id"] for r in cb_rows) + 1
         sub = len(cb_rows[0]["w"])
+        if len(cb_rows) != m * n_codes:
+            raise ValueError(
+                f"pq_search: codebook has {len(cb_rows)} rows, expected "
+                f"m*n_codes = {m}*{n_codes} (one (s, code_id) row each)"
+            )
         books = np.array(
             [r["w"] for r in cb_rows], dtype=np.float64
         ).reshape(m, n_codes, sub)
@@ -108,6 +113,15 @@ def pq_search(
 
     q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
     qm = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
+    # trained-codebook path: dim is INFERRED as sub*m from the book
+    # rows, so a width mismatch with the actual vectors would silently
+    # score only the leading sub*m dims via the slice (ADVICE r5) —
+    # fail loudly instead. The corpus side gets the same check in gen().
+    if qm.shape[1] != dim:
+        raise ValueError(
+            f"pq_search: query vectors have dim {qm.shape[1]} but the "
+            f"codebook implies {dim} (= {sub} per subspace x m={m})"
+        )
     # LUT[qi, s, j] = |q_s|^2 - 2<q_s, c_sj> + |c_sj|^2
     lut = np.stack(
         [
@@ -125,6 +139,11 @@ def pq_search(
                 continue
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             X = np.array(list(pdf[vec_col]), dtype=np.float64)
+            if X.shape[1] != dim:
+                raise ValueError(
+                    f"pq_search: corpus vectors have dim {X.shape[1]} "
+                    f"but the codebook implies {dim}"
+                )
             codes = np.empty((len(ids), m), dtype=np.int64)
             for s in range(m):
                 xs = X[:, s * sub : (s + 1) * sub]

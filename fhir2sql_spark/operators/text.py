@@ -27,6 +27,20 @@ def tokens(col: Column) -> Column:
     return F.split(col, r"\s+")
 
 
+def tokens_portable(col: Column) -> Column:
+    """Literal single-space split — byte-identical to DuckDB's
+    ``string_split(text, ' ')`` (KEEPS empty tokens; a run of n spaces
+    yields n-1 empty tokens between words, and tabs/newlines stay
+    inside tokens). Exact-oracle-gated consumers (phrase_hits,
+    hashed_ngram_score/_scores) must tokenize with THIS, not
+    :func:`tokens`: ``\\s+`` merges runs and crosses newlines, so any
+    document with consecutive spaces or non-space whitespace would
+    tokenize differently on the two engines and silently fail the hash
+    gate (ADVICE r5 — previously the match relied on a fixture-only
+    single-space invariant)."""
+    return F.split(col, " ")
+
+
 def token_count_ws(col: Column) -> Column:
     """Whitespace token count."""
     return F.size(tokens(col))
@@ -366,7 +380,10 @@ def phrase_hits(col: Column, phrase: str) -> Column:
     words = phrase.split()
     if not words:
         raise ValueError("phrase must contain at least one token")
-    t = tokens(col)
+    # literal-space tokens: adjacency must mean "separated by exactly
+    # one space" on BOTH engines (the oracle's string_split keeps empty
+    # tokens, so 'a  b' is NOT adjacent there either)
+    t = tokens_portable(col)
     n = len(words)
 
     def match_at(i: Column) -> Column:
@@ -395,7 +412,7 @@ def hashed_ngram_score(col: Column, buckets: int = 1001) -> Column:
 
     Returns the mean centred weight as DOUBLE (NULL when the text has
     fewer than 2 tokens)."""
-    t = tokens(col)
+    t = tokens_portable(col)
     offset = buckets // 2
     grams = F.transform(
         F.sequence(F.lit(0), F.size(t) - 2),
@@ -440,7 +457,7 @@ def hashed_ngram_scores(
     aggregation). Docs with < 2 tokens are dropped (no bigrams).
 
     Returns ``(id_col, score double)``."""
-    t = tokens(F.col(text_col))
+    t = tokens_portable(F.col(text_col))
     offset = buckets // 2
     base = docs.where(F.size(t) >= 2).select(
         F.col(id_col), t.alias("__t")

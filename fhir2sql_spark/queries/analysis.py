@@ -455,7 +455,12 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter(F.split("text", " "), lambda t: t != "")).alias(
             "doclen"
         ),
-    )
+        # docs with ZERO non-empty tokens must not count toward n_docs /
+        # avgdl: the oracle derives dl from the exploded non-empty token
+        # stream, where such a doc has no rows at all (ADVICE r5 — an
+        # empty/whitespace-only document would otherwise shift idf and
+        # length normalization on one side only)
+    ).where(F.col("doclen") > 0)
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("doclen").cast("double") / F.count(F.lit(1))).alias("avgdl"),

@@ -986,7 +986,13 @@ def q_embed_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM d) t WHERE rn = 1
     ),
     scored AS (
-      SELECT d.vec_id AS q_id, codes.vec_id AS c_id, SUM(d.d2) AS adist
+      -- list_sum over the s-ORDERED 4-element list, NOT SUM(d2):
+      -- DuckDB's parallel SUM(double) accumulates in thread-dependent
+      -- order, which flipped the 4-dp rounding across runs (r6 flake);
+      -- the ordered fold is deterministic and matches the Spark
+      -- side's fixed s=0..3 accumulation exactly.
+      SELECT d.vec_id AS q_id, codes.vec_id AS c_id,
+             list_sum(list(d.d2 ORDER BY d.s)) AS adist
       FROM codes JOIN d ON d.s = codes.s AND d.cent_id = codes.cent_id
       WHERE d.vec_id < 5 AND codes.vec_id <> d.vec_id
       GROUP BY 1, 2
@@ -1123,7 +1129,13 @@ lut AS MATERIALIZED (
   FROM qslice q JOIN cw USING (s)
 ),
 scored AS (
-  SELECT lut.q_id, codes.vec_id AS c_id, SUM(lut.d2) AS adist
+  -- ordered fold, not SUM(double): parallel SUM accumulates in
+  -- thread-dependent order and flipped the 4-dp rounding across runs
+  -- (r6 flake — 2 distinct oracle hashes over 10 identical runs);
+  -- list_sum(list(.. ORDER BY s)) is deterministic and matches the
+  -- Spark side's fixed s=0..3 accumulation.
+  SELECT lut.q_id, codes.vec_id AS c_id,
+         list_sum(list(lut.d2 ORDER BY lut.s)) AS adist
   FROM codes
   JOIN lut ON lut.cell_id = codes.cell_id AND lut.s = codes.s
           AND lut.code_id = codes.code_id

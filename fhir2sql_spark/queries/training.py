@@ -861,6 +861,11 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load(spark, sf_dir, "lineitem")
     edges = cooccurrence_edges(li, "l_orderkey", "l_partkey", min_weight=2)
-    return kcore(edges.select("src", "dst"), k=3).select(
+    # max_rounds = oracle unroll (14 peels) + the converged probe
+    # round: if a deeper fixture ever needs a 15th peel, the Spark
+    # side raises LOUDLY instead of silently hash-mismatching against
+    # a not-yet-converged oracle edge set (ADVICE r5 — the unrolled
+    # oracle is exact only while peeling depth <= its 14 rounds).
+    return kcore(edges.select("src", "dst"), k=3, max_rounds=15).select(
         "node", F.col("deg").cast("long").alias("deg")
     )
