@@ -934,22 +934,140 @@ def q_embed_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_embed_ivf_trained")  # probabilistic (trained codebook): rows-only
+# ---------------------------------------------------------------------------
+# Integer-lattice trained-codebook oracles (round-6 graduation).
+#
+# The trained-codebook triple (IVF / PQ / SemDeDup) was rows-only for
+# two rounds because float k-means is not SQL-replayable (BLAS
+# accumulation order). operators/lattice.py retrains on an integer
+# lattice where EVERY Lloyd step is exactly computable by both engines
+# (md5-seeded init, int64 L2, ROUND(SUM/COUNT) updates), so the full
+# train -> search pipeline unrolls into MATERIALIZED CTEs — the
+# q_graph_pagerank unroll composed with the q_dedup_minhash_portable
+# md5 seeding, exactly as VERDICT r5 prescribed. The float trainers
+# (kmeans_codebook, pq_train_codebooks) remain the scale path,
+# property-tested in tests/ (recall floors, MSE, cell balance).
+# ---------------------------------------------------------------------------
+
+_LATTICE_SCALE = 1000
+
+
+def _d2i(x: str, c: str) -> str:
+    """Exact integer squared-L2 via the |x|^2 - 2<x,c> + |c|^2
+    expansion (list_dot_product on lattice vectors is integer-valued
+    and < 2^53, so the double is exact and the BIGINT cast lossless)."""
+    return (
+        f"CAST(list_dot_product({x},{x}) - 2*list_dot_product({x},{c})"
+        f" + list_dot_product({c},{c}) AS BIGINT)"
+    )
+
+
+def _lattice_prologue(k_sql: str, rounds: int) -> tuple[str, str]:
+    """CTE chain: quantize -> md5-seeded cb0 -> ``rounds`` unrolled
+    Lloyd rounds. Returns (ctes, final_codebook_name). Every stage is
+    MATERIALIZED (DuckDB otherwise inlines the chain exponentially —
+    the pagerank-oracle lesson)."""
+    parts = [
+        f"""q AS MATERIALIZED (
+  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+                                x -> CAST(ROUND(x * {_LATTICE_SCALE}) AS BIGINT)) AS qv
+  FROM embeddings
+),
+seed AS MATERIALIZED (
+  SELECT vec_id, qv,
+         ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS r
+  FROM q
+),
+ux AS MATERIALIZED (
+  SELECT vec_id, unnest(qv) AS val, generate_subscripts(qv, 1) AS pos FROM q
+),
+cb0 AS MATERIALIZED (SELECT r - 1 AS cent_id, qv AS cv FROM seed WHERE r <= {k_sql})"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""a{i} AS MATERIALIZED (
+  SELECT vec_id, cent_id FROM (
+    SELECT t.vec_id, c.cent_id,
+           ROW_NUMBER() OVER (PARTITION BY t.vec_id
+                              ORDER BY {_d2i('t.qv', 'c.cv')}, c.cent_id) AS rn
+    FROM q t CROSS JOIN cb{i - 1} c) z
+  WHERE rn = 1
+),
+u{i} AS MATERIALIZED (
+  SELECT a.cent_id, x.pos,
+         CAST(ROUND(CAST(SUM(x.val) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
+  FROM a{i} a JOIN ux x USING (vec_id)
+  GROUP BY 1, 2
+),
+cb{i} AS MATERIALIZED (
+  SELECT c.cent_id, COALESCE(n.cv, c.cv) AS cv
+  FROM cb{i - 1} c LEFT JOIN (
+    SELECT cent_id, list(m ORDER BY pos) AS cv FROM u{i} GROUP BY cent_id
+  ) n USING (cent_id)
+)"""
+        )
+    return ",\n".join(parts), f"cb{rounds}"
+
+
+def _ivf_trained_oracle(rounds: int = 2) -> str:
+    pro, cb = _lattice_prologue("16", rounds)
+    return f"""WITH {pro},
+asg AS MATERIALIZED (
+  SELECT vec_id, cent_id FROM (
+    SELECT t.vec_id, c.cent_id,
+           ROW_NUMBER() OVER (PARTITION BY t.vec_id
+                              ORDER BY {_d2i('t.qv', 'c.cv')}, c.cent_id) AS rn
+    FROM q t CROSS JOIN {cb} c) z
+  WHERE rn = 1
+),
+probe AS (
+  SELECT vec_id AS q_id, cent_id FROM (
+    SELECT t.vec_id, c.cent_id,
+           ROW_NUMBER() OVER (PARTITION BY t.vec_id
+                              ORDER BY {_d2i('t.qv', 'c.cv')}, c.cent_id) AS rn
+    FROM q t CROSS JOIN {cb} c WHERE t.vec_id < 10) z
+  WHERE rn <= 4
+),
+cand AS (
+  SELECT DISTINCT p.q_id, a.vec_id AS c_id
+  FROM probe p JOIN asg a USING (cent_id)
+  WHERE a.vec_id <> p.q_id
+),
+scored AS (
+  SELECT cand.q_id, cand.c_id, {_d2i('qa.qv', 'qb.qv')} AS adist
+  FROM cand JOIN q qa ON qa.vec_id = cand.q_id
+            JOIN q qb ON qb.vec_id = cand.c_id
+),
+ranked AS (
+  SELECT q_id, c_id, adist,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adist, c_id) AS rn
+  FROM scored
+)
+SELECT q_id, c_id, adist, rn FROM ranked WHERE rn <= 5"""
+
+
+@query("q_embed_ivf_trained", oracle=_ivf_trained_oracle())
 def q_embed_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF with a TRAINED coarse codebook: deterministic spherical
-    k-means (operators/similarity.py kmeans_codebook — bounded-pool
-    greedy k-center init; per round one fused Arrow/BLAS assign+update
-    pass emitting per-cell partial sums) replaces q_embed_ivf's
-    first-N stand-in. Same search plan (map-side assignment, broadcast
-    query side — the corpus never shuffles); trained centroids balance
-    cell populations so candidate count stays ~corpus x n_probe /
-    n_centroids as N grows (the sf10 scale study showed the fixed
-    codebook's cells bloating — this is the documented fix). Recall
-    floor + cell balance asserted in tests/test_llm_ops.py."""
+    """IVF with a TRAINED coarse codebook, EXACT-oracled (round-6
+    graduation from rows-only): the codebook is 2 genuine distributed
+    Lloyd rounds over the integer lattice (operators/lattice.py —
+    md5-seeded init, per-round broadcast codebook + one mapInPandas
+    corpus pass emitting integer partial sums; the corpus never
+    shuffles), and because every training step is exact integer/IEEE
+    arithmetic the oracle replays train -> assign -> probe -> rank as
+    unrolled MATERIALIZED CTEs. Search distances are EXACT int64
+    squared L2 — no rounding tolerance anywhere. Same search plan as
+    q_embed_ivf (map-side assignment, broadcast probes into the cell
+    equi-join); the float spherical-k-means configuration
+    (kmeans_codebook) stays the scale path, recall/balance
+    property-tested in tests/test_llm_ops.py."""
+    from fhir2sql_spark.operators import lattice
+
     emb = load(spark, sf_dir, "embeddings")
-    cents = similarity.kmeans_codebook(emb, k=16, iters=2, seed=42)
-    return similarity.ivf_topk(
-        emb.where(F.col("vec_id") < 10), emb, k=5, n_probe=4, centroids=cents
+    qv = lattice.quantize(emb, scale=_LATTICE_SCALE)
+    cents = lattice.lattice_kmeans(qv, k=16, iters=2)
+    return lattice.lattice_ivf_topk(
+        qv.where(F.col("vid") < 10), qv, cents, k=5, n_probe=4
     )
 
 
@@ -1036,29 +1154,116 @@ def q_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_embed_pq_trained")  # iterative trained codebooks: rows-only
+def _pq_trained_oracle(rounds: int = 2, m: int = 4, sub: int = 16,
+                       n_codes: int = 16) -> str:
+    """Per-subspace lattice Lloyd + encode + integer ADC, unrolled.
+    The seed codebook is the md5-ordered first-``n_codes`` draw sliced
+    per subspace (one seed CTE shared with the IVF oracle's
+    construction); adist is a SUM of exact BIGINTs — order-free, so
+    the q_embed_ivfpq float-SUM flake class cannot occur here."""
+    d2 = _d2i("v.x", "b.w")
+    vals = ",".join(f"({s})" for s in range(m))
+    parts = [
+        f"""q AS MATERIALIZED (
+  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+                                x -> CAST(ROUND(x * {_LATTICE_SCALE}) AS BIGINT)) AS qv
+  FROM embeddings
+),
+seed AS MATERIALIZED (
+  SELECT vec_id, qv,
+         ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS r
+  FROM q
+),
+sub AS (SELECT * FROM (VALUES {vals}) s(s)),
+vs AS MATERIALIZED (
+  SELECT vec_id, s, list_slice(qv, s*{sub}+1, (s+1)*{sub}) AS x
+  FROM q CROSS JOIN sub
+),
+uxs AS MATERIALIZED (
+  SELECT vec_id, s, unnest(x) AS val, generate_subscripts(x, 1) AS pos FROM vs
+),
+pb0 AS MATERIALIZED (
+  SELECT sb.s, d.r - 1 AS code_id,
+         list_slice(d.qv, sb.s*{sub}+1, (sb.s+1)*{sub}) AS w
+  FROM seed d CROSS JOIN sub sb WHERE d.r <= {n_codes}
+)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""pa{i} AS MATERIALIZED (
+  SELECT vec_id, s, code_id FROM (
+    SELECT v.vec_id, v.s, b.code_id,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.s
+                              ORDER BY {d2}, b.code_id) AS rn
+    FROM vs v JOIN pb{i - 1} b USING (s)) z
+  WHERE rn = 1
+),
+pu{i} AS MATERIALIZED (
+  SELECT a.s, a.code_id, x.pos,
+         CAST(ROUND(CAST(SUM(x.val) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
+  FROM pa{i} a JOIN uxs x ON x.vec_id = a.vec_id AND x.s = a.s
+  GROUP BY 1, 2, 3
+),
+pb{i} AS MATERIALIZED (
+  SELECT b.s, b.code_id, COALESCE(n.w, b.w) AS w
+  FROM pb{i - 1} b LEFT JOIN (
+    SELECT s, code_id, list(m ORDER BY pos) AS w FROM pu{i}
+    GROUP BY s, code_id
+  ) n USING (s, code_id)
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+codes AS MATERIALIZED (
+  SELECT vec_id, s, code_id FROM (
+    SELECT v.vec_id, v.s, b.code_id,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.s
+                              ORDER BY {d2}, b.code_id) AS rn
+    FROM vs v JOIN pb{rounds} b USING (s)) z
+  WHERE rn = 1
+),
+lut AS MATERIALIZED (
+  SELECT v.vec_id AS q_id, v.s, b.code_id, {d2} AS d2
+  FROM vs v JOIN pb{rounds} b USING (s)
+  WHERE v.vec_id < 5
+),
+scored AS (
+  SELECT l.q_id, c.vec_id AS c_id, CAST(SUM(l.d2) AS BIGINT) AS adist
+  FROM codes c JOIN lut l ON l.s = c.s AND l.code_id = c.code_id
+  WHERE c.vec_id <> l.q_id
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT q_id, c_id, adist,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adist, c_id) AS rn
+  FROM scored
+)
+SELECT q_id, c_id, adist, rn FROM ranked WHERE rn <= 5"""
+    )
+
+
+@query("q_embed_pq_trained", oracle=_pq_trained_oracle())
 def q_embed_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ/ADC with TRAINED per-subspace codebooks (operators/pq.py
-    pq_train_codebooks — deterministic per-subspace L2 k-center init
-    over a bounded hash pool, then fused Arrow assign+partial-sum
-    Lloyd rounds whose only shuffle is m x n_codes x (d/m+1) values
-    per partition). The real-scale configuration of q_embed_pq: the
-    untrained first-16 books exist for the exact oracle; trained
-    books minimize the quantization MSE the ADC error is made of.
-    Rows-only like q_embed_ivf_trained (the codebook is iterative,
-    not SQL-expressible); shares q_embed_pq's hash-checked fused scan
-    plan, and training quality is property-tested
-    (tests/test_vocab_graph_pq.py: corpus quantization MSE strictly
-    below the untrained books')."""
-    from fhir2sql_spark.operators.pq import pq_search, pq_train_codebooks
+    """PQ/ADC with TRAINED per-subspace codebooks, EXACT-oracled
+    (round-6 graduation): 2 genuine per-subspace Lloyd rounds over the
+    integer lattice (operators/lattice.py lattice_pq_train — all m
+    subspaces train in the SAME per-round corpus pass; the only
+    shuffle carries m x n_codes x (sub+1) integers per batch),
+    replayed by the oracle as unrolled MATERIALIZED CTEs. The fused
+    encode+ADC scan is q_embed_pq's hash-checked plan shape with
+    integer LUTs, and adist is an exact int64 SUM — order-free, so no
+    rounding tolerance and no float-accumulation flake class. The
+    float trainer (pq_train_codebooks) stays the scale path,
+    MSE-property-tested in tests/test_vocab_graph_pq.py."""
+    from fhir2sql_spark.operators import lattice
 
     emb = load(spark, sf_dir, "embeddings")
-    books = pq_train_codebooks(emb, m=4, n_codes=16, iters=3, seed=42)
-    out = pq_search(
-        emb.where(F.col("vec_id") < 5), emb, k=5, m=4, codebooks=books
-    )
-    return out.select(
-        "q_id", "c_id", F.round("adist", 4).alias("adist"), "rn"
+    qv = lattice.quantize(emb, scale=_LATTICE_SCALE)
+    books = lattice.lattice_pq_train(qv, m=4, n_codes=16, iters=2)
+    return lattice.lattice_pq_search(
+        qv.where(F.col("vid") < 5), qv, books, k=5, m=4
     )
 
 

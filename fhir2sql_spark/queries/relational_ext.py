@@ -463,20 +463,40 @@ def q_subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_agg_approx_percentile")  # sketch differs from DuckDB's: rows-only
+@query(
+    "q_agg_approx_percentile",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(quantile_cont(o_totalprice, 0.25), 4) AS exact_p25,
+           ROUND(quantile_cont(o_totalprice, 0.50), 4) AS exact_p50,
+           ROUND(quantile_cont(o_totalprice, 0.75), 4) AS exact_p75,
+           TRUE AS p25_within_tol,
+           TRUE AS p50_within_tol,
+           TRUE AS p75_within_tol
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
 def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile (Greenwald-Khanna sketch) — the mergeable
     constant-memory quantile path that replaces q_agg_percentile's
-    exact per-group sort at 100 TB. Emits both approx and exact
-    quartiles; the tolerance test (tests/test_oracle_parity.py
-    companion in test_llm_ops) bounds the relative error. Rows-only
-    for the driver: the sketch is engine-specific by construction.
+    exact per-group sort at 100 TB. Round-6 graduation from rows-only
+    via the q_agg_hll_merge constant-TRUE-flag pattern: the EXACT
+    quartiles (percentile == DuckDB quantile_cont, both the
+    p*(n-1)-interpolated definition, 4-dp rounded) are hash-oracled
+    directly, and each approx quartile is emitted as a <=5%%-tolerance
+    flag the oracle pins to constant TRUE. The GK sketch itself stays
+    engine-specific AND task-completion-order-dependent (partial
+    sketch merges are not exactly associative), which is exactly why
+    the raw approx values cannot be columns: the 5%% flag is chosen
+    3.8x above the measured worst case (1.31%% across sf0.001-0.1 at
+    accuracy=1000; the dedicated test in tests/test_llm_ops.py pins
+    the tighter 2%% bound on a fixed plan).
 
     The quartile arrays are flattened to scalar columns: the driver's
     result hasher treats array cells as Python lists (unhashable), so
     an array-typed output crashes even the rows-only check
-    (CORRECTNESS_r04 recorded exactly that). Scalars carry the same
-    information and hash cleanly in every harness."""
+    (CORRECTNESS_r04 recorded exactly that)."""
     o = load(spark, sf_dir, "orders")
     agg = o.groupBy("o_orderpriority").agg(
         F.expr(
@@ -486,14 +506,19 @@ def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_qs"
         ),
     )
+    tol = [
+        (
+            F.abs(F.col("approx_qs")[i] - F.col("exact_qs")[i])
+            <= 0.05 * F.abs(F.col("exact_qs")[i])
+        ).alias(f"p{q}_within_tol")
+        for i, q in enumerate((25, 50, 75))
+    ]
     return agg.select(
         "o_orderpriority",
-        F.col("approx_qs")[0].alias("approx_p25"),
-        F.col("approx_qs")[1].alias("approx_p50"),
-        F.col("approx_qs")[2].alias("approx_p75"),
         F.round(F.col("exact_qs")[0], 4).alias("exact_p25"),
         F.round(F.col("exact_qs")[1], 4).alias("exact_p50"),
         F.round(F.col("exact_qs")[2], 4).alias("exact_p75"),
+        *tol,
     )
 
 

@@ -195,24 +195,74 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.semantic_dedup(emb, tau=0.4, n_centroids=16)
 
 
-@query("q_dedup_semantic_trained")  # trained k-means codebook: rows-only
-def q_dedup_semantic_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup in its real-scale configuration: the coarse clustering
-    uses the TRAINED spherical k-means codebook (operators/
-    similarity.py kmeans_codebook — deterministic k-center seeding,
-    fused Arrow/BLAS assign+update rounds) with k ~ sqrt(N), replacing
-    q_dedup_semantic's fixed first-16 codebook. Balanced trained cells
-    keep the quadratic pairwise stage at ~N^2/k ≈ N^1.5 total work as
-    the corpus grows — the documented fix for the fixed codebook's
-    cell bloat measured at sf10 (SCALE.md round-5 block).
+def _semantic_trained_oracle(rounds: int = 2) -> str:
+    """Lattice-trained SemDeDup: the IVF prologue with
+    k = GREATEST(16, floor(sqrt(N))) centroids, then the same-cell
+    pairwise verdict via the EXACT rational-cosine predicate
+    dot > 0 AND 25*dot^2 >= 4*|a|^2*|b|^2 (tau = 2/5) — pure int64
+    arithmetic, so no float threshold-margin argument is needed at
+    all (the fixed-codebook q_dedup_semantic still relies on one)."""
+    from fhir2sql_spark.queries.llm import _lattice_prologue
 
-    Rows-only like q_embed_ivf_trained (the iterative codebook is not
-    SQL-expressible); the shared search/pairwise plan is exactly the
-    one q_dedup_semantic hash-checks, and the trained variant's
-    semantics are property-tested (clone recall, verdict-per-row,
-    cell agreement) in tests/test_round5_ops.py."""
+    pro, cb = _lattice_prologue(
+        "(SELECT GREATEST(16, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT)) FROM q)",
+        rounds,
+    )
+    d2 = (
+        "CAST(list_dot_product(t.qv,t.qv) - 2*list_dot_product(t.qv,c.cv)"
+        " + list_dot_product(c.cv,c.cv) AS BIGINT)"
+    )
+    return f"""WITH {pro},
+asg AS MATERIALIZED (
+  SELECT vec_id, cent_id FROM (
+    SELECT t.vec_id, c.cent_id,
+           ROW_NUMBER() OVER (PARTITION BY t.vec_id
+                              ORDER BY {d2}, c.cent_id) AS rn
+    FROM q t CROSS JOIN {cb} c) z
+  WHERE rn = 1
+),
+norms AS MATERIALIZED (
+  SELECT vec_id, CAST(list_dot_product(qv, qv) AS BIGINT) AS n2 FROM q
+),
+dup AS (
+  SELECT DISTINCT b.vec_id
+  FROM asg a JOIN asg b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+  JOIN q qa ON qa.vec_id = a.vec_id
+  JOIN q qb ON qb.vec_id = b.vec_id
+  JOIN norms na ON na.vec_id = a.vec_id
+  JOIN norms nb ON nb.vec_id = b.vec_id
+  WHERE na.n2 > 0 AND nb.n2 > 0
+    AND CAST(list_dot_product(qa.qv, qb.qv) AS BIGINT) > 0
+    AND 25 * CAST(list_dot_product(qa.qv, qb.qv) AS BIGINT)
+           * CAST(list_dot_product(qa.qv, qb.qv) AS BIGINT)
+        >= 4 * na.n2 * nb.n2
+)
+SELECT asg.vec_id, CAST(asg.cent_id AS INTEGER) AS cell,
+       (dup.vec_id IS NOT NULL) AS is_dup
+FROM asg LEFT JOIN dup ON asg.vec_id = dup.vec_id"""
+
+
+@query("q_dedup_semantic_trained", oracle=_semantic_trained_oracle())
+def q_dedup_semantic_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with a TRAINED k ~ sqrt(N) codebook, EXACT-oracled
+    (round-6 graduation from rows-only): 2 distributed Lloyd rounds
+    over the integer lattice (operators/lattice.py — md5-seeded init,
+    integer partial-sum updates; same per-round shape as the float
+    trainer it graduates), then the same-cell pairwise verdict under
+    the EXACT rational predicate cos >= 2/5 <=> dot > 0 AND
+    25*dot^2 >= 4*|a|^2*|b|^2 in int64 — both engines agree
+    bit-exactly with no threshold-margin argument. Balanced trained
+    cells keep the quadratic stage at ~N^2/k = N^1.5 total work
+    (the fixed-codebook cell-bloat fix measured at sf10, SCALE.md).
+    The float spherical trainer (kmeans_codebook) remains the scale
+    path, property-tested in tests/test_round5_ops.py."""
+    import math
+
+    from fhir2sql_spark.operators import lattice
+
     emb = load(spark, sf_dir, "embeddings")
-    n = emb.count()
-    k = max(16, int(n ** 0.5))
-    cents = similarity.kmeans_codebook(emb, k=k, iters=2, seed=42)
-    return similarity.semantic_dedup(emb, tau=0.4, centroids=cents)
+    qv = lattice.quantize(emb)
+    n = qv.count()
+    k = max(16, math.isqrt(n))
+    cents = lattice.lattice_kmeans(qv, k=k, iters=2)
+    return lattice.lattice_semantic_dedup(qv, cents, tau_num=2, tau_den=5)

@@ -366,15 +366,41 @@ def test_connected_components_known_graph(spark):
 
 
 def test_approx_percentile_tolerance(spark, sf_dir):
+    """Tighter (2%) bound on the GK sketch than the query's oracled 5%
+    flags, on a fixed single-plan run. The registered query no longer
+    exposes raw approx values (they are task-merge-order-dependent, so
+    only the tolerance FLAGS are hash-oracled — r6 graduation); this
+    test recomputes them directly to keep the tight bound pinned."""
+    from fhir2sql_spark.tables import load
+
+    agg = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.expr(
+                "approx_percentile(o_totalprice,"
+                " array(0.25D, 0.5D, 0.75D), 1000)"
+            ).alias("a"),
+            F.expr(
+                "percentile(o_totalprice, array(0.25D, 0.5D, 0.75D))"
+            ).alias("e"),
+        )
+    )
+    rows = agg.collect()
+    assert rows
+    for r in rows:
+        for i in range(3):
+            a, e = r["a"][i], r["e"][i]
+            assert abs(a - e) <= 0.02 * abs(e), (r["o_orderpriority"], a, e)
+
+    # and the registered query's flags are all TRUE with exact quartiles
     from fhir2sql_spark import registry
 
     registry.load_all()
-    rows = registry.QUERIES["q_agg_approx_percentile"](spark, sf_dir).collect()
-    assert rows
-    for r in rows:
-        for q in ("p25", "p50", "p75"):
-            a, e = r[f"approx_{q}"], r[f"exact_{q}"]
-            assert abs(a - e) <= 0.02 * abs(e), (r["o_orderpriority"], a, e)
+    out = registry.QUERIES["q_agg_approx_percentile"](spark, sf_dir).collect()
+    assert out
+    for r in out:
+        assert r["p25_within_tol"] and r["p50_within_tol"] and r["p75_within_tol"]
 
 
 def test_resize_images_contract(spark):
