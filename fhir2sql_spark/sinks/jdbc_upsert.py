@@ -149,6 +149,7 @@ def apply_changeset(
     table: str,
     connect_fn: Callable[[], object],
     batch_size: int = 10_000,
+    dialect: str = "ansi",
 ) -> None:
     """Apply a CDC change-set (reference flush semantics,
     src/main.rs:250-282, with independent batch boundaries — the
@@ -156,15 +157,33 @@ def apply_changeset(
     replicate, SURVEY §2.1).
 
     inserts: (pk_id, resource); updates: (resource, pk_id);
-    deletes: (pk_id,)."""
+    deletes: (pk_id,).
+
+    ``dialect="pg"`` swaps in the PostgreSQL statements
+    (sinks/pg_dialect.py — %s paramstyle, ::jsonb casts; same
+    positional tuple contract, golden-pinned + grammar-validated in
+    tests/test_pg_dialect.py). ``connect_fn`` is then expected to be a
+    psycopg-style factory."""
+    if dialect == "pg":
+        from fhir2sql_spark.sinks.pg_dialect import (
+            PG_DELETE_SQL,
+            PG_INSERT_SQL,
+            PG_UPDATE_SQL,
+        )
+
+        ins, upd, dele = PG_INSERT_SQL, PG_UPDATE_SQL, PG_DELETE_SQL
+    elif dialect == "ansi":
+        ins, upd, dele = INSERT_SQL, UPDATE_SQL, DELETE_SQL
+    else:
+        raise ValueError(f"unknown sink dialect {dialect!r}")
     foreach_partition_write(
-        inserts, INSERT_SQL.format(table=table), connect_fn, batch_size
+        inserts, ins.format(table=table), connect_fn, batch_size
     )
     foreach_partition_write(
-        updates, UPDATE_SQL.format(table=table), connect_fn, batch_size
+        updates, upd.format(table=table), connect_fn, batch_size
     )
     foreach_partition_write(
-        deletes, DELETE_SQL.format(table=table), connect_fn, batch_size
+        deletes, dele.format(table=table), connect_fn, batch_size
     )
 
 
