@@ -489,3 +489,192 @@ def hashed_ngram_scores(
             ).alias("score")
         )
     )
+
+
+def _md5_60_col(g: Column) -> Column:
+    """Engine-portable 60-bit md5-prefix hash of a string column (the
+    q_dedup_*_portable construction; DuckDB replays it with positional
+    nibble arithmetic — queries/retrieval.py _md5_60)."""
+    return F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 3,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken —
+    SIGMOD'03, the MOSS algorithm): hash every word ``k``-gram, slide
+    a window of ``w`` consecutive hash positions, keep the MINIMUM
+    hash of each complete window, and de-duplicate the kept hashes per
+    document. The guarantee: any shared substring of at least
+    ``k + w - 1`` tokens between two documents produces at least one
+    IDENTICAL selected fingerprint in both — robust containment
+    detection at ~1/w the storage of the full hash stream (the
+    rolling-hash q_text_fingerprint keeps every k-gram; this keeps the
+    winnowed subset).
+
+    Plan shape: tokens -> zip-sliced k-grams with posexplode (all
+    codegen; the HOF-array min-scan alternative pays interpreted
+    lambda evaluation, same measurement as hashed_ngram_scores) ->
+    ONE doc_id-partitioned window (min over ROWS [0, w-1]) -> distinct
+    -> per-doc aggregate. One exchange on doc_id carries the whole
+    pipeline; fingerprints are 60-bit portable md5 prefixes so the
+    DuckDB oracle replays every value exactly (integers end to end —
+    no rounding tolerance anywhere).
+
+    Documents with fewer than ``k + w - 1`` tokens have no complete
+    window and emit nothing (the caller routes short docs to exact
+    comparison, same contract as fuzzy_self_pairs' length floor).
+
+    Returns ``(id_col, n_fp, fp_min, fp_max, fp_modsum)`` where
+    fp_modsum = SUM(fp % 1000003) — an order-free integer digest of
+    the selected set (a raw SUM of 60-bit values could overflow
+    int64)."""
+    from pyspark.sql import Window
+
+    t = tokens_portable(F.col(text_col))
+    m = F.size("__t") - (k - 1)  # number of k-grams
+    base = docs.select(F.col(id_col), t.alias("__t")).where(
+        F.size("__t") >= k + w - 1
+    )
+    zipped = F.arrays_zip(*[F.slice("__t", i + 1, m) for i in range(k)])
+    # gram count __m is known BEFORE the explode (array size) — carry
+    # it as a column instead of re-counting with a second window pass
+    grams = base.select(
+        id_col, m.alias("__m"), F.posexplode(zipped).alias("__pos", "__g")
+    ).select(
+        id_col,
+        "__pos",
+        "__m",
+        _md5_60_col(
+            F.concat_ws(" ", *[F.col(f"__g.{i}") for i in range(k)])
+        ).alias("__h"),
+    )
+    win = (
+        Window.partitionBy(id_col).orderBy("__pos").rowsBetween(0, w - 1)
+    )
+    fps = (
+        grams.withColumn("__fp", F.min("__h").over(win))
+        .where(F.col("__pos") <= F.col("__m") - w)  # complete windows only
+        .select(id_col, "__fp")
+        .distinct()
+    )
+    return fps.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_fp"),
+        F.min("__fp").alias("fp_min"),
+        F.max("__fp").alias("fp_max"),
+        F.sum(F.col("__fp") % 1000003).alias("fp_modsum"),
+    )
+
+
+def dsir_logweights(
+    docs: DataFrame,
+    target_pred: Column,
+    buckets: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR-style importance weights for data selection (Xie et al.
+    2023, "Data Selection for Language Models via Importance
+    Resampling"): estimate a target and a raw feature distribution
+    over HASHED word-bigram buckets, then score every document by the
+    sum of per-feature log-likelihood ratios — documents that look
+    like the target distribution get positive weights and survive the
+    resampling step.
+
+    ``target_pred`` selects the target slice (e.g. lang = 'en' — "the
+    high-quality corpus I want more of"); the raw distribution is the
+    full input. Laplace-smoothed: p[b] = (count[b] + 1) /
+    (total + buckets), so buckets unseen in the target still get
+    finite ratios.
+
+    Exactness: bucket counts are integer aggregates; the 256-row
+    log-ratio table is float but computed from scalars with the
+    identical formula text on both engines; the per-doc score is
+    sum(n_db * ratio[b]) over <= ``buckets`` terms, rounded 4 dp (the
+    q_bm25 convention for transcendental sums). Plan shape: one bigram
+    explode feeds (doc, bucket) partial-aggregated counts; the two
+    global distributions are bucket-sized aggregates broadcast back,
+    so the only full-corpus exchange is the (doc_id, bucket) combine.
+
+    Returns ``(id_col, dsir_logw double, selected boolean)`` with
+    selected = round(logw, 4) > 0 (rounded on BOTH sides so the flag
+    can't flip on last-ulp accumulation order)."""
+    t = tokens_portable(F.col(text_col))
+    base = docs.where(F.size(t) >= 2).select(
+        F.col(id_col), target_pred.alias("__is_tgt"), t.alias("__t")
+    )
+    grams = base.select(
+        id_col,
+        "__is_tgt",
+        F.explode(
+            F.arrays_zip(
+                F.slice("__t", 1, F.size("__t") - 1),
+                F.slice("__t", 2, F.size("__t") - 1),
+            )
+        ).alias("__p"),
+    ).select(
+        id_col,
+        "__is_tgt",
+        (
+            _md5_60_col(F.concat_ws(" ", F.col("__p.0"), F.col("__p.1")))
+            % buckets
+        ).alias("__b"),
+    )
+    # doc_b is read by THREE consumers (raw dist, target dist, the
+    # per-doc score join); per-branch column pruning gives each a
+    # different partial-aggregate subtree, so ReuseExchange cannot
+    # unify them (the setsim lesson) and the bigram explode would
+    # re-execute per branch. doc_b is the post-combine COMPACT table
+    # (<= buckets rows per doc, four integer columns), so a lineage
+    # barrier here is cheap at any scale — unlike setsim's 600 M-row
+    # pre-aggregation checkpoint.
+    doc_b = (
+        grams.groupBy(id_col, "__is_tgt", "__b")
+        .agg(F.count(F.lit(1)).alias("__n_db"))
+        .localCheckpoint(eager=True)
+    )
+    raw = doc_b.groupBy("__b").agg(F.sum("__n_db").alias("__n_r"))
+    tgt = (
+        doc_b.where("__is_tgt")
+        .groupBy("__b")
+        .agg(F.sum("__n_db").alias("__n_t"))
+    )
+    # totals must NOT be named __N_r/__N_t: Spark's default
+    # case-insensitive resolution makes __N_t collide with __n_t
+    totals = raw.agg(
+        F.sum("__n_r").alias("__tot_r"),
+    ).crossJoin(tgt.agg(F.sum("__n_t").alias("__tot_t")))
+    ratio = (
+        raw.join(tgt, "__b", "left")
+        .na.fill({"__n_t": 0})
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "__b",
+            (
+                F.log(
+                    (F.col("__n_t") + 1).cast("double")
+                    / (F.col("__tot_t") + buckets).cast("double")
+                )
+                - F.log(
+                    (F.col("__n_r") + 1).cast("double")
+                    / (F.col("__tot_r") + buckets).cast("double")
+                )
+            ).alias("__lr"),
+        )
+    )
+    scored = (
+        doc_b.join(F.broadcast(ratio), "__b")
+        .groupBy(id_col)
+        .agg(
+            F.round(
+                F.sum(F.col("__n_db").cast("double") * F.col("__lr")), 4
+            ).alias("dsir_logw")
+        )
+    )
+    return scored.select(
+        id_col, "dsir_logw", (F.col("dsir_logw") > 0).alias("selected")
+    )

@@ -23,6 +23,7 @@ _MODULES = (
     "behavior",
     "retrieval",
     "vocab",
+    "selection",
 )
 
 

@@ -355,3 +355,34 @@ def q_agg_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_a long, n_b long, n_intersect long, est_a_ok boolean, "
         "est_b_ok boolean, intersect_ok boolean, jaccard_ok boolean",
     )
+
+
+@query(
+    "q_agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+           CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                            (l_linestatus), ())
+    """,
+)
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the irregular-lattice form rollup and
+    cube cannot express (here: the full pair, linestatus alone, and
+    the grand total, SKIPPING the returnflag-alone set). Completes the
+    grouping-lattice family next to q_agg_rollup / q_agg_cube.
+    Spark 4's DataFrame.groupingSets plans a single Expand + one
+    aggregate exchange, identical shape to rollup/cube — n_sets copies
+    of the (tiny, post-combine) group rows, never of the input."""
+    li = load(spark, sf_dir, "lineitem")
+    rf, ls = F.col("l_returnflag"), F.col("l_linestatus")
+    return li.groupingSets([[rf, ls], [ls], []], rf, ls).agg(
+        F.grouping("l_returnflag").cast("int").alias("g_rf"),
+        F.grouping("l_linestatus").cast("int").alias("g_ls"),
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+    )

@@ -1,0 +1,323 @@
+"""Data-selection & hybrid-retrieval queries (round 6, SURVEY.md
+§2.4 growth): DSIR importance weighting, winnowing fingerprints,
+reciprocal-rank-fusion hybrid search, and temperature-scaled domain
+mixing — the four data-selection shapes a training-data pipeline runs
+between dedup and packing.
+
+The reference (samply/fhir2sql, a Rust sync daemon) has no selection
+surface; these extend the LLM-curation inventory (queries/llm.py,
+retrieval.py, curation.py) with published-method implementations:
+
+- DSIR (Xie et al. 2023): hashed-n-gram importance resampling — the
+  standard "make the crawl look like Wikipedia" selection step;
+- winnowing (Schleimer/Wilkerson/Aiken SIGMOD'03, the MOSS
+  fingerprinter): guaranteed-overlap local fingerprint selection;
+- RRF (Cormack/Clarke/Buettcher SIGIR'09): the rank-fusion step of
+  every hybrid (BM25 + dense) retrieval stack, here fusing exact
+  phrase-hit ranks with embedding-cosine ranks;
+- temperature-scaled mixture weights (the multilingual-sampling rule
+  of mBERT/XLM-R: p_l^tau renormalized) over the corpus' lang field.
+
+Engine-portability: feature hashes are the 60-bit md5 prefix both
+engines compute identically; ranks come from integer aggregates
+(distributed_rank — no single-task window anywhere); transcendental
+sums follow the q_bm25 convention (integer aggregates first, float
+math on scalars, ROUND at the end).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fhir2sql_spark.operators.packing import distributed_rank
+from fhir2sql_spark.operators.similarity import _dot
+from fhir2sql_spark.operators.text import (
+    dsir_logweights,
+    phrase_hits,
+    winnow_fingerprints,
+)
+from fhir2sql_spark.queries.retrieval import _md5_60
+from fhir2sql_spark.registry import query
+from fhir2sql_spark.tables import load
+
+
+@query(
+    "q_sample_dsir",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang = 'en' AS is_tgt,
+               string_split(text, ' ') AS toks
+        FROM documents WHERE len(string_split(text, ' ')) >= 2
+    ),
+    u AS (
+        SELECT doc_id, is_tgt, unnest(toks) AS tok,
+               generate_subscripts(toks, 1) AS pos
+        FROM t
+    ),
+    grams AS (
+        SELECT a.doc_id, a.is_tgt,
+               {_md5_60("a.tok || ' ' || b.tok")} % 256 AS b
+        FROM u a JOIN u b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    ),
+    doc_b AS (
+        SELECT doc_id, is_tgt, b, COUNT(*) AS n_db
+        FROM grams GROUP BY 1, 2, 3
+    ),
+    raw AS (SELECT b, SUM(n_db) AS n_r FROM doc_b GROUP BY b),
+    tgt AS (SELECT b, SUM(n_db) AS n_t FROM doc_b WHERE is_tgt GROUP BY b),
+    tot AS (SELECT (SELECT SUM(n_r) FROM raw) AS big_n_r,
+                   (SELECT SUM(n_t) FROM tgt) AS big_n_t),
+    ratio AS (
+        SELECT raw.b,
+               ln(CAST(COALESCE(tgt.n_t, 0) + 1 AS DOUBLE)
+                  / CAST(big_n_t + 256 AS DOUBLE))
+             - ln(CAST(raw.n_r + 1 AS DOUBLE)
+                  / CAST(big_n_r + 256 AS DOUBLE)) AS lr
+        FROM raw LEFT JOIN tgt ON raw.b = tgt.b CROSS JOIN tot
+    ),
+    s AS (
+        SELECT d.doc_id,
+               ROUND(SUM(CAST(d.n_db AS DOUBLE) * r.lr), 4) AS dsir_logw
+        FROM doc_b d JOIN ratio r ON d.b = r.b GROUP BY d.doc_id
+    )
+    SELECT doc_id, dsir_logw, dsir_logw > 0 AS selected FROM s
+    """,
+)
+def q_sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document
+    by the log-likelihood ratio of a TARGET hashed-bigram distribution
+    (here lang='en' — the slice to look like) against the RAW corpus
+    distribution; positive weights survive the resampling step.
+
+    Spark shape (operators/text.py dsir_logweights): one bigram
+    explode feeds a (doc, bucket) integer combine (checkpointed — its
+    three consumers would otherwise re-run the explode, the setsim
+    lesson); the two global distributions are 256-row aggregates
+    broadcast back, so the only corpus-sized exchange is the per-doc
+    combine. Laplace smoothing keeps unseen buckets finite; the
+    per-doc transcendental sum is rounded 4 dp on both sides (q_bm25
+    convention) and the selected flag compares the ROUNDED value so it
+    cannot flip on last-ulp accumulation order."""
+    docs = load(spark, sf_dir, "documents")
+    return dsir_logweights(docs, F.col("lang") == "en", buckets=256)
+
+
+@query(
+    "q_text_winnowing",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+    g AS (SELECT doc_id, toks, len(toks) - 2 AS m FROM t
+          WHERE len(toks) >= 6),
+    pos AS (
+        SELECT doc_id, toks, m,
+               unnest(generate_series(1, m)) AS i
+        FROM g
+    ),
+    grams AS (
+        SELECT doc_id, i AS pos, m,
+               {_md5_60(
+                   "toks[CAST(i AS INT)] || ' ' || "
+                   "toks[CAST(i+1 AS INT)] || ' ' || "
+                   "toks[CAST(i+2 AS INT)]"
+               )} AS h
+        FROM pos
+    ),
+    wmin AS (
+        SELECT doc_id, pos, m,
+               MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+                   AS fp
+        FROM grams
+    ),
+    dfp AS (SELECT DISTINCT doc_id, fp FROM wmin WHERE pos <= m - 3)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp, MIN(fp) AS fp_min,
+           MAX(fp) AS fp_max, CAST(SUM(fp % 1000003) AS BIGINT) AS fp_modsum
+    FROM dfp GROUP BY doc_id
+    """,
+)
+def q_text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al. SIGMOD'03 / MOSS):
+    word-3-gram hashes, window w=4, keep each window's minimum hash,
+    distinct per doc — any shared run of >= 6 tokens between two docs
+    is GUARANTEED to share a selected fingerprint, at ~1/4 the storage
+    of the full hash stream. Output is an integer digest per doc
+    (count / min / max / mod-sum of the selected set) so the oracle
+    hashes exact 60-bit values with no rounding anywhere.
+
+    Spark shape (operators/text.py winnow_fingerprints): zip-sliced
+    k-grams posexplode (codegen), ONE doc_id-partitioned window for
+    the sliding min, distinct, aggregate — a single exchange end to
+    end. See q_text_fingerprint for the keep-everything rolling-hash
+    variant this subsamples."""
+    docs = load(spark, sf_dir, "documents")
+    return winnow_fingerprints(docs, k=3, w=4)
+
+
+_RRF_PHRASE = "row scan"
+_RRF_K = 60
+
+
+@query(
+    "q_rerank_rrf",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+    u AS (SELECT doc_id, unnest(toks) AS tok,
+                 generate_subscripts(toks, 1) AS pos FROM t),
+    hits AS (
+        SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+        FROM u a JOIN u b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        WHERE a.tok = 'row' AND b.tok = 'scan'
+        GROUP BY a.doc_id
+    ),
+    rt AS (SELECT doc_id,
+                  ROW_NUMBER() OVER (ORDER BY n_hits DESC, doc_id)
+                      AS r_text
+           FROM hits),
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+          WHERE vec_id = 0),
+    c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+          FROM embeddings WHERE vec_id <> 0),
+    ce AS (
+        SELECT vec_id AS doc_id,
+               list_dot_product(qv, cv)
+                 / (sqrt(list_dot_product(qv, qv))
+                    * sqrt(list_dot_product(cv, cv))) AS cos
+        FROM c, q
+    ),
+    re AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS r_emb
+        FROM ce QUALIFY r_emb <= 50
+    ),
+    f AS (
+        SELECT COALESCE(rt.doc_id, re.doc_id) AS doc_id,
+               rt.r_text, re.r_emb,
+               COALESCE(1.0 / ({_RRF_K} + rt.r_text), 0)
+             + COALESCE(1.0 / ({_RRF_K} + re.r_emb), 0) AS s
+        FROM rt FULL OUTER JOIN re ON rt.doc_id = re.doc_id
+    )
+    SELECT doc_id, ROUND(s, 6) AS rrf, r_text, r_emb
+    FROM f ORDER BY s DESC, doc_id LIMIT 20
+    """,
+)
+def q_rerank_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. SIGIR'09) of a sparse
+    and a dense retriever — the standard hybrid-search combiner:
+    rrf(d) = sum over lists of 1/(60 + rank_d). The text list ranks
+    docs by exact phrase hits ('row scan', phrase_hits — no explode);
+    the dense list ranks embeddings by cosine to probe vector 0
+    (sequential-fold dot product, bit-identical to the oracle's
+    list_dot_product); top 20 fused.
+
+    Both rankings use distributed_rank (range-repartition + per-
+    partition windows + broadcast offsets) — NO single-task global
+    window anywhere, unlike the textbook ROW_NUMBER() OVER (ORDER BY)
+    the oracle replays. The fusion join is a full outer on two small
+    rank lists; the final top-20 is a TakeOrdered over the fused
+    scores (integer-rank arithmetic -> bit-identical across engines,
+    so ordering can't drift)."""
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    hits = docs.select(
+        "doc_id", phrase_hits(F.col("text"), _RRF_PHRASE).alias("n_hits")
+    ).where(F.col("n_hits") > 0)
+    rt = distributed_rank(
+        hits, [F.desc("n_hits"), F.asc("doc_id")], out_col="__r0"
+    ).select("doc_id", (F.col("__r0") + 1).cast("long").alias("r_text"))
+    probe = emb.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    cand = emb.where(F.col("vec_id") != 0).select(
+        F.col("vec_id").alias("doc_id"), F.col("embedding").alias("cv")
+    )
+    scored = cand.crossJoin(F.broadcast(probe)).select(
+        "doc_id",
+        (
+            _dot("qv", "cv")
+            / (F.sqrt(_dot("qv", "qv")) * F.sqrt(_dot("cv", "cv")))
+        ).alias("cos"),
+    )
+    re = (
+        distributed_rank(
+            scored, [F.desc("cos"), F.asc("doc_id")], out_col="__r0"
+        )
+        .select("doc_id", (F.col("__r0") + 1).cast("long").alias("r_emb"))
+        .where(F.col("r_emb") <= 50)
+    )
+    fused = rt.join(re, "doc_id", "full_outer").select(
+        "doc_id",
+        "r_text",
+        "r_emb",
+        (
+            F.coalesce(1.0 / (F.lit(_RRF_K) + F.col("r_text")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(_RRF_K) + F.col("r_emb")), F.lit(0.0))
+        ).alias("__s"),
+    )
+    return (
+        fused.orderBy(F.desc("__s"), "doc_id")
+        .limit(20)
+        .select(
+            "doc_id", F.round("__s", 6).alias("rrf"), "r_text", "r_emb"
+        )
+    )
+
+
+@query(
+    "q_sample_temperature",
+    oracle="""
+    WITH dl AS (
+        SELECT lang,
+               len(list_filter(string_split(text, ' '),
+                               x -> x <> '')) AS n_toks
+        FROM documents
+    ),
+    la AS (SELECT lang, CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+           FROM dl GROUP BY lang),
+    tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS big_n FROM la),
+    lp AS (SELECT lang, n_tokens,
+                  CAST(n_tokens AS DOUBLE) / big_n AS p FROM la, tot),
+    z AS (SELECT SUM(pow(p, 0.7)) AS zn FROM lp)
+    SELECT lang, n_tokens, ROUND(p, 6) AS p_raw,
+           ROUND(pow(p, 0.7) / zn, 6) AS p_temp
+    FROM lp, z
+    """,
+)
+def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture weights over the corpus' lang field
+    (the multilingual sampling rule of mBERT/XLM-R: sample language l
+    with probability p_l^tau / sum p^tau, tau=0.7 — upweights tail
+    languages without flattening the head). Token mass per lang is an
+    integer aggregate; p and the renormalization are float math over
+    the 5-row lang table (q_bm25 convention: integers first, float on
+    scalars, ROUND 6 dp).
+
+    The lang table is localCheckpointed (5 rows): it feeds both the
+    total and the normalizer, and without the barrier the corpus
+    token-count aggregate would re-execute once per consumer."""
+    docs = load(spark, sf_dir, "documents")
+    n_toks = F.size(
+        F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    )
+    la = (
+        docs.select("lang", n_toks.alias("__n"))
+        .groupBy("lang")
+        .agg(F.sum("__n").alias("n_tokens"))
+        .localCheckpoint(eager=True)
+    )
+    tot = la.agg(F.sum("n_tokens").alias("__N"))
+    lp = la.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_tokens",
+        (F.col("n_tokens").cast("double") / F.col("__N")).alias("__p"),
+    )
+    z = lp.agg(F.sum(F.pow("__p", 0.7)).alias("__z"))
+    return lp.crossJoin(F.broadcast(z)).select(
+        "lang",
+        "n_tokens",
+        F.round("__p", 6).alias("p_raw"),
+        F.round(F.pow("__p", 0.7) / F.col("__z"), 6).alias("p_temp"),
+    )
