@@ -533,6 +533,26 @@ def winnow_fingerprints(
     fp_modsum = SUM(fp % 1000003) — an order-free integer digest of
     the selected set (a raw SUM of 60-bit values could overflow
     int64)."""
+    fps = winnow_fp_sets(docs, k=k, w=w, id_col=id_col, text_col=text_col)
+    return fps.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_fp"),
+        F.min("__fp").alias("fp_min"),
+        F.max("__fp").alias("fp_max"),
+        F.sum(F.col("__fp") % 1000003).alias("fp_modsum"),
+    )
+
+
+def winnow_fp_sets(
+    docs: DataFrame,
+    k: int = 3,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Distinct selected winnowing fingerprints per document —
+    ``(id_col, __fp)`` — the shared stage behind winnow_fingerprints
+    (per-doc digests) and winnow_pairs (cross-doc candidate join).
+    Plan shape documented on winnow_fingerprints."""
     from pyspark.sql import Window
 
     t = tokens_portable(F.col(text_col))
@@ -556,17 +576,52 @@ def winnow_fingerprints(
     win = (
         Window.partitionBy(id_col).orderBy("__pos").rowsBetween(0, w - 1)
     )
-    fps = (
+    return (
         grams.withColumn("__fp", F.min("__h").over(win))
         .where(F.col("__pos") <= F.col("__m") - w)  # complete windows only
         .select(id_col, "__fp")
         .distinct()
     )
-    return fps.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_fp"),
-        F.min("__fp").alias("fp_min"),
-        F.max("__fp").alias("fp_max"),
-        F.sum(F.col("__fp") % 1000003).alias("fp_modsum"),
+
+
+def winnow_pairs(
+    docs: DataFrame,
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup candidate pairs by SHARED winnowing fingerprints (the
+    MOSS comparison step): every unordered doc pair sharing at least
+    ``min_shared`` selected fingerprints, with the shared count. The
+    winnowing guarantee turns this into containment detection: any
+    shared token run of length >= k + w - 1 contributes a shared
+    fingerprint, so plagiarized/cloned spans cannot hide, while the
+    1/w subsampling keeps the posting list ~4x smaller than a full
+    k-gram index (compare q_dedup_near's full inverted index).
+
+    The fingerprint table is read by both sides of the self-join —
+    localCheckpointed (compact: distinct 8-byte fps per doc, ~1/w of
+    the gram count). Selected fingerprints are locally-minimal hashes,
+    i.e. RARE by construction, so posting lists stay short and the
+    equi-join fan-out is bounded the same way setsim's rarest-first
+    prefixes are."""
+    fps = winnow_fp_sets(
+        docs, k=k, w=w, id_col=id_col, text_col=text_col
+    ).localCheckpoint(eager=True)
+    a = fps.select(F.col("__fp"), F.col(id_col).alias("doc_a"))
+    b = fps.select(
+        F.col("__fp").alias("__fp_b"), F.col(id_col).alias("doc_b")
+    )
+    return (
+        a.join(
+            b,
+            (a["__fp"] == b["__fp_b"]) & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
     )
 
 

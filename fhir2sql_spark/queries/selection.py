@@ -36,6 +36,7 @@ from fhir2sql_spark.operators.text import (
     dsir_logweights,
     phrase_hits,
     winnow_fingerprints,
+    winnow_pairs,
 )
 from fhir2sql_spark.queries.retrieval import _md5_60
 from fhir2sql_spark.registry import query
@@ -320,4 +321,123 @@ def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.round("__p", 6).alias("p_raw"),
         F.round(F.pow("__p", 0.7) / F.col("__z"), 6).alias("p_temp"),
+    )
+
+
+@query(
+    "q_dedup_winnow_pairs",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+    g AS (SELECT doc_id, toks, len(toks) - 2 AS m FROM t
+          WHERE len(toks) >= 6),
+    pos AS (
+        SELECT doc_id, toks, m,
+               unnest(generate_series(1, m)) AS i
+        FROM g
+    ),
+    grams AS (
+        SELECT doc_id, i AS pos, m,
+               {_md5_60(
+                   "toks[CAST(i AS INT)] || ' ' || "
+                   "toks[CAST(i+1 AS INT)] || ' ' || "
+                   "toks[CAST(i+2 AS INT)]"
+               )} AS h
+        FROM pos
+    ),
+    wmin AS (
+        SELECT doc_id, pos, m,
+               MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+                   AS fp
+        FROM grams
+    ),
+    dfp AS MATERIALIZED (
+        SELECT DISTINCT doc_id, fp FROM wmin WHERE pos <= m - 3
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM dfp a JOIN dfp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    """,
+)
+def q_dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style near-dup candidates: doc pairs sharing >= 2
+    winnowing fingerprints (operators/text.py winnow_pairs). The
+    winnowing guarantee makes this CONTAINMENT detection — any shared
+    run of >= 6 tokens shares a fingerprint — at ~1/4 the index size
+    of q_dedup_near's full shingle postings; selected fingerprints are
+    locally-minimal hashes (rare by construction), so posting lists
+    stay short the way setsim's rarest-first prefixes do. Pure integer
+    pipeline; the oracle replays hash, window min, and join
+    verbatim."""
+    docs = load(spark, sf_dir, "documents")
+    return winnow_pairs(docs, k=3, w=4, min_shared=2)
+
+
+@query(
+    "q_text_langid_confusion",
+    oracle="""
+    WITH hits AS (
+        SELECT doc_id, lang AS true_lang,
+           len(list_filter(string_split(lower(text),' '),
+               x -> x IN ('der','die','und','das','ist'))) AS h_de,
+           len(list_filter(string_split(lower(text),' '),
+               x -> x IN ('the','and','of','to','a'))) AS h_en,
+           len(list_filter(string_split(lower(text),' '),
+               x -> x IN ('el','la','que','de','los'))) AS h_es,
+           len(list_filter(string_split(lower(text),' '),
+               x -> x IN ('le','la','et','les','des'))) AS h_fr,
+           len(list_filter(string_split(lower(text),' '),
+               x -> x IN ('il','la','che','di','per'))) AS h_it
+        FROM documents
+    ),
+    pred AS (
+        SELECT true_lang,
+               CASE WHEN greatest(h_de,h_en,h_es,h_fr,h_it) = 0 THEN 'und'
+                    WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr
+                         AND h_de >= h_it THEN 'de'
+                    WHEN h_en >= h_es AND h_en >= h_fr AND h_en >= h_it
+                         THEN 'en'
+                    WHEN h_es >= h_fr AND h_es >= h_it THEN 'es'
+                    WHEN h_fr >= h_it THEN 'fr'
+                    ELSE 'it' END AS pred_lang
+        FROM hits
+    )
+    SELECT true_lang, pred_lang, COUNT(*) AS n,
+           true_lang = pred_lang AS correct
+    FROM pred GROUP BY 1, 2
+    """,
+)
+def q_text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the heuristic language identifier against
+    the corpus ground truth — the quality-eval step a pipeline runs
+    before trusting a classifier for filtering (per-cell counts +
+    correctness flag; accuracy/precision/recall all derive from it).
+    Reuses q_text_langid's argmax (hoisted single tokenization, ties
+    -> lexicographically smallest code, zero hits -> 'und'); the
+    matrix is one 2-key hash aggregate over the scan — at 100 TB this
+    is a map-side-combined 25-cell table, no other shuffle."""
+    d = load(spark, sf_dir, "documents")
+    from fhir2sql_spark.operators import text as text_ops
+
+    toked = d.select(
+        F.col("lang").alias("true_lang"),
+        text_ops.tokens(F.lower(F.col("text"))).alias("__ltoks"),
+    )
+    return (
+        toked.select(
+            "true_lang",
+            text_ops.lang_id_from_tokens(F.col("__ltoks")).alias(
+                "pred_lang"
+            ),
+        )
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "true_lang",
+            "pred_lang",
+            "n",
+            (F.col("true_lang") == F.col("pred_lang")).alias("correct"),
+        )
     )

@@ -869,3 +869,57 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore(edges.select("src", "dst"), k=3, max_rounds=15).select(
         "node", F.col("deg").cast("long").alias("deg")
     )
+
+
+@query(
+    "q_graph_degree_dist",
+    oracle="""
+    WITH pc AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+               COUNT(DISTINCT a.l_orderkey) AS c
+        FROM lineitem a
+        JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    ),
+    e AS MATERIALIZED (SELECT pa, pb FROM pc WHERE c >= 2),
+    deg AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+        FROM (SELECT pa AS node FROM e UNION ALL SELECT pb FROM e) n
+        GROUP BY node
+    )
+    SELECT CAST(length(to_base(degree, 2)) AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           MIN(degree) AS min_deg, MAX(degree) AS max_deg
+    FROM deg GROUP BY bucket
+    """,
+)
+def q_graph_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-binned degree distribution of the co-purchase graph — the
+    power-law diagnostic run before choosing a graph partitioning
+    strategy (a heavy-tailed histogram means hub-aware algorithms like
+    the degree-ordered wedge join in q_graph_triangles; a flat one
+    means plain hash partitioning is fine). Shares q_graph_triangles'
+    edge derivation (cooccurrence_edges, >= 2 common orders); degree =
+    endpoint count over the undirected edge list; bucket =
+    bit-length(degree) — pure integer (no libm), the q_text_lm_score
+    convention, so every value hash-checks exactly. The histogram is
+    vocabulary-sized: one edge aggregate + one node aggregate + a
+    <=64-row bucket aggregate."""
+    from fhir2sql_spark.operators.triangles import cooccurrence_edges
+
+    li = load(spark, sf_dir, "lineitem")
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey", min_weight=2)
+    deg = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return deg.groupBy(
+        F.length(F.bin("degree")).cast("int").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.min("degree").alias("min_deg"),
+        F.max("degree").alias("max_deg"),
+    )

@@ -399,3 +399,150 @@ def q_text_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c").cast("long").alias("n_pair"),
         (F.round(llr, 6) + F.lit(0.0)).alias("llr"),
     )
+
+
+def _bpe_round_sql(vin: str, tname: str, vout: str) -> str:
+    """One unrolled BPE merge round as oracle CTE text: top pair of
+    ``vin`` into ``tname``, merged vocabulary into ``vout``. The
+    double-space symbol encoding makes replace() boundary-safe: words
+    are ' s1  s2  ...  sn ' (single guard space at both ends, double
+    between symbols), so the pattern ' a  b ' can neither match a
+    symbol SUFFIX (no space before 'a') nor a PREFIX (no space after
+    'b'), and consecutive merges still fire because each match
+    re-emits its boundary spaces (' a  a  a  a ' -> ' aa  aa ',
+    verified on both engines)."""
+    return f"""
+    p_{tname} AS (
+        SELECT s[CAST(i AS INT)] AS a, s[CAST(i+1 AS INT)] AS b,
+               CAST(SUM(cnt) AS BIGINT) AS pf
+        FROM (
+            SELECT string_split(trim(w), '  ') AS s, cnt,
+                   unnest(generate_series(
+                       1, len(string_split(trim(w), '  ')) - 1)) AS i
+            FROM {vin}
+        ) GROUP BY 1, 2
+    ),
+    {tname} AS MATERIALIZED (
+        SELECT a, b, pf FROM p_{tname} ORDER BY pf DESC, a, b LIMIT 1
+    ),
+    {vout} AS MATERIALIZED (
+        SELECT replace(w, ' '||a||'  '||b||' ', ' '||a||b||' ') AS w, cnt
+        FROM {vin}, {tname}
+    )"""
+
+
+@query(
+    "q_bpe_merges",
+    oracle=f"""
+    WITH wc AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+      WHERE length(w) >= 2 GROUP BY w
+    ),
+    v0 AS MATERIALIZED (
+      SELECT ' ' || array_to_string(string_split(w, ''), '  ') || ' ' AS w,
+             cnt
+      FROM wc
+    ),{_bpe_round_sql('v0', 't1', 'v1')},{_bpe_round_sql('v1', 't2', 'v2')},{_bpe_round_sql('v2', 't3', 'v3')}
+    SELECT CAST(1 AS INT) AS rnd, a AS left_sym, b AS right_sym,
+           a || b AS merged, pf AS pair_freq FROM t1
+    UNION ALL
+    SELECT CAST(2 AS INT), a, b, a || b, pf FROM t2
+    UNION ALL
+    SELECT CAST(3 AS INT), a, b, a || b, pf FROM t3
+    """,
+)
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THREE BPE merge rounds (Sennrich et al. 2016) — the actual
+    tokenizer-training loop, not just q_bpe_pairs' single candidate
+    round: per round, find the corpus-wide most frequent adjacent
+    symbol pair (ties -> lexicographic) and merge it everywhere, so
+    round 2 can pick a pair CONTAINING round 1's merged symbol.
+
+    Scale shape: the corpus collapses to its word-frequency VOCABULARY
+    once (the only corpus-sized shuffle); each round is then a
+    vocabulary-sized pair aggregate + a broadcast 1-row top-pair join
+    + one string replace — flat per round at any corpus size. The
+    vocabulary is localCheckpointed per round (each round's pair scan
+    and the next round's replace both read it; without the barrier
+    round 3 would re-run rounds 1-2's transformations per consumer —
+    the iterative-operator rule from pagerank/kcore).
+
+    Engine-exactness: symbols are encoded ' s1  s2  ...  sn ' (double
+    space between, single guard space at the ends) so the merge is a
+    plain boundary-safe replace() — no regex, no lookaround (RE2-safe)
+    — and both engines replay the identical left-to-right
+    non-overlapping scan; the oracle unrolls the three rounds as
+    MATERIALIZED CTEs (the q_graph_pagerank unroll pattern). Integer
+    frequencies everywhere; ties broken (freq DESC, a, b) identically.
+
+    Cites the reference only for contrast: samply/fhir2sql has no text
+    surface (src/main.rs is a 4-table sync daemon)."""
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(F.explode(F.split("text", " ")).alias("w")).where(
+        F.length("w") >= 2
+    )
+    wc = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    v = wc.select(
+        F.concat(
+            F.lit(" "), F.array_join(F.split("w", ""), "  "), F.lit(" ")
+        ).alias("w"),
+        "cnt",
+    ).localCheckpoint(eager=True)
+    tops = []
+    for rnd in (1, 2, 3):
+        syms = F.split(F.trim(F.col("w")), "  ")
+        pairs = (
+            v.select(syms.alias("__s"), "cnt")
+            .where(F.size("__s") >= 2)
+            .select(
+                F.explode(
+                    F.arrays_zip(
+                        F.slice("__s", 1, F.size("__s") - 1),
+                        F.slice("__s", 2, F.size("__s") - 1),
+                    )
+                ).alias("__p"),
+                "cnt",
+            )
+            .select(
+                F.col("__p.0").alias("a"), F.col("__p.1").alias("b"), "cnt"
+            )
+        )
+        top = (
+            pairs.groupBy("a", "b")
+            .agg(F.sum("cnt").cast("long").alias("pair_freq"))
+            .orderBy(F.desc("pair_freq"), "a", "b")
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        tops.append(
+            top.select(
+                F.lit(rnd).alias("rnd"),
+                F.col("a").alias("left_sym"),
+                F.col("b").alias("right_sym"),
+                F.concat("a", "b").alias("merged"),
+                "pair_freq",
+            )
+        )
+        if rnd < 3:
+            v = (
+                v.crossJoin(F.broadcast(top))
+                .select(
+                    F.replace(
+                        F.col("w"),
+                        F.concat(
+                            F.lit(" "),
+                            F.col("a"),
+                            F.lit("  "),
+                            F.col("b"),
+                            F.lit(" "),
+                        ),
+                        F.concat(
+                            F.lit(" "), F.col("a"), F.col("b"), F.lit(" ")
+                        ),
+                    ).alias("w"),
+                    "cnt",
+                )
+                .localCheckpoint(eager=True)
+            )
+    return tops[0].unionByName(tops[1]).unionByName(tops[2])

@@ -8,7 +8,13 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from fhir2sql_spark.operators.text import dsir_logweights, winnow_fingerprints
-from fhir2sql_spark.queries import aggs, selection  # noqa: F401  (registers)
+from fhir2sql_spark.queries import (  # noqa: F401  (registers)
+    aggs,
+    llm,
+    selection,
+    training,
+    vocab,
+)
 from fhir2sql_spark.registry import QUERIES
 from tests.conftest import SF_SMALL
 
@@ -154,3 +160,183 @@ def test_grouping_sets_equals_manual_union(spark, sf_dir):
         ).collect()
     }
     assert got == {**pair, **ls_only, **total}
+
+
+def test_bpe_merge_rounds_compose(spark, sf_dir):
+    """Round N+1's most frequent pair is computed AFTER round N's merge
+    is applied: the three pairs are distinct and each round's frequency
+    is non-increasing only if the data says so — the structural claims
+    are (a) 3 rounds, (b) merged symbol = left||right, (c) a later
+    round may reference an earlier merged symbol (composition is
+    POSSIBLE, i.e. the implementation re-derives pairs from the merged
+    vocab, which we verify by replaying round 1 on the raw vocab)."""
+    rows = {r["rnd"]: r for r in QUERIES["q_bpe_merges"](spark, sf_dir).collect()}
+    assert sorted(rows) == [1, 2, 3]
+    for r in rows.values():
+        assert r["merged"] == r["left_sym"] + r["right_sym"]
+        assert r["pair_freq"] > 0
+    # replay round 1 independently: most frequent adjacent char pair
+    from fhir2sql_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(F.explode(F.split("text", " ")).alias("w")).where(
+        F.length("w") >= 2
+    )
+    wc = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    pairs = wc.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(w) - 1),"
+                " i -> substring(w, i, 2))"
+            )
+        ).alias("pair"),
+        "cnt",
+    )
+    top = (
+        pairs.groupBy("pair")
+        .agg(F.sum("cnt").alias("cnt"))
+        .orderBy(F.desc("cnt"), "pair")
+        .limit(1)
+        .collect()[0]
+    )
+    assert rows[1]["merged"] == top["pair"]
+    assert rows[1]["pair_freq"] == top["cnt"]
+
+
+def test_bpe_merge_applies_everywhere(spark):
+    """After merging the top pair, no adjacent (left, right) symbol
+    pair survives in the vocabulary — replace() must hit consecutive
+    and repeated occurrences (the double-space boundary encoding)."""
+    docs = spark.createDataFrame(
+        [(1, "aaaa aab baab aaaa aab")], "doc_id long, text string"
+    )
+    rows = {r["rnd"]: r for r in QUERIES_LOCAL_BPE(spark, docs)}
+    assert rows[1]["merged"] == "aa"
+    # round 2 operates on merged symbols; 'aa'+'aa' or 'aa'+'b' etc.
+    assert rows[2]["left_sym"] in ("aa", "b", "a")
+
+
+def QUERIES_LOCAL_BPE(spark, docs):
+    """Run the q_bpe_merges pipeline on an in-memory docs frame (the
+    registered query is path-based; tests reuse its logic via a tiny
+    local replay of the same operator steps)."""
+    words = docs.select(F.explode(F.split("text", " ")).alias("w")).where(
+        F.length("w") >= 2
+    )
+    wc = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    v = wc.select(
+        F.concat(
+            F.lit(" "), F.array_join(F.split("w", ""), "  "), F.lit(" ")
+        ).alias("w"),
+        "cnt",
+    ).localCheckpoint(eager=True)
+    out = []
+    for rnd in (1, 2):
+        syms = F.split(F.trim(F.col("w")), "  ")
+        pairs = (
+            v.select(syms.alias("__s"), "cnt")
+            .where(F.size("__s") >= 2)
+            .select(
+                F.explode(
+                    F.arrays_zip(
+                        F.slice("__s", 1, F.size("__s") - 1),
+                        F.slice("__s", 2, F.size("__s") - 1),
+                    )
+                ).alias("__p"),
+                "cnt",
+            )
+            .select(F.col("__p.0").alias("a"), F.col("__p.1").alias("b"), "cnt")
+        )
+        top = (
+            pairs.groupBy("a", "b")
+            .agg(F.sum("cnt").cast("long").alias("pair_freq"))
+            .orderBy(F.desc("pair_freq"), "a", "b")
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        out.append(
+            top.select(
+                F.lit(rnd).alias("rnd"),
+                F.col("a").alias("left_sym"),
+                F.col("b").alias("right_sym"),
+                F.concat("a", "b").alias("merged"),
+                "pair_freq",
+            ).collect()[0]
+        )
+        v = (
+            v.crossJoin(F.broadcast(top))
+            .select(
+                F.replace(
+                    F.col("w"),
+                    F.concat(
+                        F.lit(" "), F.col("a"), F.lit("  "), F.col("b"), F.lit(" ")
+                    ),
+                    F.concat(F.lit(" "), F.col("a"), F.col("b"), F.lit(" ")),
+                ).alias("w"),
+                "cnt",
+            )
+            .localCheckpoint(eager=True)
+        )
+        if rnd == 1:
+            # the defining merge property: after merging (a,b), the
+            # adjacent pair (a,b) no longer exists in the vocab
+            a, b = out[0]["left_sym"], out[0]["right_sym"]
+            leftover = (
+                v.where(F.col("w").contains(f" {a}  {b} ")).count()
+            )
+            assert leftover == 0
+    return out
+
+
+def test_winnow_pairs_finds_setsim_pairs(spark, sf_dir):
+    """The planted near-dup pairs (q_dedup_setsim's exact output at
+    Jaccard >= 0.5 on 5-grams) all share >= 2 winnowing fingerprints:
+    the containment guarantee composing into candidate generation."""
+    setsim = {
+        (r["doc_a"], r["doc_b"])
+        for r in QUERIES["q_dedup_setsim"](spark, sf_dir).collect()
+    }
+    winnow = {
+        (r["doc_a"], r["doc_b"])
+        for r in QUERIES["q_dedup_winnow_pairs"](spark, sf_dir).collect()
+    }
+    assert setsim, "fixture plants near-dups"
+    assert setsim <= winnow
+
+
+def test_degree_dist_partitions_nodes(spark, sf_dir):
+    from fhir2sql_spark.operators.triangles import cooccurrence_edges
+    from fhir2sql_spark.tables import load
+
+    rows = QUERIES["q_graph_degree_dist"](spark, sf_dir).collect()
+    edges = cooccurrence_edges(
+        load(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey", 2
+    )
+    n_nodes = (
+        edges.select(F.col("src").alias("n"))
+        .unionAll(edges.select(F.col("dst").alias("n")))
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_nodes"] for r in rows) == n_nodes
+    for r in rows:
+        # bucket b holds degrees with bit-length b: [2^(b-1), 2^b)
+        assert 2 ** (r["bucket"] - 1) <= r["min_deg"] <= r["max_deg"] < 2 ** r["bucket"]
+
+
+def test_langid_confusion_exposes_fixture_bias(spark, sf_dir):
+    """The fixture's word soup is ENGLISH vocabulary under every lang
+    label, and the confusion matrix is the eval that exposes it: every
+    prediction is 'en' or 'und', the en row is diagonal-dominant, and
+    the cells partition the corpus — exactly the report a pipeline
+    needs before trusting the classifier for filtering."""
+    from fhir2sql_spark.tables import load
+
+    rows = QUERIES["q_text_langid_confusion"](spark, sf_dir).collect()
+    total = sum(r["n"] for r in rows)
+    assert total == load(spark, sf_dir, "documents").count()
+    assert {r["pred_lang"] for r in rows} <= {"en", "und"}
+    en_row = {r["pred_lang"]: r["n"] for r in rows if r["true_lang"] == "en"}
+    assert en_row["en"] > en_row.get("und", 0)
+    for r in rows:
+        assert r["correct"] == (r["true_lang"] == r["pred_lang"])

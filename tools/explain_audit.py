@@ -448,6 +448,13 @@ BUILDER_ACTION_QUERIES = frozenset(
         "q_text_llr",
         "q_embed_ivfpq",
         "q_embed_pq_trained",
+        # round 6: builder-time localCheckpoints (compact tables —
+        # DSIR's (doc,bucket) combine, the 5-row lang table, winnow
+        # fp sets, BPE's per-round vocab + top-pair rows)
+        "q_sample_dsir",
+        "q_sample_temperature",
+        "q_dedup_winnow_pairs",
+        "q_bpe_merges",
     }
 )
 
