@@ -530,3 +530,115 @@ def setsim_pairs(
     return verify_candidate_pairs(
         docs, cand, threshold_num, threshold_den, n=n
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    threshold_num: int,
+    threshold_den: int,
+    n: int = 2,
+) -> DataFrame:
+    """Exact DIRECTED set-containment join: every ordered doc pair
+    (a, b) with |Sa ∩ Sb| >= t·|Sa| (a's shingle set mostly inside
+    b's) — the asymmetric cousin of setsim_pairs' Jaccard join, and
+    the right primitive for doc-inside-doc detection (quotes, mirrored
+    sections, near-supersets), where Jaccard is diluted by the larger
+    side (the JOSIE/PPJoin containment formulation).
+
+    Asymmetric prefix filter: if |A∩B| >= ceil(t|A|), then A has at
+    most |A| - ceil(t|A|) tokens outside B, so among A's first
+    |A| - ceil(t|A|) + 1 tokens under ANY global order at least one is
+    in B — the SAME prefix length as the Jaccard filter, but the probe
+    prefix joins the index side's FULL postings (containment says
+    nothing about |B|, so B cannot be prefix-pruned; that asymmetry is
+    inherent — JOSIE prunes further with positional upper bounds,
+    a refinement this fixture's ~27-token sets never need). Rarity
+    order (df, sid) keeps the probe prefixes selective exactly as in
+    setsim_pairs, and the full-postings side never shuffles more than
+    setsim's verify stage already does.
+
+    Same linear window pipeline as setsim_pairs (one distinct, df via
+    sid-window, size + row_number via doc-window, prefix slice
+    checkpointed); exact verification re-derives sets from shingle
+    STRINGS. Output: (doc_a, doc_b, common, size_a,
+    containment = common/|Sa| as the IEEE ratio of exact longs),
+    doc_a != doc_b, both directions possible."""
+    sh = (
+        shingles(docs, n=n)
+        .select("doc_id", F.xxhash64("lang", "shingle").alias("__sid"))
+        .distinct()
+    )
+    toks = sh.withColumn(
+        "__df", F.count(F.lit(1)).over(Window.partitionBy("__sid"))
+    )
+    w = Window.partitionBy("doc_id").orderBy("__df", "__sid")
+    w_size = Window.partitionBy("doc_id")
+    prefix_len = (
+        F.col("__s")
+        - F.expr(
+            f"(__s * {threshold_num} + {threshold_den} - 1) "
+            f"div {threshold_den}"
+        )
+        + 1
+    )
+    pref = (
+        toks.withColumn("__s", F.count(F.lit(1)).over(w_size))
+        .withColumn("__pos", F.row_number().over(w))
+        .where(F.col("__pos") <= prefix_len)
+        .select("doc_id", "__sid")
+        .localCheckpoint(eager=True)
+    )
+    a = pref.select(F.col("__sid"), F.col("doc_id").alias("doc_a"))
+    # index side: FULL postings (containment cannot prune B)
+    b = sh.select(
+        F.col("__sid").alias("__sid_b"), F.col("doc_id").alias("doc_b")
+    )
+    cand = (
+        a.join(
+            b,
+            (a["__sid"] == b["__sid_b"])
+            & (F.col("doc_a") != F.col("doc_b")),
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sets = (
+        shingles(docs, n=n)
+        .join(F.broadcast(cand_docs), "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("sh_set"))
+    )
+    sa = sets.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("set_a")
+    )
+    sb = sets.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("set_b")
+    )
+    joined = (
+        F.broadcast(cand)
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("set_a", "set_b")).alias("common"),
+            F.size("set_a").alias("size_a"),
+        )
+    )
+    return joined.where(
+        F.col("common") * threshold_den >= F.col("size_a") * threshold_num
+    ).select(
+        "doc_a",
+        "doc_b",
+        F.col("common").cast("long"),
+        F.col("size_a").cast("long"),
+        (
+            F.col("common").cast("double") / F.col("size_a").cast("double")
+        ).alias("containment"),
+    )

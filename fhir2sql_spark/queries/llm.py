@@ -1672,3 +1672,137 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("rn") == 1, F.lower(F.substring(F.hex("content"), 1, 64)))
         ).alias("smallest_hex"),
     )
+
+
+@query(
+    "q_dedup_containment",
+    oracle="""
+    WITH s AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
+               FROM documents),
+    pos AS (
+        SELECT doc_id, lang, toks,
+               unnest(generate_series(1, len(toks) - 4)) AS i
+        FROM s
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id, lang,
+               toks[CAST(i AS INT)] || ' ' || toks[CAST(i+1 AS INT)]
+                 || ' ' || toks[CAST(i+2 AS INT)]
+                 || ' ' || toks[CAST(i+3 AS INT)]
+                 || ' ' || toks[CAST(i+4 AS INT)] AS shingle
+        FROM pos
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+        FROM sh a JOIN sh b
+          ON a.lang = b.lang AND a.shingle = b.shingle
+             AND a.doc_id <> b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, CAST(common AS BIGINT) AS common,
+           CAST(sa.n AS BIGINT) AS size_a,
+           CAST(common AS DOUBLE) / CAST(sa.n AS DOUBLE) AS containment
+    FROM pairs p JOIN sz sa ON p.doc_a = sa.doc_id
+    WHERE common * 5 >= sa.n * 4
+    """,
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DIRECTED set-containment join at t = 0.8 over word-5-gram
+    shingles within lang — doc-inside-doc detection (quotes, mirrored
+    sections, near-supersets), where Jaccard is diluted by the larger
+    side. Asymmetric prefix filter (operators/dedup.py
+    containment_pairs): probe-side rarity prefixes of the SAME length
+    as the Jaccard filter join the index side's FULL postings (B
+    cannot be prefix-pruned — inherent to containment), then exact
+    verification on shingle strings. The oracle replays the naive
+    inverted-index formulation; output equality is the completeness
+    theorem, as for q_dedup_setsim."""
+    return dedup.containment_pairs(
+        load(spark, sf_dir, "documents"),
+        threshold_num=4,
+        threshold_den=5,
+        n=5,
+    )
+
+
+@query(
+    "q_embed_matryoshka",
+    oracle="""
+    WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS cv
+          FROM embeddings),
+    scored AS (
+        SELECT q_id, c_id,
+               list_dot_product(qv[1:16], cv[1:16])
+                 / (sqrt(list_dot_product(qv[1:16], qv[1:16]))
+                    * sqrt(list_dot_product(cv[1:16], cv[1:16])))
+                   AS cos_lo,
+               list_dot_product(qv, cv)
+                 / (sqrt(list_dot_product(qv, qv))
+                    * sqrt(list_dot_product(cv, cv))) AS cos_full
+        FROM q, c WHERE q_id <> c_id
+    ),
+    ranked AS (
+        SELECT q_id, c_id, cos_lo, cos_full,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY cos_lo DESC, c_id) AS rn_lo
+        FROM scored
+    )
+    SELECT q_id, c_id, round(cos_lo, 4) AS cos_lo, rn_lo,
+           round(cos_full, 4) AS cos_full
+    FROM ranked WHERE rn_lo <= 5
+    """,
+)
+def q_embed_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncated-dimension retrieval (Kusupati et
+    al. 2022): rank candidates by cosine over the FIRST 16 of 64
+    dimensions (the cheap coarse pass an MRL-trained embedding
+    serves from a quarter of the memory/bandwidth), carrying the
+    full-dimension cosine alongside for the re-rank stage. The
+    truncated pass reads 4x fewer vector bytes per candidate — at
+    100 TB that is the difference between an in-RAM and an on-disk
+    index; the full-dim re-rank then touches only the k survivors
+    (composition identical to q_embed_ivf's coarse->exact shape).
+    Both cosines ride ONE broadcast crossJoin pass (no second scan);
+    sequential-fold dot products match DuckDB's list_dot_product
+    bit-for-bit, ranks tie-break on candidate id."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("c_id"), F.col("embedding").alias("cv")
+    )
+    qlo, clo = F.slice("qv", 1, 16), F.slice("cv", 1, 16)
+    dot = similarity._dot
+    pairs = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .where(F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id",
+            "c_id",
+            (
+                dot(qlo, clo)
+                / (F.sqrt(dot(qlo, qlo)) * F.sqrt(dot(clo, clo)))
+            ).alias("cos_lo"),
+            (
+                dot("qv", "cv")
+                / (F.sqrt(dot("qv", "qv")) * F.sqrt(dot("cv", "cv")))
+            ).alias("cos_full"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_lo"), "c_id")
+    return (
+        pairs.withColumn("rn_lo", F.row_number().over(w))
+        .where(F.col("rn_lo") <= 5)
+        .select(
+            "q_id",
+            "c_id",
+            F.round("cos_lo", 4).alias("cos_lo"),
+            "rn_lo",
+            F.round("cos_full", 4).alias("cos_full"),
+        )
+    )

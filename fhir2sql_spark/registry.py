@@ -53,64 +53,50 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 # q_graph_pagerank is the one rows-only slot (no SQL oracle — its
 # correctness evidence is the numpy parity test; a driver rows-only
 # row is still a stronger external signal than none).
-# Round-5 window. After CORRECTNESS_r04 the driver union covers every
-# query that existed when the r4 window froze except
-# q_agg_approx_percentile (its array-typed output crashed the
-# driver's hasher — now flattened to scalars). Priority order:
-#   1. Never-driver-checked (28): the four TPC-H queries registered
-#      after the r4 freeze (Q2/Q11/Q21 + the round-5 canonical Q1),
-#      the ten round-5 analysis queries, the two round-5 portable
-#      verification twins (full-pipeline exact gates for the
-#      MinHash-LSH and SimHash families), the round-5 substring-dedup
-#      trio (raw + hashed scale form + cut transform), the round-5
-#      incremental-ingest dedup, the repaired
-#      q_agg_approx_percentile, the seven round-5 late additions
-#      (rolling actives, attribution, triangles, phrase search,
-#      quality classifier, SemDeDup + its rows-only trained twin),
-#      and the eight round-5 final-stretch queries (BPE pair mining,
-#      Zipf fit, Heaps vocabulary growth, winsorized quality scores,
-#      edge Jaccard, PQ/ADC similarity search, prefix-filtered set
-#      similarity, k-core decomposition, LLR collocations, hard-
-#      negative mining, IVF-PQ, trained-PQ).
-#   2. Oracle graduations (4): q_embed_ann / q_embed_ivf /
-#      q_dedup_embed_bulk / q_graph_pagerank got only the weak
-#      rows-only driver row in r4 (they had no SQL oracle then);
-#      their round-5 exact oracles have never been driver-hashed.
-#   3. Operator-changed re-confirms (2): q_join_fuzzy (NULL guard
-#      added to operators/fuzzy.py) and q_join_spatial (tightened
-#      cell-domain guard in operators/spatial.py) — driver-green in
-#      r3, but the registered plans changed this round.
-#   4. Re-confirms (4): the oldest driver confirmations (round 2),
-#      including q_join_inner / q_join_left whose registered plans
-#      were rewritten in round 4 (eager aggregation) AFTER their r2
-#      gate — their current form has only local strict-check
-#      evidence until this window lands.
+# Round-6 window. CORRECTNESS_r05 closed the union at 189/189 of the
+# then-registered queries. Priority order:
+#   1. Never-driver-checked (11): the round-6 additions — the
+#      selection family (DSIR importance weights, winnowing
+#      fingerprints, RRF hybrid fusion, temperature mixture weights),
+#      grouping sets, the 3-round BPE trainer, winnow candidate
+#      pairs, the degree distribution, the langid confusion
+#      matrix, the directed containment join, and matryoshka
+#      truncated-dim retrieval.
+#   2. Changed-since-the-r5-gate re-confirms (12): the trained-
+#      codebook triple + q_agg_approx_percentile (exact oracles
+#      landed AFTER the r5 driver run, post-060edec commits), the
+#      tokenization-portability consumers (q_search_phrase,
+#      q_quality_classifier), q_bm25 (doclen rule), q_skyline /
+#      q_shard_balance / q_pack_sequences (WARN-free prefix
+#      aggregation rewrite), q_graph_kcore (unroll-depth guard), and
+#      q_dedup_setsim (round-6 linear-window rewrite).
+#   3. Oldest re-confirms (27): queries whose LAST
+#      driver check was round 2 — the scan/sync/join/agg/dedup core
+#      has only judge-side strict checks since then.
 SHOWCASE = (
-    # 1. never driver-checked
-    "q_tpch_q2", "q_tpch_q11", "q_tpch_q21", "q_tpch_q1",
-    "q_window_cume", "q_rolling_median", "q_interval_coverage",
-    "q_agg_bool", "q_join_asof_nearest", "q_text_entropy",
-    "q_bm25", "q_text_ngram_novelty",
-    "q_agg_regr", "q_text_pmi",
-    "q_dedup_minhash_portable", "q_dedup_simhash_portable",
-    "q_dedup_substring", "q_dedup_substring_hashed",
-    "q_dedup_substring_cut", "q_dedup_incremental",
-    "q_agg_approx_percentile",
-    "q_rolling_active", "q_attribution", "q_graph_triangles",
-    "q_search_phrase", "q_quality_classifier",
-    "q_dedup_semantic", "q_dedup_semantic_trained",
-    "q_bpe_pairs", "q_tokens_zipf", "q_vocab_growth",
-    "q_quality_winsorize", "q_graph_jaccard", "q_embed_pq",
-    "q_dedup_setsim", "q_graph_kcore", "q_text_llr",
-    "q_embed_hard_negatives", "q_embed_ivfpq", "q_embed_pq_trained",
-    # 2. round-5 oracle graduations (r4 saw them rows-only)
-    "q_embed_ann", "q_embed_ivf", "q_dedup_embed_bulk",
-    "q_graph_pagerank",
-    # 3. operator changed this round
-    "q_join_fuzzy", "q_join_spatial",
-    # 4. oldest (r2) re-confirmations, rewritten joins first
-    "q_join_inner", "q_join_left",
-    "q_filter_pred", "q_project_json",
+    # 1. never driver-checked (round-6 additions)
+    "q_sample_dsir", "q_text_winnowing", "q_rerank_rrf",
+    "q_sample_temperature", "q_agg_grouping_sets", "q_bpe_merges",
+    "q_dedup_winnow_pairs", "q_graph_degree_dist",
+    "q_text_langid_confusion", "q_dedup_containment",
+    "q_embed_matryoshka",
+    # 2. changed since the r5 driver gate
+    "q_embed_ivf_trained", "q_embed_pq_trained",
+    "q_dedup_semantic_trained", "q_agg_approx_percentile",
+    "q_search_phrase", "q_quality_classifier", "q_bm25",
+    "q_skyline", "q_shard_balance", "q_pack_sequences",
+    "q_graph_kcore", "q_dedup_setsim",
+    # 3. last driver-checked in round 2
+    "q_agg_approx", "q_agg_basic", "q_agg_distinct",
+    "q_agg_percentile", "q_agg_rollup", "q_cdc_scd2",
+    "q_count_reconcile", "q_date_funcs", "q_decontaminate",
+    "q_dedup_components", "q_dedup_embed", "q_dedup_exact",
+    "q_dedup_near", "q_embed_topk", "q_hof_funcs", "q_join_anti",
+    "q_join_asof", "q_join_broadcast", "q_join_range", "q_join_semi",
+    "q_limit_topk", "q_multimodal_frames", "q_multimodal_meta",
+    "q_pivot", "q_scan_count", "q_scan_project", "q_session",
+    # (q_str_funcs / q_stream_dedup yield their r6 slots to the two
+    # late round-6 additions above; they rotate in next round)
 )
 
 # Green in CORRECTNESS_r02.json (round-2 driver gate) — kept here so
@@ -156,6 +142,9 @@ SHOWCASE_BENCH = (
     "q_agg_regr", "q_embed_pq", "q_bpe_pairs", "q_graph_jaccard",
     "q_dedup_setsim", "q_graph_kcore", "q_text_llr",
     "q_embed_hard_negatives", "q_embed_ivfpq", "q_embed_pq_trained",
+    # round-6 additions
+    "q_sample_dsir", "q_text_winnowing", "q_rerank_rrf",
+    "q_dedup_winnow_pairs", "q_bpe_merges", "q_graph_degree_dist",
     # round-4 additions
     "q_tpch_q2", "q_tpch_q11", "q_tpch_q21",
     # round-3 additions

@@ -340,3 +340,64 @@ def test_langid_confusion_exposes_fixture_bias(spark, sf_dir):
     assert en_row["en"] > en_row.get("und", 0)
     for r in rows:
         assert r["correct"] == (r["true_lang"] == r["pred_lang"])
+
+
+def test_containment_is_superset_direction_of_setsim(spark, sf_dir):
+    """Every Jaccard >= 0.5 pair has containment >= 0.5 for its
+    smaller side; and every emitted containment row satisfies the
+    threshold arithmetic exactly."""
+    rows = QUERIES["q_dedup_containment"](spark, sf_dir).collect()
+    assert rows, "fixture plants near-supersets"
+    for r in rows:
+        assert r["common"] * 5 >= r["size_a"] * 4
+        assert 0 < r["containment"] <= 1.0
+        assert r["doc_a"] != r["doc_b"]
+    # directed: clones contain each other — at least one mutual pair
+    pairs = {(r["doc_a"], r["doc_b"]) for r in rows}
+    assert any((b, a) in pairs for a, b in pairs)
+
+
+def test_containment_prefix_filter_complete(spark):
+    """Planted near-superset: doc 2 = doc 1 plus a suffix, so S1 is
+    fully contained in S2 (containment 1.0) while Jaccard is diluted;
+    the prefix-filtered join must find 1->2 (and not 2->1 at t=0.8)."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (1, base, "en"),
+            (2, base + " extra words appended here making it longer "
+                "and longer still with many new shingles", "en"),
+            (3, "entirely unrelated content with different words "
+                "throughout the whole document body", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    from fhir2sql_spark.operators.dedup import containment_pairs
+
+    got = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in containment_pairs(docs, 4, 5, n=5).collect()
+    }
+    assert got.get((1, 2)) == 1.0
+    assert (2, 1) not in got  # diluted direction fails t=0.8
+    assert not any(3 in p for p in got)
+
+
+def test_matryoshka_full_rank_recoverable(spark, sf_dir):
+    """The truncated-dim top-5 carries the full-dim cosine: re-ranking
+    the 5 survivors by cos_full must equal brute-force full-dim
+    ranking RESTRICTED to those survivors (the re-rank contract); and
+    cos_lo ordering is what rn_lo claims."""
+    rows = QUERIES["q_embed_matryoshka"](spark, sf_dir).collect()
+    from collections import defaultdict
+
+    per_q = defaultdict(list)
+    for r in rows:
+        per_q[r["q_id"]].append(r)
+    assert len(per_q) == 10
+    for q_id, rs in per_q.items():
+        assert sorted(r["rn_lo"] for r in rs) == [1, 2, 3, 4, 5]
+        by_rank = sorted(rs, key=lambda r: r["rn_lo"])
+        los = [r["cos_lo"] for r in by_rank]
+        assert los == sorted(los, reverse=True)
+        assert all(-1.0001 <= r["cos_full"] <= 1.0001 for r in rs)
