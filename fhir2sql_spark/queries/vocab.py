@@ -546,3 +546,47 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .localCheckpoint(eager=True)
             )
     return tops[0].unionByName(tops[1]).unionByName(tops[2])
+
+
+@query(
+    "q_tokens_fertility",
+    oracle="""
+    WITH t AS (
+        SELECT lang,
+               len(string_split(text, ' ')) AS ws,
+               len(string_split(trim(regexp_replace(
+                   regexp_replace(text, '([^\\w\\s])', ' \\1 ', 'g'),
+                   '\\s+', ' ', 'g')), ' ')) AS bpe
+        FROM documents
+    )
+    SELECT lang, CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+           CAST(SUM(bpe) AS BIGINT) AS bpe_ish_tokens,
+           CAST(SUM(bpe) AS DOUBLE) / CAST(SUM(ws) AS DOUBLE)
+               AS fertility
+    FROM t GROUP BY lang
+    """,
+)
+def q_tokens_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language — BPE-ish pieces per
+    whitespace word, THE standard multilingual-tokenizer health
+    metric (a lang with fertility far above the corpus mean is being
+    shredded into bytes and will train poorly; the number that drives
+    vocab-size and byte-fallback decisions). Integer sums per lang
+    (scan-side token counts, map-side combine, one 5-key exchange)
+    and a single IEEE division — exact, no rounding. Reuses
+    q_text_tokens' engine-verified regex pairing for the BPE proxy."""
+    from fhir2sql_spark.operators import text as text_ops
+
+    d = load(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "lang",
+        text_ops.token_count_ws(F.col("text")).alias("__ws"),
+        text_ops.token_count_bpe_ish(F.col("text")).alias("__bpe"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.sum("__ws").cast("long").alias("ws_tokens"),
+        F.sum("__bpe").cast("long").alias("bpe_ish_tokens"),
+        (
+            F.sum("__bpe").cast("double") / F.sum("__ws").cast("double")
+        ).alias("fertility"),
+    )
