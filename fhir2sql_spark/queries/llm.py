@@ -1533,18 +1533,21 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID: argmax of marker-lexicon hits (ties ->
     lexicographically smallest code; zero hits -> 'und')."""
     d = load(spark, sf_dir, "documents")
-    # hoist the lowered token array so the 5 per-language marker
-    # filters share ONE tokenization (HOFs are CodegenFallback — no
-    # subexpression elimination inside them; 12.6 s -> 1.7 s at sf1)
+    # round-6 form: one compiled zero-width regexp_count per language
+    # (text_ops.lang_id_scores) instead of five interpreted HOF
+    # filters over a hoisted token array — 217 s -> 17.9 s at sf100
+    # (the interpreted cost hides inside job overhead at <= sf10);
+    # count equivalence to the token-membership form is
+    # property-tested (empty tokens are never markers)
     toked = d.select(
         "doc_id",
         F.col("lang").alias("true_lang"),
-        text_ops.tokens(F.lower(F.col("text"))).alias("__ltoks"),
+        F.col("text").alias("__txt"),
     )
     return toked.select(
         "doc_id",
         "true_lang",
-        text_ops.lang_id_from_tokens(F.col("__ltoks")).alias("pred_lang"),
+        text_ops.lang_id_scores(F.col("__txt")).alias("pred_lang"),
     )
 
 

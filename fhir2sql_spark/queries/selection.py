@@ -438,14 +438,12 @@ def q_text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     toked = d.select(
         F.col("lang").alias("true_lang"),
-        text_ops.tokens(F.lower(F.col("text"))).alias("__ltoks"),
+        F.col("text").alias("__txt"),
     )
     return (
         toked.select(
             "true_lang",
-            text_ops.lang_id_from_tokens(F.col("__ltoks")).alias(
-                "pred_lang"
-            ),
+            text_ops.lang_id_scores(F.col("__txt")).alias("pred_lang"),
         )
         .groupBy("true_lang", "pred_lang")
         .agg(F.count(F.lit(1)).alias("n"))

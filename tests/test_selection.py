@@ -401,3 +401,33 @@ def test_matryoshka_full_rank_recoverable(spark, sf_dir):
         los = [r["cos_lo"] for r in by_rank]
         assert los == sorted(los, reverse=True)
         assert all(-1.0001 <= r["cos_full"] <= 1.0001 for r in rs)
+
+
+def test_lang_id_scores_equals_hof_form(spark, sf_dir):
+    """The compiled regexp form of language ID equals the HOF
+    token-membership form on the corpus, and handles the boundary
+    cases the regex must get right (start/end tokens, double spaces —
+    empty tokens are never markers so counts agree)."""
+    from fhir2sql_spark.operators import text as text_ops
+    from fhir2sql_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    extra = spark.createDataFrame(
+        [
+            (9001, "the start marker"),
+            (9002, "end with the"),
+            (9003, "double  the  spaces"),
+            (9004, "nothing matching whatsoever"),
+            (9005, ""),
+        ],
+        "doc_id long, text string",
+    )
+    both = docs.unionByName(extra).select(
+        "doc_id",
+        text_ops.lang_id_scores(F.col("text")).alias("re_form"),
+        text_ops.lang_id_from_tokens(
+            text_ops.tokens_portable(F.lower(F.col("text")))
+        ).alias("hof_form"),
+    )
+    diff = both.where(F.col("re_form") != F.col("hof_form")).count()
+    assert diff == 0
