@@ -79,7 +79,7 @@ def lang_id_scores(col: Column) -> Column:
     RAW text column (round-6 form: one compiled zero-width regex per
     language replaces five interpreted HOF filters — marker_hits'
     docstring has the equivalence and cost argument; measured
-    13.5 s → 1.9 s at sf10 for q_text_langid)."""
+    217 s → 17.9 s at sf100 for q_text_langid_confusion)."""
     padded = F.concat(F.lit(" "), F.lower(col), F.lit(" "))
     scored = F.array(
         *[
