@@ -46,6 +46,18 @@ def token_count_ws(col: Column) -> Column:
     return F.size(tokens(col))
 
 
+def nonempty_token_count(col: Column) -> Column:
+    """Count of NON-EMPTY literal-space tokens as one compiled
+    regexp_count: maximal non-space runs are exactly string_split's
+    non-empty elements, so this equals
+    ``size(filter(split(col, ' '), t -> t <> ''))`` — but the HOF
+    filter evaluates its lambda interpreted per TOKEN (the round-6
+    audit rule), while this is a single codegen expression. Shared by
+    the bm25 doclen, PMI margin, and temperature-mixture token
+    counts; count equivalence is property-tested."""
+    return F.regexp_count(col, F.lit("[^ ]+"))
+
+
 def token_count_bpe_ish(col: Column) -> Column:
     """BPE-ish proxy: count word pieces + punctuation as separate
     tokens (regexp-based, mirrors a byte-pair tokenizer's order of

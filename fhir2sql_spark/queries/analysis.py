@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from fhir2sql_spark.operators.asof import asof_join_sorted
+from fhir2sql_spark.operators import text as text_ops
 from fhir2sql_spark.registry import query
 from fhir2sql_spark.tables import load
 from fhir2sql_spark.queries.util import exact_div
@@ -452,9 +453,7 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     # doclen without explode: count non-empty split elements.
     dl = d.select(
         "doc_id",
-        F.size(F.filter(F.split("text", " "), lambda t: t != "")).alias(
-            "doclen"
-        ),
+        text_ops.nonempty_token_count(F.col("text")).alias("doclen"),
         # docs with ZERO non-empty tokens must not count toward n_docs /
         # avgdl: the oracle derives dl from the exploded non-empty token
         # stream, where such a doc has no rows at all (ADVICE r5 — an
@@ -649,7 +648,7 @@ def q_text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    n_tok = F.size(F.filter(F.col("ts"), lambda t: t != ""))
+    n_tok = text_ops.nonempty_token_count(F.col("text"))
     totals = toks.agg(
         F.sum(n_tok).cast("double").alias("t_uni"),
         F.sum(F.greatest(F.size("ts") - 1, F.lit(0)))

@@ -315,9 +315,9 @@ def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     total and the normalizer, and without the barrier the corpus
     token-count aggregate would re-execute once per consumer."""
     docs = load(spark, sf_dir, "documents")
-    n_toks = F.size(
-        F.filter(F.split(F.col("text"), " "), lambda x: x != "")
-    )
+    from fhir2sql_spark.operators.text import nonempty_token_count
+
+    n_toks = nonempty_token_count(F.col("text"))
     la = (
         docs.select("lang", n_toks.alias("__n"))
         .groupBy("lang")

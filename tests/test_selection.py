@@ -431,3 +431,21 @@ def test_lang_id_scores_equals_hof_form(spark, sf_dir):
     )
     diff = both.where(F.col("re_form") != F.col("hof_form")).count()
     assert diff == 0
+
+
+def test_nonempty_token_count_equals_hof(spark, sf_dir):
+    from fhir2sql_spark.operators.text import nonempty_token_count
+    from fhir2sql_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents").select("text")
+    extra = spark.createDataFrame(
+        [("a  b",), ("  lead",), ("trail  ",), ("",), (" ",), ("one",)],
+        "text string",
+    )
+    both = docs.unionByName(extra).select(
+        nonempty_token_count(F.col("text")).alias("re_n"),
+        F.size(
+            F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+        ).alias("hof_n"),
+    )
+    assert both.where(F.col("re_n") != F.col("hof_n")).count() == 0
