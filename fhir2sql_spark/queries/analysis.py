@@ -641,16 +641,21 @@ def q_text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes the output set closed under float drift (no top-k rank
     boundary); pmi rounded 4 dp, −0.0 normalized."""
     d = load(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.split("text", " ").alias("ts"))
+    toks = d.select(
+        "doc_id",
+        F.split("text", " ").alias("ts"),
+        # codegen non-empty count computed at scan time (regexp over
+        # the text column — the split array can't be regexp-counted)
+        text_ops.nonempty_token_count(F.col("text")).alias("__ntok"),
+    )
     uni = (
         toks.select(F.explode("ts").alias("tok"))
         .where(F.col("tok") != "")
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    n_tok = text_ops.nonempty_token_count(F.col("text"))
     totals = toks.agg(
-        F.sum(n_tok).cast("double").alias("t_uni"),
+        F.sum("__ntok").cast("double").alias("t_uni"),
         F.sum(F.greatest(F.size("ts") - 1, F.lit(0)))
         .cast("double")
         .alias("t_bi"),
