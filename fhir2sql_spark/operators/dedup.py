@@ -489,10 +489,25 @@ def setsim_pairs(
     within-language by construction. Output contract matches
     jaccard_pairs/verify_candidate_pairs:
     (doc_a, doc_b, common, union_n, jac)."""
+    # ONE explicit sid exchange serves the (doc, sid) distinct
+    # aggregate AND the df window: hash(__sid) satisfies
+    # ClusteredDistribution for the (sid, doc) grouping and for the
+    # sid window partition, so neither plans its own exchange — two
+    # big exchanges total (sid here, doc_id below) instead of the
+    # three the planner-placed distinct needed. shingles() runs with
+    # distinct=False (the (sid, doc) aggregate IS the dedup; its
+    # default string-keyed distinct would add the third exchange
+    # back, on wide (doc, lang, shingle) keys no less). The raw
+    # shingle stream is near-distinct per doc anyway, so losing
+    # map-side combine ahead of the sid exchange costs almost
+    # nothing (verified: 2 exchanges in the pref plan).
     sh = (
-        shingles(docs, n=n)
+        shingles(docs, n=n, distinct=False)
         .select("doc_id", F.xxhash64("lang", "shingle").alias("__sid"))
-        .distinct()
+        .repartition(F.col("__sid"))
+        .groupBy("__sid", "doc_id")
+        .agg(F.lit(1))
+        .select("doc_id", "__sid")
     )
     toks = sh.withColumn(
         "__df", F.count(F.lit(1)).over(Window.partitionBy("__sid"))
@@ -563,10 +578,16 @@ def containment_pairs(
     STRINGS. Output: (doc_a, doc_b, common, size_a,
     containment = common/|Sa| as the IEEE ratio of exact longs),
     doc_a != doc_b, both directions possible."""
+    # same 2-exchange prefix pipeline as setsim_pairs (one explicit
+    # sid exchange shared by the distinct aggregate and the df
+    # window; shingles' own distinct suppressed — the comment there)
     sh = (
-        shingles(docs, n=n)
+        shingles(docs, n=n, distinct=False)
         .select("doc_id", F.xxhash64("lang", "shingle").alias("__sid"))
-        .distinct()
+        .repartition(F.col("__sid"))
+        .groupBy("__sid", "doc_id")
+        .agg(F.lit(1))
+        .select("doc_id", "__sid")
     )
     toks = sh.withColumn(
         "__df", F.count(F.lit(1)).over(Window.partitionBy("__sid"))
@@ -589,7 +610,9 @@ def containment_pairs(
         .localCheckpoint(eager=True)
     )
     a = pref.select(F.col("__sid"), F.col("doc_id").alias("doc_a"))
-    # index side: FULL postings (containment cannot prune B)
+    # index side: FULL postings (containment cannot prune B). sh is
+    # re-derived lazily here — one extra scan+explode, cheaper than
+    # checkpointing the full token table (the r5 setsim lesson).
     b = sh.select(
         F.col("__sid").alias("__sid_b"), F.col("doc_id").alias("doc_b")
     )
