@@ -610,11 +610,21 @@ def containment_pairs(
         .localCheckpoint(eager=True)
     )
     a = pref.select(F.col("__sid"), F.col("doc_id").alias("doc_a"))
-    # index side: FULL postings (containment cannot prune B). sh is
-    # re-derived lazily here — one extra scan+explode, cheaper than
-    # checkpointing the full token table (the r5 setsim lesson).
-    b = sh.select(
-        F.col("__sid").alias("__sid_b"), F.col("doc_id").alias("doc_b")
+    # index side: FULL postings (containment cannot prune B) — taken
+    # from the RAW hashed shingle stream, not the deduplicated sh:
+    # per-doc duplicate sids only produce duplicate candidate pairs,
+    # which the pair-level distinct absorbs, so the index side needs
+    # NO aggregate at all (map-side scan+explode+hash straight into
+    # the join's sid exchange; re-running sh's repartition+groupBy
+    # here measured 181 s of the containment candidate stage at
+    # sf100 — the raw form is one exchange of near-identical row
+    # count with zero aggregation).
+    b = (
+        shingles(docs, n=n, distinct=False)
+        .select(
+            F.xxhash64("lang", "shingle").alias("__sid_b"),
+            F.col("doc_id").alias("doc_b"),
+        )
     )
     cand = (
         a.join(
