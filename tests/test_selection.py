@@ -449,3 +449,43 @@ def test_nonempty_token_count_equals_hof(spark, sf_dir):
         ).alias("hof_n"),
     )
     assert both.where(F.col("re_n") != F.col("hof_n")).count() == 0
+
+
+def test_setsim_prefix_plan_two_exchanges(spark, sf_dir):
+    """The 2-exchange prefix pipeline claim (SCALE.md round-6): one
+    explicit sid repartition serves both the (sid, doc) distinct
+    aggregate and the df window; the only other exchange is the
+    doc_id window's. (The registered query's plan starts from the
+    checkpointed prefix, so this pins the BUILD-time subplan.)"""
+    from pyspark.sql import Window
+
+    from fhir2sql_spark.operators.dedup import shingles
+    from fhir2sql_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    sh = (
+        shingles(docs, n=5, distinct=False)
+        .select("doc_id", F.xxhash64("lang", "shingle").alias("__sid"))
+        .repartition(F.col("__sid"))
+        .groupBy("__sid", "doc_id")
+        .agg(F.lit(1))
+        .select("doc_id", "__sid")
+    )
+    toks = sh.withColumn(
+        "__df", F.count(F.lit(1)).over(Window.partitionBy("__sid"))
+    )
+    pref = (
+        toks.withColumn(
+            "__s", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+        )
+        .withColumn(
+            "__pos",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("__df", "__sid")
+            ),
+        )
+        .where(F.col("__pos") <= 5)
+        .select("doc_id", "__sid")
+    )
+    plan = pref._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 2, plan
