@@ -923,3 +923,121 @@ def q_graph_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("degree").alias("min_deg"),
         F.max("degree").alias("max_deg"),
     )
+
+
+@query(
+    "q_dedup_cluster_select",
+    oracle=f"""
+    WITH RECURSIVE
+    {_PAIRS_CTES},
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL
+        SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    reach(node, label) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    comp AS (
+        SELECT node, MIN(label) AS component_id FROM reach GROUP BY node
+    ),
+    q AS (
+        SELECT doc_id,
+               round(CASE WHEN len(string_split(text, ' ')) >= 10
+                          THEN 0.4 ELSE 0.0 END
+                   + CASE WHEN CAST(len(text) AS DOUBLE)
+                               / greatest(len(string_split(text, ' ')), 1)
+                               BETWEEN 3 AND 12
+                          THEN 0.3 ELSE 0.0 END
+                   + CASE WHEN CAST(len(text) - len(regexp_replace(
+                                 text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+                               / greatest(len(text), 1) <= 0.1
+                          THEN 0.3 ELSE 0.0 END, 1) AS quality_score
+        FROM documents
+    )
+    SELECT c.node AS doc_id, c.component_id, q.quality_score,
+           (ROW_NUMBER() OVER (PARTITION BY c.component_id
+                               ORDER BY q.quality_score DESC, c.node) = 1)
+               AS keep
+    FROM comp c JOIN q ON q.doc_id = c.node
+    """,
+)
+def q_dedup_cluster_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection per duplicate cluster — the dedup
+    DECISION step q_dedup_components leaves open: within each
+    transitive near-dup cluster keep the HIGHEST-QUALITY copy (banded
+    quality score, ties -> lowest doc_id), not merely the first-seen.
+    This is the policy real pipelines run (the cleanest crawl of a
+    mirrored page wins, not the lexicographically first URL).
+
+    Plan: the min-label components (distributed propagation,
+    operators/components.py) joined to the scan-side quality features;
+    the argmax is a component-partitioned window (clusters are small
+    by construction — a giant cluster means the dedup threshold is
+    wrong, which q_dedup_components' output already exposes). The
+    oracle replays closure (recursive CTE), banded score, and window
+    verbatim; the score is band-rounded to 1 dp so ties are exact on
+    both engines."""
+    docs = load(spark, sf_dir, "documents")
+    from fhir2sql_spark.operators import text as text_ops
+    from pyspark.sql import Window
+
+    pairs = dedup.jaccard_pairs(docs, threshold_num=4, threshold_den=5)
+    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    q = text_ops.quality_features(docs).select("doc_id", "quality_score")
+    j = comp.join(q, comp["node"] == q["doc_id"]).select(
+        F.col("node").alias("doc_id"), "component_id", "quality_score"
+    )
+    w = Window.partitionBy("component_id").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    return j.withColumn("keep", F.row_number().over(w) == 1)
+
+
+@query(
+    "q_split_eval",
+    oracle="""
+    SELECT doc_id, lang,
+           CASE WHEN h < 'cc' THEN 'train'
+                WHEN h < 'e6' THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+        SELECT doc_id, lang,
+               substr(sha256(lang || '|' || CAST(doc_id AS VARCHAR)
+                             || '|split'), 1, 2) AS h
+        FROM documents
+    )
+    """,
+)
+def q_split_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified train/val/test assignment (~80/10/10
+    by sha2 hex-prefix thresholds, salted with '|split' so it is
+    independent of every other hash-derived decision in the pipeline):
+    the split is a pure function of (lang, doc_id) — reproducible
+    across engines, partitionings, and reruns, and documents never
+    migrate between splits as the corpus grows (the property random
+    splits lack). Stratification by lang comes free: within each lang
+    the hash is uniform, so each stratum gets ~the same fractions.
+    Zero shuffles — a scan-stage CASE (q_sample_hash discipline)."""
+    d = load(spark, sf_dir, "documents")
+    h = F.substring(
+        F.sha2(
+            F.concat(
+                F.col("lang"), F.lit("|"),
+                F.col("doc_id").cast("string"), F.lit("|split"),
+            ),
+            256,
+        ),
+        1,
+        2,
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        F.when(h < "cc", "train")
+        .when(h < "e6", "val")
+        .otherwise("test")
+        .alias("split"),
+    )

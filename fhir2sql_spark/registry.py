@@ -55,7 +55,7 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 # row is still a stronger external signal than none).
 # Round-6 window. CORRECTNESS_r05 closed the union at 189/189 of the
 # then-registered queries. Priority order:
-#   1. Never-driver-checked (12): the round-6 additions — the
+#   1. Never-driver-checked (14): the round-6 additions — the
 #      selection family (DSIR importance weights, winnowing
 #      fingerprints, RRF hybrid fusion, temperature mixture weights),
 #      grouping sets, the 3-round BPE trainer, winnow candidate
@@ -70,7 +70,7 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 #      q_shard_balance / q_pack_sequences (WARN-free prefix
 #      aggregation rewrite), q_graph_kcore (unroll-depth guard), and
 #      q_dedup_setsim (round-6 linear-window rewrite).
-#   3. Oldest re-confirms (26): queries whose LAST
+#   3. Oldest re-confirms (24): queries whose LAST
 #      driver check was round 2 — the scan/sync/join/agg/dedup core
 #      has only judge-side strict checks since then.
 SHOWCASE = (
@@ -80,6 +80,7 @@ SHOWCASE = (
     "q_dedup_winnow_pairs", "q_graph_degree_dist",
     "q_text_langid_confusion", "q_dedup_containment",
     "q_embed_matryoshka", "q_tokens_fertility",
+    "q_dedup_cluster_select", "q_split_eval",
     # 2. changed since the r5 driver gate
     "q_embed_ivf_trained", "q_embed_pq_trained",
     "q_dedup_semantic_trained", "q_agg_approx_percentile",
@@ -94,10 +95,10 @@ SHOWCASE = (
     "q_dedup_near", "q_embed_topk", "q_hof_funcs", "q_join_anti",
     "q_join_asof", "q_join_broadcast", "q_join_range", "q_join_semi",
     "q_limit_topk", "q_multimodal_frames", "q_multimodal_meta",
-    "q_pivot", "q_scan_count", "q_scan_project",
-    # (q_session / q_str_funcs / q_stream_dedup yield their r6 slots
-    # to the three late round-6 additions above; they rotate next
-    # round)
+    "q_pivot",
+    # (q_scan_count / q_scan_project / q_session / q_str_funcs /
+    # q_stream_dedup yield their r6 slots to the five late round-6
+    # additions above; they rotate next round)
 )
 
 # Green in CORRECTNESS_r02.json (round-2 driver gate) — kept here so

@@ -489,3 +489,38 @@ def test_setsim_prefix_plan_two_exchanges(spark, sf_dir):
     )
     plan = pref._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 2, plan
+
+
+def test_cluster_select_keeps_best_quality(spark, sf_dir):
+    rows = QUERIES["q_dedup_cluster_select"](spark, sf_dir).collect()
+    assert rows
+    from collections import defaultdict
+
+    by_comp = defaultdict(list)
+    for r in rows:
+        by_comp[r["component_id"]].append(r)
+    for comp, members in by_comp.items():
+        kept = [r for r in members if r["keep"]]
+        assert len(kept) == 1, comp
+        best = max(
+            members, key=lambda r: (r["quality_score"], -r["doc_id"])
+        )
+        assert kept[0]["doc_id"] == best["doc_id"]
+
+
+def test_split_eval_fractions_and_stability(spark, sf_dir):
+    rows = QUERIES["q_split_eval"](spark, sf_dir).collect()
+    n = len(rows)
+    frac = {
+        s: sum(1 for r in rows if r["split"] == s) / n
+        for s in ("train", "val", "test")
+    }
+    assert 0.7 < frac["train"] < 0.9
+    assert 0.04 < frac["val"] < 0.16
+    assert 0.04 < frac["test"] < 0.16
+    again = {
+        (r["doc_id"]): r["split"]
+        for r in QUERIES["q_split_eval"](spark, sf_dir).collect()
+    }
+    for r in rows:
+        assert again[r["doc_id"]] == r["split"]
