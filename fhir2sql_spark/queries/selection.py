@@ -1,8 +1,10 @@
 """Data-selection & hybrid-retrieval queries (round 6, SURVEY.md
-§2.4 growth): DSIR importance weighting, winnowing fingerprints,
-reciprocal-rank-fusion hybrid search, and temperature-scaled domain
-mixing — the four data-selection shapes a training-data pipeline runs
-between dedup and packing.
+§2.4 growth): DSIR importance weighting, winnowing fingerprints (per-
+doc digests + MOSS candidate pairs), reciprocal-rank-fusion hybrid
+search, temperature-scaled domain mixing, and the language-ID
+confusion-matrix eval — the data-selection shapes a training-data
+pipeline runs between dedup and packing, plus the classifier eval it
+runs before trusting a filter.
 
 The reference (samply/fhir2sql, a Rust sync daemon) has no selection
 surface; these extend the LLM-curation inventory (queries/llm.py,
