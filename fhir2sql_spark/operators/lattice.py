@@ -52,11 +52,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# Exactness guard (ADVICE r6: the old flat |q| <= 3e6 bound was NOT
+# dim-aware — at dim=1024 it admitted dim*q^2 = 9.2e15 > 2^53 and a
+# 2*X@C.T cross term of 1.8e16, breaking the float64-BLAS-is-exact
+# argument). The d2 expansion |a|^2 - 2ab + |b|^2 has every partial
+# sum bounded by 4*dim*qmax^2, so requiring dim*qmax^2 <= 2^51 keeps
+# all products, partial sums, and the final distance below 2^53 —
+# exact in float64 in ANY accumulation order, and in-range for int64.
 # With scale=1000 and |e| <= ~0.6 (the fixture's unit-ish range),
-# |q| <= ~600; products <= 3.6e5, 64-dim sums <= 2.4e7 — exact in
-# int64 AND in float64 regardless of accumulation order. The guard
-# below enforces the general bound.
-_MAX_ABS_Q = 3_000_000  # dim * q^2 < 2^53 for dim <= 1024
+# dim*qmax^2 ~ 2.4e7: five orders of magnitude of headroom.
+_BLAS_EXACT_BOUND = 1 << 51  # bound on dim * max|q|^2
 
 
 def quantize(
@@ -96,22 +101,32 @@ def _seed_codebook(qv: DataFrame, k: int) -> list:
 
 
 def _check_domain(x) -> None:
+    """Dim-aware exactness guard: dim * max|q|^2 must not exceed
+    2^51 (see _BLAS_EXACT_BOUND). ``x`` is (n, dim) int64."""
     import numpy as np
 
-    if len(x) and np.abs(x).max() > _MAX_ABS_Q:
+    if not len(x):
+        return
+    q = int(np.abs(x).max())
+    dim = int(x.shape[1]) if x.ndim == 2 else int(len(x))
+    if dim * q * q > _BLAS_EXACT_BOUND:
         raise ValueError(
-            "lattice: |quantized value| exceeds the exact-arithmetic "
-            f"domain ({_MAX_ABS_Q}); lower the scale"
+            "lattice: dim * max|q|^2 = "
+            f"{dim} * {q}^2 exceeds the exact-arithmetic domain "
+            f"(2^51); lower the quantization scale"
         )
 
 
 def _d2_int(X, C):
     """Exact squared L2 between int64 rows of X and C, as int64.
-    float64 BLAS is used for speed — every product and every partial
-    sum is an integer below 2^53 (guarded), so the result is exact in
-    any accumulation order."""
+    float64 BLAS is used for speed — the dim-aware guard on BOTH
+    operands keeps every product and every partial sum (including the
+    2*X@C.T cross term) an integer below 2^53, so the result is exact
+    in any accumulation order."""
     import numpy as np
 
+    _check_domain(X)
+    _check_domain(C)
     Xf = X.astype(np.float64)
     Cf = C.astype(np.float64)
     d2 = (
@@ -490,6 +505,41 @@ def lattice_pq_search(
     )
 
 
+def _gram_int(x):
+    """Exact int64 Gram matrix + squared norms of int64 rows ``x``
+    (guarded float64 BLAS — every partial sum an integer < 2^53)."""
+    import numpy as np
+
+    _check_domain(x)
+    xf = x.astype(np.float64)
+    dot = (xf @ xf.T).astype(np.int64)
+    return dot, np.diag(dot).copy()
+
+
+def _rational_cos_mask(dot, n2, num2: int, den2: int):
+    """Pairwise mask for ``cos(a,b) >= tau_num/tau_den`` computed as
+    ``dot > 0 AND den^2*dot^2 >= num^2*|a|^2*|b|^2`` (zero-norm rows
+    never match). ADVICE r6: den2*dot^2 / num2*na*nb can silently
+    wrap int64 in numpy (dot can reach 2^51 under the BLAS guard
+    alone) while the DuckDB oracle RAISES on overflow — so take the
+    int64 fast path only when the actual magnitudes provably fit,
+    else compute the predicate in exact Python ints via object dtype
+    (slow path, correctness over speed)."""
+    m = int(max(dot.max(initial=0), n2.max(initial=0), 0))
+    if max(num2, den2) * m * m < 2**63:
+        sim = (dot > 0) & (
+            den2 * dot ** 2 >= num2 * n2[:, None] * n2[None, :]
+        )
+    else:
+        do = dot.astype(object)
+        no = n2.astype(object)
+        sim = (dot > 0) & (
+            den2 * do * do >= num2 * no[:, None] * no[None, :]
+        )
+    sim &= (n2[:, None] > 0) & (n2[None, :] > 0)
+    return sim
+
+
 def lattice_semantic_dedup(
     corpus: DataFrame,
     cents: DataFrame,
@@ -538,18 +588,9 @@ def lattice_semantic_dedup(
         x = np.array(pdf["qv"].tolist(), dtype=np.int64)
         order = np.argsort(ids)
         ids, x = ids[order], x[order]
-        xf = x.astype(np.float64)
-        dot = (xf @ xf.T).astype(np.int64)  # exact: integer-valued,
-        n2 = np.diag(dot).copy()  # all partial sums < 2^53
+        dot, n2 = _gram_int(x)
         # b is a dup if any a<b (by id) in the cell passes the test
-        # (den^2 dot^2 and num^2 na nb stay well inside int64:
-        # dot <= dim*(scale*|e|)^2 ~ 2.4e7 -> den2*dot^2 ~ 1.4e16)
-        pos = dot > 0
-        sim = pos & (
-            den2 * dot.astype(np.int64) ** 2
-            >= num2 * n2[:, None] * n2[None, :]
-        )
-        sim &= (n2[:, None] > 0) & (n2[None, :] > 0)
+        sim = _rational_cos_mask(dot, n2, num2, den2)
         lower = np.tril(np.ones_like(sim, dtype=bool), k=-1)
         is_dup = (sim & lower).any(axis=1)
         return pd.DataFrame(
@@ -562,4 +603,115 @@ def lattice_semantic_dedup(
 
     return assigned.groupBy("cell").applyInPandas(
         per_cell, "vec_id long, cell int, is_dup boolean"
+    )
+
+
+def _collect_codebook(cents: DataFrame):
+    """(code (k,dim) int64, cids (k,) int64) from a lattice codebook —
+    the bounded k-row collect every search/assign pass shares."""
+    import numpy as np
+
+    rows = cents.orderBy("cent_id").collect()
+    code = np.stack([np.array(r["cv"], dtype=np.int64) for r in rows])
+    cids = np.array([r["cent_id"] for r in rows], dtype=np.int64)
+    return code, cids
+
+
+def _assign_cells(df: DataFrame, code, cids) -> DataFrame:
+    """Map-side nearest-centroid assignment against the broadcast
+    codebook (exact int L2, ties -> lowest cent_id). ``df`` is a
+    quantize() output; returns (vec_id, cell, qv) — the corpus never
+    shuffles."""
+    import numpy as np
+    import pandas as pd
+
+    def assign(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            x = np.array(pdf["qv"].tolist(), dtype=np.int64)
+            idx = np.argmin(_d2_int(x, code), axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vid"].to_numpy(dtype=np.int64),
+                    "cell": cids[idx].astype("int32"),
+                    "qv": pdf["qv"],
+                }
+            )
+
+    return df.mapInPandas(assign, "vec_id long, cell int, qv array<long>")
+
+
+def lattice_semantic_dedup_incremental(
+    base: DataFrame,
+    new: DataFrame,
+    cents: DataFrame,
+    tau_num: int = 2,
+    tau_den: int = 5,
+) -> DataFrame:
+    """Incremental SemDeDup against a FROZEN codebook — the 100 TB
+    operating mode (VERDICT r6 #7): nobody re-clusters the corpus per
+    ingest. The NEW batch is assigned to cells of the codebook trained
+    on the BASE corpus; the pairwise stage runs ONLY inside cells the
+    batch touches (the base side is pruned by a broadcast semi-join on
+    the touched-cell set BEFORE any pairwise work — with the base
+    index stored partitioned by cell, that prune is partition pruning
+    at the scan). Base verdicts never change; every NEW row gets
+    (vec_id, cell, status):
+
+      - ``dup_corpus`` — a base vector in the same cell passes
+        cos >= tau_num/tau_den (exact rational predicate);
+      - ``dup_batch``  — not dup_corpus, but a smaller-id NEW vector
+        in the same cell passes (min-id keeper rule, the
+        q_dedup_incremental convention);
+      - ``new``        — admit (and append to the index).
+
+    Per-ingest cost is O(batch * avg cell occupancy), independent of
+    total corpus size outside touched cells. Both inputs are
+    quantize() outputs; the predicate is lattice_semantic_dedup's
+    bit-exact integer test, so the whole composition keeps a strict
+    DuckDB hash oracle (queries/retrieval.py q_dedup_semantic_inc)."""
+    import numpy as np
+    import pandas as pd
+
+    code, cids = _collect_codebook(cents)
+    new_asg = _assign_cells(new, code, cids)
+    base_asg = _assign_cells(base, code, cids)
+    touched = new_asg.select("cell").distinct()
+    base_pruned = base_asg.join(F.broadcast(touched), "cell", "left_semi")
+    both = base_pruned.withColumn("is_new", F.lit(False)).unionByName(
+        new_asg.withColumn("is_new", F.lit(True))
+    )
+    num2 = int(tau_num) ** 2
+    den2 = int(tau_den) ** 2
+
+    def per_cell(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        order = np.argsort(pdf["vec_id"].to_numpy(dtype=np.int64))
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)[order]
+        is_new = pdf["is_new"].to_numpy(dtype=bool)[order]
+        x = np.array(pdf["qv"].tolist(), dtype=np.int64)[order]
+        dot, n2 = _gram_int(x)
+        sim = _rational_cos_mask(dot, n2, num2, den2)
+        new_idx = np.where(is_new)[0]
+        if not len(new_idx):
+            return pd.DataFrame(
+                {"vec_id": [], "cell": [], "status": []}
+            ).astype({"vec_id": "int64", "cell": "int32", "status": "str"})
+        base_any = sim[np.ix_(new_idx, np.where(~is_new)[0])].any(axis=1)
+        sim_nn = sim[np.ix_(new_idx, new_idx)]
+        batch_any = (sim_nn & np.tril(np.ones_like(sim_nn), k=-1)).any(axis=1)
+        return pd.DataFrame(
+            {
+                "vec_id": ids[new_idx],
+                "cell": pdf["cell"].iloc[0],
+                "status": np.where(
+                    base_any,
+                    "dup_corpus",
+                    np.where(batch_any, "dup_batch", "new"),
+                ),
+            }
+        )
+
+    return both.groupBy("cell").applyInPandas(
+        per_cell, "vec_id long, cell int, status string"
     )

@@ -42,8 +42,16 @@ def tokens_portable(col: Column) -> Column:
 
 
 def token_count_ws(col: Column) -> Column:
-    """Whitespace token count."""
-    return F.size(tokens(col))
+    """Whitespace token count, defined as ``len(string_split(text, ' '))``
+    — the literal single-space split (ADVICE r6: every exact-oracle
+    consumer of this count — q_text_tokens, q_tokens_fertility, the
+    quality_features family — pairs it with DuckDB's
+    ``len(string_split(text, ' '))``, so the former ``\\s+`` form
+    diverged on consecutive spaces or tab/newline whitespace and only
+    matched through a fixture-only single-space invariant). Counts
+    empty tokens like string_split does; use
+    :func:`nonempty_token_count` for the non-empty variant."""
+    return F.size(tokens_portable(col))
 
 
 def nonempty_token_count(col: Column) -> Column:

@@ -962,16 +962,20 @@ def _d2i(x: str, c: str) -> str:
     )
 
 
-def _lattice_prologue(k_sql: str, rounds: int) -> tuple[str, str]:
+def _lattice_prologue(
+    k_sql: str, rounds: int, src_where: str = ""
+) -> tuple[str, str]:
     """CTE chain: quantize -> md5-seeded cb0 -> ``rounds`` unrolled
     Lloyd rounds. Returns (ctes, final_codebook_name). Every stage is
     MATERIALIZED (DuckDB otherwise inlines the chain exponentially —
-    the pagerank-oracle lesson)."""
+    the pagerank-oracle lesson). ``src_where`` restricts the TRAINING
+    corpus (q_dedup_semantic_inc trains its frozen codebook on the
+    base shard only)."""
     parts = [
         f"""q AS MATERIALIZED (
   SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
                                 x -> CAST(ROUND(x * {_LATTICE_SCALE}) AS BIGINT)) AS qv
-  FROM embeddings
+  FROM embeddings{src_where}
 ),
 seed AS MATERIALIZED (
   SELECT vec_id, qv,

@@ -266,3 +266,115 @@ def q_dedup_semantic_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = max(16, math.isqrt(n))
     cents = lattice.lattice_kmeans(qv, k=k, iters=2)
     return lattice.lattice_semantic_dedup(qv, cents, tau_num=2, tau_den=5)
+
+
+def _semantic_inc_oracle(rounds: int = 2) -> str:
+    """Incremental SemDeDup replay: the lattice prologue trained on
+    the BASE shard only (vec_id % 3 <> 0 — the q_dedup_incremental
+    shard convention), the NEW batch (vec_id % 3 = 0) quantized and
+    assigned against that FROZEN codebook, then the exact rational
+    predicate (tau = 2/5: dot > 0 AND 25*dot^2 >= 4*|a|^2*|b|^2)
+    classifies each new vector: dup_corpus beats dup_batch beats new,
+    with the min-id keeper rule inside the batch."""
+    from fhir2sql_spark.queries.llm import (
+        _LATTICE_SCALE,
+        _d2i,
+        _lattice_prologue,
+    )
+
+    pro, cb = _lattice_prologue(
+        "(SELECT GREATEST(16, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT)) FROM q)",
+        rounds,
+        src_where=" WHERE vec_id % 3 <> 0",
+    )
+    pred = (
+        "na.n2 > 0 AND nb.n2 > 0"
+        " AND CAST(list_dot_product(a.qv, b.qv) AS BIGINT) > 0"
+        " AND 25 * CAST(list_dot_product(a.qv, b.qv) AS BIGINT)"
+        "        * CAST(list_dot_product(a.qv, b.qv) AS BIGINT)"
+        "     >= 4 * na.n2 * nb.n2"
+    )
+    return f"""WITH {pro},
+qn AS MATERIALIZED (
+  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+                                x -> CAST(ROUND(x * {_LATTICE_SCALE}) AS BIGINT)) AS qv
+  FROM embeddings WHERE vec_id % 3 = 0
+),
+asg_new AS MATERIALIZED (
+  SELECT vec_id, cent_id, qv FROM (
+    SELECT t.vec_id, c.cent_id, t.qv,
+           ROW_NUMBER() OVER (PARTITION BY t.vec_id
+                              ORDER BY {_d2i('t.qv', 'c.cv')}, c.cent_id) AS rn
+    FROM qn t CROSS JOIN {cb} c) z
+  WHERE rn = 1
+),
+asg_base AS MATERIALIZED (
+  SELECT vec_id, cent_id, qv FROM (
+    SELECT t.vec_id, c.cent_id, t.qv,
+           ROW_NUMBER() OVER (PARTITION BY t.vec_id
+                              ORDER BY {_d2i('t.qv', 'c.cv')}, c.cent_id) AS rn
+    FROM q t CROSS JOIN {cb} c) z
+  WHERE rn = 1
+),
+nn AS MATERIALIZED (
+  SELECT vec_id, CAST(list_dot_product(qv, qv) AS BIGINT) AS n2 FROM qn
+),
+nb AS MATERIALIZED (
+  SELECT vec_id, CAST(list_dot_product(qv, qv) AS BIGINT) AS n2 FROM q
+),
+dupc AS (
+  SELECT DISTINCT b.vec_id
+  FROM asg_new b JOIN asg_base a ON a.cent_id = b.cent_id
+  JOIN nn ON nn.vec_id = b.vec_id
+  JOIN nb na ON na.vec_id = a.vec_id
+  WHERE {pred.replace('nb.n2', 'nn.n2')}
+),
+dupb AS (
+  SELECT DISTINCT b.vec_id
+  FROM asg_new b JOIN asg_new a
+    ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+  JOIN nn na ON na.vec_id = a.vec_id
+  JOIN nn nbb ON nbb.vec_id = b.vec_id
+  WHERE {pred.replace('nb.n2', 'nbb.n2')}
+)
+SELECT n.vec_id, CAST(n.cent_id AS INTEGER) AS cell,
+       CASE WHEN dc.vec_id IS NOT NULL THEN 'dup_corpus'
+            WHEN db.vec_id IS NOT NULL THEN 'dup_batch'
+            ELSE 'new' END AS status
+FROM asg_new n
+LEFT JOIN dupc dc ON dc.vec_id = n.vec_id
+LEFT JOIN dupb db ON db.vec_id = n.vec_id"""
+
+
+@query("q_dedup_semantic_inc", oracle=_semantic_inc_oracle())
+def q_dedup_semantic_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SemDeDup against a FROZEN codebook — the missing
+    LLM-pipeline composition (VERDICT r6 #7) and the 100 TB operating
+    mode: train once on the base corpus (2 lattice Lloyd rounds,
+    k ~ sqrt(N_base)), then per ingest assign only the NEW batch
+    (vec_id % 3 = 0, the q_dedup_incremental shard convention),
+    prune the base index to the cells the batch touches (broadcast
+    semi-join; partition pruning when the index is stored by cell),
+    and run the exact rational-cosine verdict only there. Each new
+    vector is classified dup_corpus / dup_batch / new with the min-id
+    keeper rule — base verdicts never change, per-ingest cost is
+    O(batch * cell occupancy), independent of corpus size.
+
+    Exact hash oracle: assignment and verdict are pure int64 lattice
+    arithmetic (operators/lattice.py), so the whole train -> freeze ->
+    assign -> classify pipeline replays bit-exactly in DuckDB —
+    a composition of q_dedup_semantic_trained's trainer and
+    q_dedup_incremental's classification contract, no new machinery."""
+    import math
+
+    from fhir2sql_spark.operators import lattice
+
+    emb = load(spark, sf_dir, "embeddings")
+    qv = lattice.quantize(emb)
+    base = qv.where(F.col("vid") % 3 != 0)
+    new = qv.where(F.col("vid") % 3 == 0)
+    k = max(16, math.isqrt(base.count()))
+    cents = lattice.lattice_kmeans(base, k=k, iters=2)
+    return lattice.lattice_semantic_dedup_incremental(
+        base, new, cents, tau_num=2, tau_den=5
+    )

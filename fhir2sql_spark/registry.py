@@ -53,52 +53,43 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 # q_graph_pagerank is the one rows-only slot (no SQL oracle — its
 # correctness evidence is the numpy parity test; a driver rows-only
 # row is still a stronger external signal than none).
-# Round-6 window. CORRECTNESS_r05 closed the union at 189/189 of the
-# then-registered queries. Priority order:
-#   1. Never-driver-checked (14): the round-6 additions — the
-#      selection family (DSIR importance weights, winnowing
-#      fingerprints, RRF hybrid fusion, temperature mixture weights),
-#      grouping sets, the 3-round BPE trainer, winnow candidate
-#      pairs, the degree distribution, the langid confusion
-#      matrix, the directed containment join, and matryoshka
-#      truncated-dim retrieval.
-#   2. Changed-since-the-r5-gate re-confirms (12): the trained-
-#      codebook triple + q_agg_approx_percentile (exact oracles
-#      landed AFTER the r5 driver run, post-060edec commits), the
-#      tokenization-portability consumers (q_search_phrase,
-#      q_quality_classifier), q_bm25 (doclen rule), q_skyline /
-#      q_shard_balance / q_pack_sequences (WARN-free prefix
-#      aggregation rewrite), q_graph_kcore (unroll-depth guard), and
-#      q_dedup_setsim (round-6 linear-window rewrite).
-#   3. Oldest re-confirms (24): queries whose LAST
-#      driver check was round 2 — the scan/sync/join/agg/dedup core
-#      has only judge-side strict checks since then.
+# Round-7 window (VERDICT r6 #5: rotate to the stalest driver-green
+# queries — the r2/r3 families were last driver-confirmed on
+# 4-5-round-old code). Priority order:
+#   1. Never-driver-checked (1): q_dedup_semantic_inc, the round-7
+#      frozen-codebook incremental SemDeDup composition (VERDICT #7).
+#   2. Changed-since-the-r6-gate re-confirms (10): the token_count_ws
+#      literal-space redefinition (ADVICE r6) touches q_text_tokens,
+#      q_text_quality, q_tokens_fertility, q_quality_classifier,
+#      q_dedup_cluster_select, q_split_eval; the dim-aware lattice
+#      guard + overflow-checked rational-cosine predicate (ADVICE r6)
+#      touch the trained triple; the winnow-pairs prefix rewrite
+#      (VERDICT #6) touches q_dedup_winnow_pairs.
+#   3. Oldest re-confirms (39): all 21 queries whose LAST driver
+#      check was round 2 (scan/sync/stream/UDF/TPC-H core), then the
+#      18 alphabetically-first of the 47 last checked in round 3.
 SHOWCASE = (
-    # 1. never driver-checked (round-6 additions)
-    "q_sample_dsir", "q_text_winnowing", "q_rerank_rrf",
-    "q_sample_temperature", "q_agg_grouping_sets", "q_bpe_merges",
-    "q_dedup_winnow_pairs", "q_graph_degree_dist",
-    "q_text_langid_confusion", "q_dedup_containment",
-    "q_embed_matryoshka", "q_tokens_fertility",
-    "q_dedup_cluster_select", "q_split_eval",
-    # 2. changed since the r5 driver gate
-    "q_embed_ivf_trained", "q_embed_pq_trained",
-    "q_dedup_semantic_trained", "q_agg_approx_percentile",
-    "q_search_phrase", "q_quality_classifier", "q_bm25",
-    "q_skyline", "q_shard_balance", "q_pack_sequences",
-    "q_graph_kcore", "q_dedup_setsim",
-    # 3. last driver-checked in round 2
-    "q_agg_approx", "q_agg_basic", "q_agg_distinct",
-    "q_agg_percentile", "q_agg_rollup", "q_cdc_scd2",
-    "q_count_reconcile", "q_date_funcs", "q_decontaminate",
-    "q_dedup_components", "q_dedup_embed", "q_dedup_exact",
-    "q_dedup_near", "q_embed_topk", "q_hof_funcs", "q_join_anti",
-    "q_join_asof", "q_join_broadcast", "q_join_range", "q_join_semi",
-    "q_limit_topk", "q_multimodal_frames", "q_multimodal_meta",
-    "q_pivot",
-    # (q_scan_count / q_scan_project / q_session / q_str_funcs /
-    # q_stream_dedup yield their r6 slots to the five late round-6
-    # additions above; they rotate next round)
+    # 1. never driver-checked (round-7 addition)
+    "q_dedup_semantic_inc",
+    # 2. changed since the r6 driver gate
+    "q_text_tokens", "q_text_quality", "q_tokens_fertility",
+    "q_quality_classifier", "q_dedup_cluster_select", "q_split_eval",
+    "q_dedup_semantic_trained", "q_embed_ivf_trained",
+    "q_embed_pq_trained", "q_dedup_winnow_pairs",
+    # 3a. last driver-checked in round 2
+    "q_scan_count", "q_scan_project", "q_session", "q_str_funcs",
+    "q_stream_dedup", "q_stream_join", "q_subquery_correlated",
+    "q_sync_deletes", "q_sync_diff_full", "q_sync_inserts",
+    "q_sync_updates", "q_text_langid", "q_text_tfidf",
+    "q_topk_pergroup", "q_tpch_q3", "q_tumble", "q_udaf_pandas",
+    "q_udf_scalar", "q_udtf_python", "q_union_all", "q_window_rank",
+    # 3b. last driver-checked in round 3 (alphabetical prefix)
+    "q_agg_cube", "q_agg_decay", "q_agg_having", "q_agg_histogram",
+    "q_agg_hll_merge", "q_agg_kmv_jaccard", "q_agg_sets",
+    "q_agg_time_weighted", "q_anomaly_zscore", "q_array_funcs",
+    "q_basket_pairs", "q_case_coalesce", "q_curriculum_order",
+    "q_dedup_embed_bucketed", "q_downsample_m4",
+    "q_event_transitions", "q_except", "q_intersect",
 )
 
 # Green in CORRECTNESS_r02.json (round-2 driver gate) — kept here so

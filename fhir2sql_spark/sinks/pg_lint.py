@@ -189,11 +189,11 @@ class _P:
         while self.peek()[0] == "cast":
             self.i += 1
             t = self.next()
-            if t[0] not in ("ident", "kw") or (
-                t[1] not in TYPES and t[0] != "ident"
-            ):
-                if t[1] not in TYPES:
-                    raise PgSyntaxError(f"bad cast target {t[1]!r}")
+            # ADVICE r6: the old condition was False for EVERY ident
+            # token, so %s::blob (or any sqlite/DuckDB-ism) passed —
+            # a cast target must simply be a known PG type name
+            if t[0] not in ("ident", "kw") or t[1] not in TYPES:
+                raise PgSyntaxError(f"bad cast target {t[1]!r}")
 
     def expr(self) -> None:
         self.atom()

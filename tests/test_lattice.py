@@ -208,3 +208,101 @@ def test_lattice_domain_guard(spark):
     qv = lattice.quantize(df, scale=1000)
     with pytest.raises(Exception, match="exact-arithmetic domain"):
         lattice.lattice_kmeans(qv, k=1, iters=1)
+
+
+def test_lattice_domain_guard_is_dim_aware(spark):
+    """ADVICE r6: at dim=1024 a flat |q| bound of 3e6 admitted
+    dim*q^2 > 2^53. |q| = 2e6 passed the old guard; the dim-aware
+    guard must reject it (1024 * (2e6)^2 = 4.1e15 > 2^51)."""
+    df = spark.createDataFrame(
+        [(0, [2000.0] * 1024)], "vec_id long, embedding array<float>"
+    )
+    qv = lattice.quantize(df, scale=1000)
+    with pytest.raises(Exception, match="exact-arithmetic domain"):
+        lattice.lattice_kmeans(qv, k=1, iters=1)
+    # and the same magnitude at dim=1 is fine (1 * 4e12 < 2^51)
+    small = lattice.quantize(
+        spark.createDataFrame(
+            [(0, [2000.0]), (1, [-2000.0])],
+            "vec_id long, embedding array<float>",
+        ),
+        scale=1000,
+    )
+    assert lattice.lattice_kmeans(small, k=1, iters=1).count() == 1
+
+
+def test_lattice_semantic_dedup_exact_beyond_int64(spark):
+    """ADVICE r6: den2*dot^2 silently wrapped int64 in numpy for
+    magnitudes the BLAS guard accepts (dot up to 2^51). With
+    |q| = 3e7 at dim=2 (dim*q^2 = 1.8e15 < 2^51, so the BLAS path
+    is legal) den2*dot^2 ~ 8e31 >> 2^63: the predicate must switch
+    to exact Python-int arithmetic and still classify correctly."""
+    q = 30_000_000
+    qv = spark.createDataFrame(
+        [
+            (0, [q, 0]),  # anchor
+            (1, [q, 1]),  # cos ~ 1 vs id 0 -> dup
+            (2, [0, -q]),  # orthogonal/negative vs both -> not dup
+        ],
+        "vid long, qv array<long>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [0, 0])], "cent_id int, cv array<long>"
+    )
+    out = {
+        r["vec_id"]: r["is_dup"]
+        for r in lattice.lattice_semantic_dedup(
+            qv, cents, tau_num=2, tau_den=5
+        ).collect()
+    }
+    # exact expectation computed in unbounded Python ints
+    def cos_ge(a, b, num, den):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a)
+        nb = sum(x * x for x in b)
+        return dot > 0 and den * den * dot * dot >= num * num * na * nb
+
+    assert out == {
+        0: False,
+        1: cos_ge([q, 0], [q, 1], 2, 5),
+        2: cos_ge([q, 0], [0, -q], 2, 5) or cos_ge([q, 1], [0, -q], 2, 5),
+    }
+    assert out[1] is True and out[2] is False
+
+
+def test_lattice_semantic_dedup_incremental_statuses(spark):
+    """Frozen-codebook incremental SemDeDup classifies all three
+    statuses, never re-scores the base, and matches the min-id keeper
+    rule inside the batch."""
+    # two well-separated directions; codebook trained on base only
+    base = spark.createDataFrame(
+        [(1, [1000, 0]), (2, [0, 1000])], "vid long, qv array<long>"
+    )
+    new = spark.createDataFrame(
+        [
+            (3, [990, 10]),   # cos vs base id1 ~ 1      -> dup_corpus
+            (6, [-5, 980]),   # cos vs base id2 ~ 1      -> dup_corpus
+            (9, [707, 707]),  # diagonal: cos = .707 vs both -> dup_corpus
+            (12, [-1000, 1]), # opposite to everything    -> new
+            (15, [-999, 2]),  # ~ id12 (cos ~1), id12 < 15 -> dup_batch
+        ],
+        "vid long, qv array<long>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [1000, 0]), (1, [0, 1000])], "cent_id int, cv array<long>"
+    )
+    out = {
+        r["vec_id"]: r["status"]
+        for r in lattice.lattice_semantic_dedup_incremental(
+            base, new, cents, tau_num=2, tau_den=5
+        ).collect()
+    }
+    assert out == {
+        3: "dup_corpus",
+        6: "dup_corpus",
+        9: "dup_corpus",
+        12: "new",
+        15: "dup_batch",
+    }
+    # base rows are never emitted
+    assert set(out) == {3, 6, 9, 12, 15}

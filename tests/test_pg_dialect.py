@@ -78,6 +78,12 @@ def test_generic_stage_merge_is_pg_compatible():
         ("INSERT INTO t (id, resource) SELECT 1", None),  # ok: no raise
         ("CREATE TABLE t (id BLOB)", "unknown column type"),
         ("UPDATE t SET resource %s", "expected '='"),
+        # ADVICE r6: cast targets must be PG types (the old check was
+        # vacuously true for identifier tokens, letting these through)
+        ("UPDATE t SET resource = %s::blob WHERE id = %s", "bad cast"),
+        ("INSERT INTO t (id, resource) VALUES (%s, %s::varchar2)",
+         "bad cast"),
+        ("UPDATE t SET resource = %s::jsonb WHERE id = %s", None),  # ok
     ],
 )
 def test_lint_catches_rot(bad, msg):
