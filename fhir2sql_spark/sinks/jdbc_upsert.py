@@ -74,15 +74,33 @@ def connect_with_retry(
 
 
 def create_mirror_tables(
-    connect_fn: Callable[[], object], tables: Sequence[str]
+    connect_fn: Callable[[], object],
+    tables: Sequence[str],
+    dialect: str = "ansi",
 ) -> None:
     """Idempotent DDL bootstrap (CREATE TABLE IF NOT EXISTS x N),
-    mirroring src/db_utils.rs:84-111."""
+    mirroring src/db_utils.rs:84-111. ``dialect="pg"`` additionally
+    installs the ``update_last_updated()`` plpgsql trigger pair on
+    each table (src/db_utils.rs:112-134) — idempotent via
+    CREATE OR REPLACE FUNCTION + drop-then-create trigger."""
     conn = connect_fn()
     try:
         cur = conn.cursor()
-        for t in tables:
-            cur.execute(MIRROR_DDL.format(table=t))
+        if dialect == "pg":
+            from fhir2sql_spark.sinks.pg_dialect import pg_statements
+
+            for t in tables:
+                st = pg_statements(t)
+                cur.execute(st["ddl"])
+                cur.execute(st["touch_fn"])
+                cur.execute(
+                    f"DROP TRIGGER IF EXISTS update_last_updated_trigger"
+                    f" ON {t}"  # noqa: S608
+                )
+                cur.execute(st["touch_trigger"])
+        else:
+            for t in tables:
+                cur.execute(MIRROR_DDL.format(table=t))
         conn.commit()
     finally:
         conn.close()
@@ -208,7 +226,10 @@ WHERE id IN (SELECT s.pk_id FROM {stage} s WHERE s.op = 'delete')
 
 
 def merge_stage_into_target(
-    connect_fn: Callable[[], object], table: str, stage: str
+    connect_fn: Callable[[], object],
+    table: str,
+    stage: str,
+    dialect: str = "ansi",
 ) -> None:
     """One set-based transaction applying a staged change-set. The
     stage table holds (pk_id, op, resource) loaded in parallel by
@@ -218,7 +239,29 @@ def merge_stage_into_target(
     autocommit-by-default engines (DuckDB's DBAPI); python sqlite3
     auto-begins on DML, and drivers that reject a redundant BEGIN
     simply keep their own transaction semantics (verified atomic for
-    both local engines in tests/test_merge_duckdb.py)."""
+    both local engines in tests/test_merge_duckdb.py).
+
+    ``dialect="pg"`` swaps in the PostgreSQL stage statements (the
+    ``::jsonb`` casts a JSONB target column requires — PG has no
+    implicit text->jsonb assignment cast)."""
+    if dialect == "pg":
+        from fhir2sql_spark.sinks.pg_dialect import (
+            PG_DELETE_FROM_STAGE_SQL,
+            PG_INSERT_FROM_STAGE_SQL,
+            PG_MERGE_FROM_STAGE_SQL,
+        )
+
+        merge_sql, ins_sql, del_sql = (
+            PG_MERGE_FROM_STAGE_SQL,
+            PG_INSERT_FROM_STAGE_SQL,
+            PG_DELETE_FROM_STAGE_SQL,
+        )
+    else:
+        merge_sql, ins_sql, del_sql = (
+            MERGE_FROM_STAGE_SQL,
+            INSERT_FROM_STAGE_SQL,
+            DELETE_FROM_STAGE_SQL,
+        )
     conn = connect_fn()
     try:
         cur = conn.cursor()
@@ -226,9 +269,9 @@ def merge_stage_into_target(
             cur.execute("BEGIN")
         except Exception:
             pass
-        cur.execute(MERGE_FROM_STAGE_SQL.format(table=table, stage=stage))
-        cur.execute(INSERT_FROM_STAGE_SQL.format(table=table, stage=stage))
-        cur.execute(DELETE_FROM_STAGE_SQL.format(table=table, stage=stage))
+        cur.execute(merge_sql.format(table=table, stage=stage))
+        cur.execute(ins_sql.format(table=table, stage=stage))
+        cur.execute(del_sql.format(table=table, stage=stage))
         conn.commit()
     except Exception:
         try:

@@ -87,6 +87,8 @@ def read_mirror_versions(
         rows = cur.fetchall()
     finally:
         conn.close()
+    # normalize across drivers (the psql adapter fetches text)
+    rows = [(int(r[0]), str(r[1])) for r in rows or []]
     df = spark.createDataFrame(rows or [], "pk_id int, resource string")
     return extract_mirror_versions(df)
 
@@ -100,8 +102,14 @@ def sync_resources(
     strategy: str = "batched",
     apply_deletes: bool = True,
     mirror_df: DataFrame | None = None,
+    dialect: str = "ansi",
 ) -> SyncStats:
     """One full sync of raw source resources into the mirror table.
+
+    ``dialect="pg"`` routes every emitted statement through the
+    PostgreSQL dialect (%s paramstyle, ::jsonb casts — see
+    sinks/pg_dialect.py); wire-verified against a real server in
+    tests/test_pg_roundtrip.py.
 
     ``mirror_df`` is the PRODUCTION mirror-read seam: a distributed
     (pk_id|id, resource) DataFrame — typically
@@ -215,13 +223,16 @@ def sync_resources(
             conn.commit()
         finally:
             conn.close()
+        ph = "%s, %s, %s" if dialect == "pg" else "?, ?, ?"
         jdbc_upsert.foreach_partition_write(
             staged,
-            f"INSERT INTO {stage} (pk_id, op, resource) VALUES (?, ?, ?)",  # noqa: S608
+            f"INSERT INTO {stage} (pk_id, op, resource) VALUES ({ph})",  # noqa: S608
             connect_fn,
             batch_size,
         )
-        jdbc_upsert.merge_stage_into_target(connect_fn, table, stage)
+        jdbc_upsert.merge_stage_into_target(
+            connect_fn, table, stage, dialect=dialect
+        )
         conn = connect_fn()
         try:
             conn.cursor().execute(f"DROP TABLE IF EXISTS {stage}")  # noqa: S608
@@ -230,14 +241,15 @@ def sync_resources(
             conn.close()
     else:
         jdbc_upsert.apply_changeset(
-            inserts, updates, deletes, table, connect_fn, batch_size
+            inserts, updates, deletes, table, connect_fn, batch_size,
+            dialect=dialect,
         )
 
     conn = connect_fn()
     try:
         cur = conn.cursor()
         cur.execute(f"SELECT COUNT(*) FROM {table}")  # noqa: S608
-        mirror_after = cur.fetchone()[0]
+        mirror_after = int(cur.fetchone()[0])
     finally:
         conn.close()
     src_count = well_formed.count()
@@ -261,6 +273,7 @@ def run_sync(
     batch_size: int = 10_000,
     mirror_by_type: dict[str, DataFrame] | None = None,
     parallel: bool = False,
+    dialect: str = "ansi",
 ) -> dict[str, SyncStats]:
     """Per-type orchestration (R10, src/main.rs:303-339): bootstrap
     DDL idempotently, then sync each resource type. The reference is
@@ -277,13 +290,15 @@ def run_sync(
     tables = {
         rt: f"{table_prefix}{rt.lower()}" for rt in sources_by_type
     }  # lowercase table naming, src/main.rs:185
-    jdbc_upsert.create_mirror_tables(connect_fn, list(tables.values()))
+    jdbc_upsert.create_mirror_tables(
+        connect_fn, list(tables.values()), dialect=dialect
+    )
     mirrors = mirror_by_type or {}
     if not parallel:
         return {
             rt: sync_resources(
                 spark, df, connect_fn, tables[rt], batch_size,
-                mirror_df=mirrors.get(rt),
+                mirror_df=mirrors.get(rt), dialect=dialect,
             )
             for rt, df in sources_by_type.items()
         }
@@ -293,7 +308,7 @@ def run_sync(
         futures = {
             rt: pool.submit(
                 sync_resources, spark, df, connect_fn, tables[rt],
-                batch_size, mirror_df=mirrors.get(rt),
+                batch_size, mirror_df=mirrors.get(rt), dialect=dialect,
             )
             for rt, df in sources_by_type.items()
         }

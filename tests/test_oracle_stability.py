@@ -1,0 +1,38 @@
+"""Oracle-determinism gate (VERDICT r6 #2: wire
+tools/oracle_stability.py into the suite).
+
+Every registered DuckDB oracle runs 3 times on fresh connections at
+sf0.01 — the exact setup the driver's correctness gate uses — and
+must produce one identical value hash. This is the regression net for
+the thread-order float-flake class: q_embed_ivfpq's oracle once
+produced 2 distinct hashes in 10 runs because DuckDB parallelizes
+SUM(double) and the accumulation order flipped a 4-dp rounding —
+invisible to any single-run gate, surfacing as a spurious CORRECTNESS
+failure one round in ten. Fix pattern when this fails: an ordered
+fold (``list_sum(list(x ORDER BY k))``) or integer arithmetic.
+
+Full-sweep cost is ~1 minute for the whole registry (measured r7), so
+it runs unconditionally.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from fhir2sql_spark import registry
+from tools.oracle_stability import oracle_hashes
+
+registry.load_all()
+
+_SF_DIR = "/root/testdata/sf0.01"
+_RUNS = 3
+
+
+@pytest.mark.parametrize("name", sorted(registry.ORACLE))
+def test_oracle_hash_is_stable(name):
+    hashes = oracle_hashes(registry.ORACLE[name], _SF_DIR, _RUNS)
+    assert len(hashes) == 1, (
+        f"{name}: oracle produced {len(hashes)} distinct value hashes "
+        f"over {_RUNS} fresh-connection runs — thread-order-sensitive "
+        "float aggregation; use an ordered fold or integer arithmetic"
+    )

@@ -1,0 +1,338 @@
+"""REAL PostgreSQL round-trip for the sink + sync pipeline (VERDICT r6
+top task): initdb a throwaway cluster with the in-container server
+binaries, replay the reference contract end to end — mirror DDL + the
+``update_last_updated`` trigger (/root/reference/src/db_utils.rs:
+84-144), parameterized insert/update/delete batches with ``::jsonb``
+payloads (src/main.rs:80-138), ON CONFLICT replay, the staged
+set-based merge — and assert mirror convergence. Includes the
+adversarial resource body CONTAINING ``$$`` (plus quotes and
+backslashes): the injection the reference's dollar-quoted
+interpolation (src/main.rs:82,104) cannot survive must be plain data
+here.
+
+Env-gated: skips unless initdb/pg_ctl/postgres/psql are present (and,
+when running as root — PostgreSQL refuses root — unless setpriv can
+drop to nobody). No JDBC jar or psycopg2 exists in the container, so
+the DBAPI seam is sinks/psql_dbapi.py, a psql-subprocess adapter with
+client-side parameter mogrification."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import tempfile
+import time
+from functools import partial
+from types import SimpleNamespace
+
+import pytest
+
+from fhir2sql_spark.sinks import jdbc_upsert, psql_dbapi
+from fhir2sql_spark.sinks.pg_dialect import pg_statements
+from fhir2sql_spark.sinks.psql_dbapi import PsqlError, bind
+
+_BINS = {b: shutil.which(b) for b in ("initdb", "pg_ctl", "postgres", "psql")}
+_ROOT = hasattr(os, "geteuid") and os.geteuid() == 0
+_CAN_DROP = bool(shutil.which("setpriv"))
+
+pytestmark = pytest.mark.skipif(
+    not all(_BINS.values()) or (_ROOT and not _CAN_DROP),
+    reason="PostgreSQL server binaries (or setpriv for a non-root "
+    "server user) not available",
+)
+
+# The reference's dollar-quoting injection (src/main.rs:82,104): a
+# resource body that would terminate its $$-quoted literal, plus the
+# single-quote/backslash classics. Valid JSON once dumped.
+_ADVERSARIAL_NOTE = "x$$, ('1',$$y'); DROP TABLE patient; --\\ O'Brien"
+
+
+def _resource(rid: str, version: int, note: str = "") -> str:
+    return json.dumps(
+        {
+            "resourceType": "Patient",
+            "id": rid,
+            "meta": {"versionId": str(version)},
+            "note": note,
+        }
+    )
+
+
+def _run_as_pg_user(args: list[str], env: dict) -> None:
+    if _ROOT:
+        args = [
+            "setpriv", "--reuid=nobody", "--regid=nogroup",
+            "--clear-groups", "--", *args,
+        ]
+    subprocess.run(args, check=True, env=env, capture_output=True, text=True)
+
+
+@pytest.fixture(scope="module")
+def pg():
+    """A throwaway PostgreSQL cluster on a unix socket in /tmp
+    (module-scoped; ~1 s startup with --no-sync + fsync=off)."""
+    d = tempfile.mkdtemp(prefix="pg_roundtrip_")
+    data, sock = os.path.join(d, "data"), os.path.join(d, "sock")
+    os.makedirs(data)
+    os.makedirs(sock)
+    env = {**os.environ, "HOME": d, "LC_ALL": "C"}
+    if _ROOT:
+        subprocess.run(
+            ["chown", "-R", "nobody:nogroup", d], check=True
+        )
+        os.chmod(d, 0o755)
+    try:
+        _run_as_pg_user(
+            [_BINS["initdb"], "-D", data, "-U", "fhir", "--auth=trust",
+             "--no-sync"],
+            env,
+        )
+        _run_as_pg_user(
+            [_BINS["pg_ctl"], "-D", data, "-w", "-l",
+             os.path.join(d, "log"),
+             "-o",
+             f"-c listen_addresses='' -k {sock} -c fsync=off"
+             " -c synchronous_commit=off",
+             "start"],
+            env,
+        )
+    except subprocess.CalledProcessError as e:  # pragma: no cover
+        shutil.rmtree(d, ignore_errors=True)
+        pytest.skip(f"could not start PostgreSQL: {e.stderr or e}")
+    connect_fn = partial(
+        psql_dbapi.connect, host=sock, user="fhir", dbname="postgres"
+    )
+    yield SimpleNamespace(connect_fn=connect_fn, sock=sock)
+    try:
+        _run_as_pg_user(
+            [_BINS["pg_ctl"], "-D", data, "stop", "-m", "immediate"], env
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _one(pg, sql: str) -> str:
+    conn = pg.connect_fn()
+    try:
+        row = conn.cursor().execute(sql).fetchone()
+        return row[0] if row else None
+    finally:
+        conn.close()
+
+
+def _col(pg, sql: str) -> list[str]:
+    conn = pg.connect_fn()
+    try:
+        return [r[0] for r in conn.cursor().execute(sql).fetchall()]
+    finally:
+        conn.close()
+
+
+# --- adapter-level contracts (no server round-trip needed) -----------
+
+def test_bind_quoting_and_count_mismatch():
+    assert bind("VALUES (%s, %s)", (1, "a'b")) == "VALUES (1, 'a''b')"
+    assert bind("SELECT '100%%' ", ()) == "SELECT '100%' "
+    assert bind("VALUES (%s)", (None,)) == "VALUES (NULL)"
+    assert bind("VALUES (%s)", (_ADVERSARIAL_NOTE,)).count("'") == (
+        2 + 2 * _ADVERSARIAL_NOTE.count("'")
+    )
+    with pytest.raises(PsqlError, match="placeholders"):
+        bind("VALUES (%s, %s)", (1,))
+    with pytest.raises(PsqlError, match="parameters"):
+        bind("VALUES (%s)", (1, 2))
+    with pytest.raises(PsqlError, match="NUL"):
+        bind("VALUES (%s)", ("a\x00b",))
+
+
+# --- server round-trips ----------------------------------------------
+
+def test_server_answers_and_errors_surface(pg):
+    assert _one(pg, "SELECT 1 + 1") == "2"
+    conn = pg.connect_fn()
+    try:
+        with pytest.raises(PsqlError, match="does_not_exist"):
+            conn.cursor().execute("SELECT * FROM does_not_exist_xyz")
+    finally:
+        conn.close()
+
+
+def test_ddl_bootstrap_idempotent_and_trigger_installed(pg):
+    tables = ["patient", "specimen", "condition", "observation"]
+    jdbc_upsert.create_mirror_tables(pg.connect_fn, tables, dialect="pg")
+    jdbc_upsert.create_mirror_tables(pg.connect_fn, tables, dialect="pg")
+    for t in tables:
+        assert jdbc_upsert.table_exists(pg.connect_fn, t)
+        assert (
+            _one(
+                pg,
+                f"SELECT count(*) FROM pg_trigger WHERE NOT tgisinternal"
+                f" AND tgrelid = '{t}'::regclass",
+            )
+            == "1"
+        )
+    # the resource column really is jsonb (not text) on the wire
+    assert (
+        _one(
+            pg,
+            "SELECT data_type FROM information_schema.columns"
+            " WHERE table_name = 'patient' AND column_name = 'resource'",
+        )
+        == "jsonb"
+    )
+    assert not jdbc_upsert.table_exists(pg.connect_fn, "no_such_table")
+
+
+def test_insert_update_delete_batches_with_adversarial_payloads(pg):
+    st = pg_statements("patient")
+    conn = pg.connect_fn()
+    try:
+        cur = conn.cursor()
+        cur.execute("DELETE FROM patient")
+        cur.executemany(
+            st["insert"],
+            [
+                (1, _resource("p1", 1)),
+                (2, _resource("p2", 1, note=_ADVERSARIAL_NOTE)),
+                (3, _resource("p3", 1)),
+            ],
+        )
+        conn.commit()
+    finally:
+        conn.close()
+    # the $$-laden body is data, not SQL: table intact, value verbatim
+    assert jdbc_upsert.table_exists(pg.connect_fn, "patient")
+    assert _one(pg, "SELECT count(*) FROM patient") == "3"
+    assert (
+        _one(pg, "SELECT resource->>'note' FROM patient WHERE id = 2")
+        == _ADVERSARIAL_NOTE
+    )
+
+    time.sleep(0.02)  # separate CURRENT_TIMESTAMP transactions
+    conn = pg.connect_fn()
+    try:
+        cur = conn.cursor()
+        cur.executemany(
+            st["update"], [(_resource("p1", 2, note="it's $$ fine"), 1)]
+        )
+        cur.executemany(st["delete"], [(3,)])
+        conn.commit()
+    finally:
+        conn.close()
+    assert _col(pg, "SELECT id FROM patient ORDER BY id") == ["1", "2"]
+    assert (
+        _one(pg, "SELECT resource->'meta'->>'versionId' FROM patient"
+                 " WHERE id = 1")
+        == "2"
+    )
+    # trigger (BEFORE UPDATE) touched last_updated_at past created_at
+    assert (
+        _one(pg, "SELECT last_updated_at > created_at FROM patient"
+                 " WHERE id = 1")
+        == "t"
+    )
+    # a raw UPDATE that does NOT set last_updated_at still gets touched
+    before = _one(pg, "SELECT last_updated_at FROM patient WHERE id = 2")
+    time.sleep(0.02)
+    conn = pg.connect_fn()
+    try:
+        conn.cursor().execute(
+            "UPDATE patient SET resource = %s::jsonb WHERE id = %s",
+            (_resource("p2", 3), 2),
+        )
+        conn.commit()
+    finally:
+        conn.close()
+    after = _one(pg, "SELECT last_updated_at FROM patient WHERE id = 2")
+    assert after > before
+
+
+def test_upsert_on_conflict_is_replay_idempotent(pg):
+    st = pg_statements("specimen")
+    for version in (1, 2):
+        conn = pg.connect_fn()
+        try:
+            conn.cursor().executemany(
+                st["upsert"], [(7, _resource("s7", version))]
+            )
+            conn.commit()
+        finally:
+            conn.close()
+    assert _one(pg, "SELECT count(*) FROM specimen WHERE id = 7") == "1"
+    assert (
+        _one(pg, "SELECT resource->'meta'->>'versionId' FROM specimen"
+                 " WHERE id = 7")
+        == "2"
+    )
+
+
+def test_failed_batch_rolls_back(pg):
+    conn = pg.connect_fn()
+    n0 = _one(pg, "SELECT count(*) FROM condition")
+    try:
+        cur = conn.cursor()
+        with pytest.raises(PsqlError, match="duplicate key"):
+            cur.executemany(
+                pg_statements("condition")["insert"],
+                [(1, _resource("c1", 1)), (1, _resource("c1", 1))],
+            )
+    finally:
+        conn.close()
+    assert _one(pg, "SELECT count(*) FROM condition") == n0
+
+
+def _sync(spark, pg, resources, table, **kw):
+    from fhir2sql_spark.sync import pipeline
+
+    df = spark.createDataFrame(
+        [(r,) for r in resources], "resource string"
+    )
+    return pipeline.sync_resources(
+        spark, df, pg.connect_fn, table, dialect="pg", **kw
+    )
+
+
+@pytest.mark.parametrize("strategy", ["batched", "merge"])
+def test_sync_pipeline_converges_on_real_pg(pg, spark, strategy):
+    """The reference's full contract (src/main.rs:159-175: diff by
+    (resource_id, versionId), batched apply, mirror converges to the
+    source) against a live server — both sink strategies."""
+    table = f"observation_{strategy}"
+    jdbc_upsert.create_mirror_tables(pg.connect_fn, [table], dialect="pg")
+    src1 = [
+        _resource("r1", 1),
+        _resource("r2", 1, note=_ADVERSARIAL_NOTE),
+        _resource("r3", 1),
+    ]
+    s1 = _sync(spark, pg, src1, table, strategy=strategy)
+    assert (s1.inserts, s1.updates, s1.deletes) == (3, 0, 0)
+    assert s1.counts_match
+
+    # second snapshot: r1 bumped, r3 gone, r4 new ($$ body again)
+    src2 = [
+        _resource("r1", 2),
+        _resource("r2", 1, note=_ADVERSARIAL_NOTE),
+        _resource("r4", 1, note="$$"),
+    ]
+    s2 = _sync(spark, pg, src2, table, strategy=strategy)
+    assert (s2.inserts, s2.updates, s2.deletes, s2.noops) == (1, 1, 1, 1)
+    assert s2.counts_match
+    assert sorted(
+        _col(pg, f"SELECT resource->>'id' FROM {table}")
+    ) == ["r1", "r2", "r4"]
+    assert (
+        _one(pg, f"SELECT resource->'meta'->>'versionId' FROM {table}"
+                 f" WHERE resource->>'id' = 'r1'")
+        == "2"
+    )
+    assert (
+        _one(pg, f"SELECT resource->>'note' FROM {table}"
+                 f" WHERE resource->>'id' = 'r2'")
+        == _ADVERSARIAL_NOTE
+    )
+    # replaying the same snapshot is a no-op (convergence fixpoint)
+    s3 = _sync(spark, pg, src2, table, strategy=strategy)
+    assert (s3.inserts, s3.updates, s3.deletes) == (0, 0, 0)
+    assert s3.noops == 3
