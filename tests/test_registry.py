@@ -91,3 +91,21 @@ def test_unpartitioned_window_parser():
     assert not unpartitioned_windows(pid_offset)  # O(partitions) rows: fine
     combined = "\n".join([part, unpart, pid_offset])
     assert len(unpartitioned_windows(combined)) == 1
+
+
+def test_doc_counts_match_registry():
+    """VERDICT r6 #8: README/SURVEY count claims must equal the
+    registry truth (tools/counts.py is the single source; regenerate
+    the doc lines from its output when this fails)."""
+    from pathlib import Path
+
+    from tools.counts import counts
+
+    c = counts()
+    n, e, r = c["queries"], c["exact_oracles"], c["rows_only"]
+    repo = Path(__file__).resolve().parent.parent
+    readme = (repo / "README.md").read_text()
+    survey = (repo / "SURVEY.md").read_text()
+    assert f"({e} hash-checked + {r} rows-only)" in readme
+    assert f"{n}/{n} strict-matched ({e} exact hashes" in survey
+    assert f"{e}/{e} oracles hash-identical" in survey

@@ -524,3 +524,22 @@ def test_split_eval_fractions_and_stability(spark, sf_dir):
     }
     for r in rows:
         assert again[r["doc_id"]] == r["split"]
+
+
+def test_winnow_pairs_two_exchange_plan(spark, sf_dir):
+    """Round-7 rewrite pin (VERDICT r6 #6, the 372a349 pattern): the
+    PAIR pipeline is exactly TWO exchanges — the fp-keyed collect_set
+    aggregate and the (doc_a, doc_b) shared count — on top of the one
+    doc_id exchange winnow_fp_sets' fingerprint window inherently
+    needs (3 total, 0 joins). A join node or a fourth exchange means
+    the self-join (or its checkpoint materialization) crept back —
+    that form stopped finishing at sf100 (>470 s vs 95 s, same-day
+    A/B r7)."""
+    from fhir2sql_spark.operators.text import winnow_pairs
+    from fhir2sql_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    out = winnow_pairs(docs, k=3, w=4, min_shared=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 3, plan
+    assert "Join" not in plan, plan
