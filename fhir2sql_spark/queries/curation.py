@@ -373,3 +373,88 @@ def q_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_suppkey") % 256).cast("long").alias("y"),
     )
     return m.withColumn("zkey", morton_key("x", "y", 8))
+
+
+_GOPHER_STOPS = ("and", "be", "have", "of", "that", "the", "to", "with")
+
+
+@query(
+    "q_quality_gopher",
+    oracle=f"""
+    WITH f AS (
+        SELECT doc_id,
+               len(list_filter(string_split(text, ' '), x -> x <> ''))
+                   AS n_words,
+               length(replace(text, ' ', '')) AS word_chars,
+               length(text) - length(replace(text, '#', ''))
+                 + len(regexp_extract_all(text, '\\.\\.\\.')) AS n_symbols,
+               len(list_filter(string_split(text, ' '),
+                   x -> regexp_matches(x, '[A-Za-z]'))) AS alpha_words,
+               len(list_filter(string_split(lower(text), ' '),
+                   x -> x IN {_GOPHER_STOPS})) AS stop_hits
+        FROM documents
+    )
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           round(CAST(word_chars AS DOUBLE) / greatest(n_words, 1), 6)
+               AS mean_word_len,
+           round(CAST(n_symbols AS DOUBLE) / greatest(n_words, 1), 6)
+               AS symbol_ratio,
+           round(CAST(alpha_words AS DOUBLE) / greatest(n_words, 1), 6)
+               AS alpha_frac,
+           CAST(stop_hits AS BIGINT) AS stop_hits,
+           (n_words BETWEEN 50 AND 100000
+            AND CAST(word_chars AS DOUBLE) / greatest(n_words, 1)
+                BETWEEN 3 AND 10
+            AND CAST(n_symbols AS DOUBLE) / greatest(n_words, 1) <= 0.1
+            AND CAST(alpha_words AS DOUBLE) / greatest(n_words, 1) >= 0.8
+            AND stop_hits >= 2) AS keep
+    FROM f
+    """,
+)
+def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, "Scaling
+    Language Models: ... Gopher", table A1 — the pre-dedup filter
+    every web-scale pipeline runs): word count in [50, 1e5], mean word
+    length in [3, 10], symbol-to-word ratio (# and ellipsis) <= 0.1,
+    >= 80% of words alphabetic, and >= 2 Gopher stopword hits. One
+    scan-side pass of compiled expressions — token counts and
+    stopword/alpha hits are zero-width regexp_counts over the padded
+    text (the marker_hits form: codegen, no per-token HOF lambda, no
+    explode), ratios are exact-integer IEEE divisions, so flags are
+    bit-deterministic and the whole filter rides the scan with
+    map-side-only work at 100 TB. Oracle replays each rule over the
+    literal-space token list."""
+    c = F.col("text")
+    n_words = text.nonempty_token_count(c)
+    word_chars = F.length(F.regexp_replace(c, " ", ""))
+    n_symbols = (
+        F.length(c) - F.length(F.regexp_replace(c, "#", ""))
+        + F.regexp_count(c, F.lit(r"\.\.\."))
+    )
+    alpha_words = F.regexp_count(
+        F.concat(F.lit(" "), c), F.lit("(?= [^ ]*[A-Za-z])")
+    )
+    stop_hits = F.regexp_count(
+        F.concat(F.lit(" "), F.lower(c), F.lit(" ")),
+        F.lit("(?= (" + "|".join(_GOPHER_STOPS) + ") )"),
+    )
+    denom = F.greatest(n_words, F.lit(1)).cast("double")
+    mean_wl = word_chars.cast("double") / denom
+    sym_r = n_symbols.cast("double") / denom
+    alpha_f = alpha_words.cast("double") / denom
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(sym_r, 6).alias("symbol_ratio"),
+        F.round(alpha_f, 6).alias("alpha_frac"),
+        stop_hits.cast("long").alias("stop_hits"),
+        (
+            n_words.between(50, 100000)
+            & mean_wl.between(3, 10)
+            & (sym_r <= 0.1)
+            & (alpha_f >= 0.8)
+            & (stop_hits >= 2)
+        ).alias("keep"),
+    )

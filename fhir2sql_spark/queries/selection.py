@@ -456,3 +456,101 @@ def q_text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("true_lang") == F.col("pred_lang")).alias("correct"),
         )
     )
+
+
+def _kcenter_oracle(m: int = 6) -> str:
+    """Unrolled greedy k-center replay: the lattice quantize CTE, the
+    md5-seeded first pick, then m-1 rounds of
+    argmax-of-min-distance-to-selected (exact int64 L2 via the
+    |x|^2 - 2<x,c> + |c|^2 expansion; ties -> lowest vec_id) with
+    already-selected ids excluded."""
+    from fhir2sql_spark.queries.llm import _LATTICE_SCALE, _d2i
+
+    parts = [
+        f"""q AS MATERIALIZED (
+  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+                                x -> CAST(ROUND(x * {_LATTICE_SCALE}) AS BIGINT)) AS qv
+  FROM embeddings
+),
+c0 AS MATERIALIZED (
+  SELECT 0 AS rank, vec_id, qv, CAST(0 AS BIGINT) AS d2prev
+  FROM q ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1
+),
+s0 AS MATERIALIZED (SELECT * FROM c0)"""
+    ]
+    for i in range(1, m):
+        parts.append(
+            f"""m{i} AS MATERIALIZED (
+  SELECT t.vec_id, t.qv, MIN({_d2i('t.qv', 'c.qv')}) AS mind
+  FROM q t CROSS JOIN s{i - 1} c
+  WHERE t.vec_id NOT IN (SELECT vec_id FROM s{i - 1})
+  GROUP BY t.vec_id, t.qv
+),
+c{i} AS MATERIALIZED (
+  SELECT {i} AS rank, vec_id, qv, mind AS d2prev
+  FROM m{i} ORDER BY mind DESC, vec_id LIMIT 1
+),
+s{i} AS MATERIALIZED (SELECT * FROM s{i - 1} UNION ALL SELECT * FROM c{i})"""
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT CAST(rank AS INTEGER) AS rank, vec_id, d2prev FROM s{m - 1}"
+    )
+
+
+@query("q_sample_kcenter", oracle=_kcenter_oracle())
+def q_sample_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset selection over the embedding corpus —
+    the diversity-maximizing subset rule (Gonzalez 1985 farthest-point
+    traversal; the core-set active-learning/selection form of Sener &
+    Savarese 2018): start from the md5-seeded portable draw, then
+    repeatedly pick the vector FARTHEST from everything selected so
+    far (ties -> lowest vec_id). Returns the m=6 selected centers as
+    (rank, vec_id, d2prev) where d2prev is the selection-time distance
+    — the coverage radius after rank r is s[r+1].d2prev, so the output
+    doubles as the coreset quality curve.
+
+    Spark shape: k-center is inherently k sequential passes; each
+    round is ONE full-scan TakeOrdered(1) by (min-distance DESC,
+    vec_id) with the <= m selected centers inlined as LITERAL arrays
+    into a F.least(zip_with-fold, ...) expression — all JVM codegen,
+    no Python, no shuffle beyond the top-1 reduction, and the m-row
+    state lives on the driver (the codebook-collect budget). Distances
+    are exact int64 lattice L2 (operators/lattice.py quantize), so the
+    whole traversal replays as unrolled SQL CTEs — strict value-hash
+    oracle, no float tie hazards."""
+    from fhir2sql_spark.operators import lattice
+
+    m = 6
+    emb = load(spark, sf_dir, "embeddings")
+    qv = lattice.quantize(emb).localCheckpoint(eager=False)
+
+    def d2_lit(cvec):
+        arr = F.array(*[F.lit(int(v)).cast("long") for v in cvec])
+        return F.aggregate(
+            F.zip_with("qv", arr, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, y: acc + y,
+        )
+
+    seed = (
+        qv.orderBy(F.md5(F.col("vid").cast("string")), "vid")
+        .limit(1)
+        .collect()[0]
+    )
+    sel = [(0, seed["vid"], list(seed["qv"]), 0)]
+    for r in range(1, m):
+        mind = F.least(*[d2_lit(c) for _, _, c, _ in sel]) if len(sel) > 1 \
+            else d2_lit(sel[0][2])
+        row = (
+            qv.where(~F.col("vid").isin([v for _, v, _, _ in sel]))
+            .select("vid", "qv", mind.alias("mind"))
+            .orderBy(F.desc("mind"), F.asc("vid"))
+            .limit(1)
+            .collect()[0]
+        )
+        sel.append((r, row["vid"], list(row["qv"]), row["mind"]))
+    return spark.createDataFrame(
+        [(r, int(v), int(d)) for r, v, _, d in sel],
+        "rank int, vec_id long, d2prev long",
+    )

@@ -248,3 +248,33 @@ def test_pack_stream_invariants_random():
             assert sum(by_bin[k - 1]) + firsts[k] > cap
 
     inner()
+
+
+def test_gopher_rules_semantics(spark):
+    """Rule-by-rule checks on crafted docs (the oracle pins the
+    fixture; this pins the rules on inputs the fixture lacks)."""
+    from fhir2sql_spark.queries.curation import q_quality_gopher
+
+    good = "the " + " ".join(["word"] * 48) + " with"  # 50 words, stops
+    rows = [
+        (1, good, "en"),
+        (2, "too short with the", "en"),            # < 50 words
+        (3, " ".join(["#!"] * 60), "en"),           # no alpha, no stops
+        (4, "the " + " ".join(["a" * 20] * 49), "en"),  # mean len > 10
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    import fhir2sql_spark.queries.curation as cur
+    orig = cur.load
+    cur.load = lambda s, d, t: df
+    try:
+        out = {r["doc_id"]: r for r in q_quality_gopher(spark, "x").collect()}
+    finally:
+        cur.load = orig
+    assert out[1]["keep"] is True
+    assert out[1]["n_words"] == 50 and out[1]["stop_hits"] >= 2
+    assert out[2]["keep"] is False          # word count rule
+    assert out[3]["keep"] is False          # alpha + stopword rules
+    assert out[3]["alpha_frac"] == 0.0
+    assert out[4]["keep"] is False          # mean word length rule
+    assert out[4]["mean_word_len"] > 10

@@ -543,3 +543,45 @@ def test_winnow_pairs_two_exchange_plan(spark, sf_dir):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 3, plan
     assert "Join" not in plan, plan
+
+
+def test_kcenter_matches_numpy_greedy(spark):
+    """q_sample_kcenter's traversal == the textbook greedy farthest-
+    point algorithm on the same quantized lattice (exact integers, md5
+    seed, ties -> lowest id)."""
+    import hashlib
+
+    import numpy as np
+
+    from fhir2sql_spark.operators import lattice
+    from fhir2sql_spark.queries.selection import q_sample_kcenter
+
+    # replicate on the sf0.001 fixture
+    sf = "/root/testdata/sf0.001"
+    out = sorted(
+        (r["rank"], r["vec_id"], r["d2prev"])
+        for r in q_sample_kcenter(spark, sf).collect()
+    )
+    qv = {
+        r["vid"]: np.array(r["qv"], dtype=np.int64)
+        for r in lattice.quantize(
+            __import__("fhir2sql_spark.tables", fromlist=["load"]).load(
+                spark, sf, "embeddings"
+            )
+        ).collect()
+    }
+    seed = min(qv, key=lambda v: (hashlib.md5(str(v).encode()).hexdigest(), v))
+    sel = [(0, seed, 0)]
+    chosen = {seed}
+    for r in range(1, 6):
+        best = None
+        for v, x in qv.items():
+            if v in chosen:
+                continue
+            mind = min(int(((x - qv[c]) ** 2).sum()) for _, c, _ in sel)
+            key = (-mind, v)
+            if best is None or key < best[0]:
+                best = (key, v, mind)
+        sel.append((r, best[1], best[2]))
+        chosen.add(best[1])
+    assert out == sorted(sel)
