@@ -23,6 +23,16 @@ def get_spark(app_name: str = "fhir2sql-spark") -> SparkSession:
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Start reduce stages fine-grained and let AQE coalesce down
+        # (the production setting this file's docstring promises). With
+        # initial = 32, sf100's q_sample_dsir put ~40 M (doc, bucket)
+        # groups into ONE task's hash aggregate and died with
+        # AGGREGATE_OUT_OF_MEMORY (r7); at 512 the same stage fits per
+        # task and small stages still coalesce to a handful.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            "512",
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Arrow-batch even plain Python UDFs (Spark 4): cuts the
