@@ -554,3 +554,48 @@ def q_sample_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(r, int(v), int(d)) for r, v, _, d in sel],
         "rank int, vec_id long, d2prev long",
     )
+
+
+@query(
+    "q_dedup_softweight",
+    oracle="""
+    WITH h AS (
+        SELECT doc_id,
+               sha256(array_to_string(
+                   string_split(trim(regexp_replace(lower(text), '\\s+',
+                                                    ' ', 'g')), ' ')[1:8],
+                   ' ')) AS th
+        FROM documents
+    ),
+    c AS (SELECT th, COUNT(*) AS n FROM h GROUP BY th)
+    SELECT h.doc_id, CAST(c.n AS BIGINT) AS cluster_n,
+           ROUND(1.0 / c.n, 6) AS soft_w
+    FROM h JOIN c USING (th)
+    """,
+)
+def q_dedup_softweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SoftDedup-style reweighting (He et al. 2024, arXiv:2407.06654:
+    downweight instead of drop): every document keeps flowing to the
+    trainer but its sampling weight is 1/|duplication cluster|, so a
+    10-way near-clone family contributes one document's worth of
+    gradient in expectation while preserving coverage. Clusters come
+    from the normalized 8-token-prefix sha2 key — q_dedup_incremental's
+    ingest-heuristic key, which makes the fixture's clone pairs
+    collide. Plan: ONE th-keyed exchange serves the cluster-size count
+    window; weight is a single exact IEEE division, 6-dp rounded.
+    At 100 TB this is the cheapest dedup posture there is — no pair
+    generation at all, just a key aggregate."""
+    from fhir2sql_spark.operators import dedup
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    prefix = F.concat_ws(
+        " ", F.slice(F.split(dedup.normalize_text(F.col("text")), " "), 1, 8)
+    )
+    h = docs.select("doc_id", F.sha2(prefix, 256).alias("th"))
+    n = F.count(F.lit(1)).over(Window.partitionBy("th"))
+    return h.select(
+        "doc_id",
+        n.cast("long").alias("cluster_n"),
+        F.round(F.lit(1.0) / n, 6).alias("soft_w"),
+    )

@@ -590,3 +590,59 @@ def q_tokens_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("__bpe").cast("double") / F.sum("__ws").cast("double")
         ).alias("fertility"),
     )
+
+
+@query(
+    "q_text_ttr",
+    oracle="""
+    WITH u AS (
+        SELECT lang,
+               unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+                   AS tok
+        FROM documents
+    ),
+    tc AS (SELECT lang, tok, COUNT(*) AS n FROM u GROUP BY 1, 2)
+    SELECT lang,
+           CAST(SUM(n) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(n), 6) AS ttr,
+           CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hapax,
+           ROUND(CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS hapax_frac
+    FROM tc GROUP BY lang
+    """,
+)
+def q_text_ttr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language type-token ratio and hapax-legomenon fraction —
+    the lexical-diversity pair every corpus health report carries next
+    to Zipf/Heaps (q_tokens_zipf / q_vocab_growth): a shard whose TTR
+    collapses is template spam; a hapax fraction spiking toward 1 is
+    OCR noise or tokenizer shredding. Plan: token explode into a
+    (lang, tok) count with map-side combine — the corpus collapses to
+    its VOCABULARY in the first exchange (the q_bpe_pairs argument) —
+    then an O(|vocab|) per-lang rollup; ratios are exact-integer IEEE
+    divisions, 6-dp rounded."""
+    from fhir2sql_spark.operators.text import tokens_portable
+
+    d = load(spark, sf_dir, "documents")
+    u = d.select(
+        "lang",
+        F.explode(tokens_portable(F.col("text"))).alias("tok"),
+    ).where(F.col("tok") != "")
+    tc = u.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("n"))
+    return tc.groupBy("lang").agg(
+        F.sum("n").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.round(
+            F.count(F.lit(1)).cast("double") / F.sum("n").cast("double"), 6
+        ).alias("ttr"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_hapax"),
+        F.round(
+            F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("hapax_frac"),
+    )
