@@ -358,6 +358,47 @@ CHECKS: list[tuple[str, str, str]] = [
         "#1:Exchange hashpartitioning",
         "only the per-(query, batch) top-k rows exchange",
     ),
+    # round 7 additions
+    (
+        "q_quality_gopher",
+        "!Exchange",
+        "the Gopher rule filter is pure scan-side codegen — zero "
+        "shuffles (regexp_counts + divisions ride the scan)",
+    ),
+    (
+        "q_quality_gopher",
+        "!Generate",
+        "no token explode anywhere in the rules",
+    ),
+    (
+        "q_dedup_softweight",
+        "#1:Exchange hashpartitioning",
+        "SoftDedup reweighting is ONE th-keyed exchange (the count "
+        "window); no pair generation, no join",
+    ),
+    (
+        "q_dedup_softweight",
+        "!Join",
+        "cluster size comes from a window, not a self-join",
+    ),
+    (
+        "q_dedup_winnow_pairs",
+        "!Join",
+        "round-7 rewrite: candidate pairs come from posting-set "
+        "posexplodes, never a fingerprint self-join (the form that "
+        "stopped finishing at sf100)",
+    ),
+    (
+        "q_dedup_semantic_inc",
+        "BroadcastHashJoin",
+        "the base index is pruned to batch-touched cells by a "
+        "broadcast semi-join BEFORE any pairwise work",
+    ),
+    (
+        "q_dedup_semantic_inc",
+        "FlatMapGroupsInPandas",
+        "the pairwise verdict runs per-cell in Arrow groups",
+    ),
     ("q_cdc_scd2", "WindowGroupLimit", ""),  # placeholder replaced below
 ]
 # q_cdc_scd2's property is structural, not a substring: all three
