@@ -1,0 +1,79 @@
+"""Per-query delta between two bench artifacts (VERDICT r6 #3's
+consumer): compare any two of BENCH_HISTORY.jsonl records (by run_id),
+BENCH_FULL.json, or BENCH_r{N}.json driver captures, and print the
+queries whose time moved beyond a noise band.
+
+Usage:
+    python tools/bench_diff.py OLD NEW [--band 0.25] [--abs 0.3]
+
+OLD/NEW are file paths, or ``history:<run_id>`` to pick a record out
+of BENCH_HISTORY.jsonl. A query regresses when it is slower by more
+than ``band`` (fractional) AND ``abs`` seconds — both, so toy-scale
+jitter on 0.2 s queries and ±5% drift on big ones are ignored. Host
+stamps (loadavg, cache warmth) are printed when present: a wholesale
+shift with a loadavg jump is environment, not regression (SCALE.md's
+same-day-A/B rule).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def load_run(spec: str) -> dict:
+    if spec.startswith("history:"):
+        run_id = spec.split(":", 1)[1]
+        with (REPO / "BENCH_HISTORY.jsonl").open() as f:
+            for line in f:
+                rec = json.loads(line)
+                if rec.get("run_id") == run_id:
+                    return rec
+        raise SystemExit(f"run_id {run_id!r} not in BENCH_HISTORY.jsonl")
+    data = json.loads(Path(spec).read_text())
+    # driver BENCH_r{N}.json wraps the parsed stdout line
+    if "parsed" in data and isinstance(data["parsed"], dict):
+        data = data["parsed"]
+    return data
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("old")
+    ap.add_argument("new")
+    ap.add_argument("--band", type=float, default=0.25)
+    ap.add_argument("--abs", dest="abs_s", type=float, default=0.3)
+    args = ap.parse_args()
+
+    old, new = load_run(args.old), load_run(args.new)
+    for tag, rec in (("old", old), ("new", new)):
+        host = rec.get("host", {})
+        print(
+            f"{tag}: total={rec.get('value')}s n={len(rec.get('queries', {}))}"
+            f" sf={rec.get('sf')} run_id={rec.get('run_id', '-')}"
+            f" loadavg={host.get('loadavg_1m', '-')}"
+            f" scan_mb_s={host.get('scan_mb_s', '-')}"
+        )
+    qo, qn = old.get("queries", {}), new.get("queries", {})
+    common = sorted(set(qo) & set(qn))
+    print(f"comparable queries: {len(common)}")
+    regressions, improvements = [], []
+    for q in common:
+        a, b = qo[q], qn[q]
+        if b > a * (1 + args.band) and b - a > args.abs_s:
+            regressions.append((b - a, q, a, b))
+        elif a > b * (1 + args.band) and a - b > args.abs_s:
+            improvements.append((a - b, q, a, b))
+    for title, rows in (("REGRESSED", regressions), ("improved", improvements)):
+        print(f"{title}: {len(rows)}")
+        for d, q, a, b in sorted(rows, reverse=True):
+            print(f"  {q:32s} {a:7.2f}s -> {b:7.2f}s  ({b - a:+.2f}s)")
+    return 1 if regressions else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
