@@ -549,3 +549,114 @@ def test_incremental_dedup_foreachbatch(spark, tmp_path):
     # member — streaming admits 420 then flags 393 as dup_corpus, where
     # the one-shot query's min-doc_id keeper would have kept 393.
     assert got[420] == "new" and got[393] == "dup_corpus"
+
+
+def test_semantic_inc_dedup_foreachbatch(spark, tmp_path):
+    """q_dedup_semantic_inc as a CONTINUOUS ingest (the
+    test_incremental_dedup_foreachbatch convention, now for the
+    frozen-codebook semantic form): the codebook is trained ONCE on
+    the base shard and never retrained; the vector index is a parquet
+    table; each micro-batch is assigned to cells and verdicted against
+    (base ∪ previously-admitted) + its own smaller-id members, then
+    appends its admitted vectors — so a batch-2 near-clone of a
+    batch-1 admit classifies dup_corpus ACROSS batches. Final statuses
+    must equal a sequential exact-integer replay of the same policy."""
+    import numpy as np
+
+    from fhir2sql_spark.operators import lattice
+    from tests.conftest import SF_MED
+
+    emb = load(spark, SF_MED, "embeddings")
+    qv = lattice.quantize(emb)
+    base = qv.where(F.col("vid") % 3 != 0)
+    new = qv.where(F.col("vid") % 3 == 0)
+    cents = lattice.lattice_kmeans(base, k=16, iters=1)
+    cent_rows = [(r["cent_id"], list(r["cv"])) for r in cents.collect()]
+
+    index_dir = str(tmp_path / "index")
+    out_dir = str(tmp_path / "classified")
+    in_dir = str(tmp_path / "ingest")
+    ckpt = str(tmp_path / "ckpt")
+    base.selectExpr("vid AS vec_id", "qv").write.parquet(index_dir + "/base")
+
+    def classify(bdf, batch_id: int) -> None:
+        s = bdf.sparkSession
+        cdf = s.createDataFrame(cent_rows, "cent_id int, cv array<long>")
+        idx = (
+            s.read.option("recursiveFileLookup", "true")
+            .parquet(index_dir)
+            .selectExpr("vec_id AS vid", "qv")
+        )
+        verdicts = lattice.lattice_semantic_dedup_incremental(
+            idx, bdf.selectExpr("vec_id AS vid", "qv"), cdf
+        ).localCheckpoint()  # pin ONE evaluation before the index grows
+        verdicts.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+        verdicts.where(F.col("status") == "new").join(
+            bdf, "vec_id"
+        ).select("vec_id", "qv").write.mode("overwrite").parquet(
+            f"{index_dir}/batch={batch_id}"
+        )
+
+    def drain() -> None:
+        stream = (
+            spark.readStream.schema("vec_id long, qv array<bigint>")
+            .parquet(in_dir)
+        )
+        q = (
+            stream.writeStream.foreachBatch(classify)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    b1 = new.where(F.col("vid") % 2 == 0).selectExpr("vid AS vec_id", "qv")
+    b2 = new.where(F.col("vid") % 2 == 1).selectExpr("vid AS vec_id", "qv")
+    b1.write.mode("append").parquet(in_dir)
+    drain()
+    b2.write.mode("append").parquet(in_dir)
+    drain()
+
+    out = (
+        spark.read.option("recursiveFileLookup", "true").parquet(out_dir)
+    ).collect()
+    got = {r["vec_id"]: r["status"] for r in out}
+    assert len(out) == len(got) == new.count()  # no replay duplicates
+
+    # exact-integer sequential replay
+    X = {r["vid"]: np.array(r["qv"], dtype=np.int64) for r in qv.collect()}
+    code = np.stack([np.array(v, dtype=np.int64) for _, v in cent_rows])
+    cids = np.array([c for c, _ in cent_rows], dtype=np.int64)
+
+    def cell(v):
+        d2 = ((X[v][None, :] - code) ** 2).sum(axis=1)
+        order = np.lexsort((cids, d2))
+        return int(cids[order[0]])
+
+    def cos_ge(a, b):
+        dot = int(a @ b)
+        na, nb = int(a @ a), int(b @ b)
+        return na > 0 and nb > 0 and dot > 0 and 25 * dot * dot >= 4 * na * nb
+
+    cells = {v: cell(v) for v in X}
+    corpus = [v for v in X if v % 3 != 0]
+    expect = {}
+    for parity in (0, 1):
+        batch = sorted(v for v in X if v % 3 == 0 and v % 2 == parity)
+        for i, v in enumerate(batch):
+            in_cell_corpus = [u for u in corpus if cells[u] == cells[v]]
+            if any(cos_ge(X[u], X[v]) for u in in_cell_corpus):
+                expect[v] = "dup_corpus"
+            elif any(
+                cos_ge(X[u], X[v])
+                for u in batch[:i]
+                if cells[u] == cells[v]
+            ):
+                expect[v] = "dup_batch"
+            else:
+                expect[v] = "new"
+        corpus += [v for v in batch if expect[v] == "new"]
+    assert got == expect
+    # the semantic statuses must actually be exercised on this fixture
+    assert set(got.values()) >= {"new", "dup_corpus"}
