@@ -585,3 +585,32 @@ def test_kcenter_matches_numpy_greedy(spark):
         sel.append((r, best[1], best[2]))
         chosen.add(best[1])
     assert out == sorted(sel)
+
+
+def test_token_count_ws_matches_duckdb_on_hostile_whitespace(spark):
+    """ADVICE r6 regression pin BEYOND the single-space fixture: the
+    redefined token_count_ws (literal-space split) must equal DuckDB's
+    len(string_split(text, ' ')) on consecutive spaces, tabs, newlines,
+    leading/trailing whitespace, and empty strings — the exact inputs
+    the old \\s+ form diverged on."""
+    import duckdb
+
+    from fhir2sql_spark.operators.text import token_count_ws
+
+    texts = [
+        "a b", "a  b", "a   b c", " a", "a ", "  ", "",
+        "a\tb", "a\nb", "a \t b", "tab\there and\nnewline",
+        "x" * 5, "a b  c   d    e",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "i long, text string")
+    got = {
+        r["i"]: r["n"]
+        for r in df.select("i", token_count_ws(F.col("text")).alias("n")).collect()
+    }
+    con = duckdb.connect()
+    for i, t in enumerate(texts):
+        [(n,)] = con.execute(
+            "SELECT len(string_split(?, ' '))", [t]
+        ).fetchall()
+        assert got[i] == n, (i, repr(t), got[i], n)
