@@ -599,3 +599,170 @@ def q_dedup_softweight(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("long").alias("cluster_n"),
         F.round(F.lit(1.0) / n, 6).alias("soft_w"),
     )
+
+
+_NEYMAN_BUDGET = 100
+
+
+@query(
+    "q_sample_neyman",
+    oracle=f"""
+    WITH b AS (
+        SELECT doc_id, lang,
+               len(list_filter(string_split(text, ' '), x -> x <> ''))
+                   AS t
+        FROM documents
+    ),
+    a AS (
+        SELECT lang, COUNT(*) AS n_h,
+               CAST(SUM(t) AS BIGINT) AS s,
+               CAST(SUM(t * t) AS BIGINT) AS sq
+        FROM b GROUP BY lang
+    ),
+    st AS (
+        SELECT lang, n_h,
+               sqrt((sq - CAST(s AS DOUBLE) * s / n_h) / n_h) AS sd,
+               n_h * sqrt((sq - CAST(s AS DOUBLE) * s / n_h) / n_h) AS w
+        FROM a
+    ),
+    tot AS (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                               list(w ORDER BY lang)),
+                               (a, b) -> a + b) AS tw FROM st),
+    q0 AS (
+        SELECT st.lang, st.n_h, st.sd,
+               CAST(FLOOR({_NEYMAN_BUDGET} * st.w / tot.tw) AS BIGINT)
+                   AS base_q,
+               {_NEYMAN_BUDGET} * st.w / tot.tw
+                 - FLOOR({_NEYMAN_BUDGET} * st.w / tot.tw) AS rem
+        FROM st CROSS JOIN tot
+    ),
+    rk AS (
+        SELECT x.lang, x.n_h, x.sd, x.base_q,
+               1 + (SELECT COUNT(*) FROM q0 y
+                    WHERE y.rem > x.rem
+                       OR (y.rem = x.rem AND y.lang < x.lang)) AS rrank
+        FROM q0 x
+    ),
+    lv AS (SELECT {_NEYMAN_BUDGET} - SUM(base_q) AS leftover FROM q0),
+    qt AS (
+        SELECT rk.lang,
+               LEAST(rk.base_q + CASE WHEN rk.rrank <= lv.leftover
+                                      THEN 1 ELSE 0 END,
+                     rk.n_h) AS quota
+        FROM rk CROSS JOIN lv
+    ),
+    rn AS (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        FROM b
+    )
+    SELECT rn.doc_id, rn.lang, CAST(rn.rn AS BIGINT) AS rn,
+           CAST(qt.quota AS BIGINT) AS quota
+    FROM rn JOIN qt USING (lang)
+    WHERE rn.rn <= qt.quota
+    """,
+)
+def q_sample_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-allocation stratified sampling (Neyman 1934, the optimal
+    fixed-budget allocation every eval-set constructor uses): a budget
+    of 100 docs is split across language strata PROPORTIONALLY TO
+    N_h * S_h (stratum size x stratum std of the token count), so
+    high-variance strata get more of the budget than plain
+    proportional allocation would give; integer quotas come from the
+    largest-remainder method (ties -> lexicographic lang), capped at
+    the stratum size, and each stratum contributes its first ``quota``
+    docs in the md5-seeded portable order.
+
+    Exactness: all stratum moments are INTEGER aggregates (count, sum,
+    sum of squares of the literal-space token count); std / weights /
+    remainders are float math over the 5-row lang table computed with
+    the identical expression text on both engines (the q_bm25
+    convention), and the remainder RANK is a 5x5 count comparison —
+    no unpartitioned window anywhere. Plan: one corpus aggregate with
+    map-side combine, O(langs) allocation algebra, then the
+    md5-ordered per-stratum window (lang-partitioned) joined to the
+    broadcast quota table. At 100 TB the corpus is touched twice
+    (moments + ranked sample), both scan-shaped."""
+    from fhir2sql_spark.operators.text import nonempty_token_count
+    from pyspark.sql import Window
+
+    B = _NEYMAN_BUDGET
+    docs = load(spark, sf_dir, "documents")
+    b = docs.select(
+        "doc_id", "lang", nonempty_token_count(F.col("text")).alias("t")
+    )
+    a = b.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_h"),
+        F.sum("t").cast("long").alias("s"),
+        F.sum(F.col("t") * F.col("t")).cast("long").alias("sq"),
+    )
+    sd = F.sqrt(
+        (F.col("sq") - F.col("s").cast("double") * F.col("s") / F.col("n_h"))
+        / F.col("n_h")
+    )
+    st = a.select("lang", "n_h", sd.alias("sd"), (F.col("n_h") * sd).alias("w"))
+    st = st.localCheckpoint(eager=True)  # 5 rows; feeds 3 consumers
+    # ordered sequential fold, NOT SUM: a 5-double SUM is
+    # thread-order-sensitive in BOTH engines and a last-ulp shift in
+    # tw flips FLOOR(B*w/tw) at a quota boundary (the q_embed_ivfpq
+    # flake class — caught by tests/test_oracle_stability.py on this
+    # very query before it ever shipped)
+    tot = (
+        st.agg(F.array_sort(F.collect_list(F.struct("lang", "w"))).alias("__a"))
+        .select(
+            F.aggregate(
+                "__a", F.lit(0.0), lambda acc, x: acc + x["w"]
+            ).alias("tw")
+        )
+    )
+    q0 = (
+        st.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_h",
+            F.floor(B * F.col("w") / F.col("tw")).cast("long").alias("base_q"),
+            (
+                B * F.col("w") / F.col("tw")
+                - F.floor(B * F.col("w") / F.col("tw"))
+            ).alias("rem"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    other = q0.select(
+        F.col("lang").alias("l2"), F.col("rem").alias("rem2")
+    )
+    rk = (
+        q0.join(
+            other,
+            (F.col("rem2") > F.col("rem"))
+            | ((F.col("rem2") == F.col("rem")) & (F.col("l2") < F.col("lang"))),
+            "left",
+        )
+        .groupBy("lang", "n_h", "base_q")
+        .agg((1 + F.count("l2")).alias("rrank"))
+    )
+    lv = q0.agg((F.lit(B) - F.sum("base_q")).alias("leftover"))
+    qt = rk.crossJoin(F.broadcast(lv)).select(
+        "lang",
+        F.least(
+            F.col("base_q")
+            + F.when(F.col("rrank") <= F.col("leftover"), 1).otherwise(0),
+            F.col("n_h"),
+        ).alias("quota"),
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    ranked = b.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+    return (
+        ranked.join(F.broadcast(qt), "lang")
+        .where(F.col("rn") <= F.col("quota"))
+        .select(
+            "doc_id",
+            "lang",
+            F.col("rn").cast("long").alias("rn"),
+            F.col("quota").cast("long").alias("quota"),
+        )
+    )

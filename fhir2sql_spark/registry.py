@@ -56,12 +56,14 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 # Round-7 window (VERDICT r6 #5: rotate to the stalest driver-green
 # queries — the r2/r3 families were last driver-confirmed on
 # 4-5-round-old code). Priority order:
-#   1. Never-driver-checked (5): the round-7 additions —
+#   1. Never-driver-checked (6): the round-7 additions —
 #      q_dedup_semantic_inc (frozen-codebook incremental SemDeDup,
 #      VERDICT #7), q_quality_gopher (Gopher rule filter),
 #      q_sample_kcenter (greedy coreset selection, lattice-exact),
-#      q_text_ttr (lexical diversity), and q_dedup_softweight
-#      (SoftDedup cluster reweighting).
+#      q_text_ttr (lexical diversity), q_dedup_softweight (SoftDedup
+#      cluster reweighting), and q_sample_neyman (variance-optimal
+#      stratified allocation — whose oracle the new determinism gate
+#      caught flaking BEFORE it shipped; ordered-fold fix applied).
 #   2. Changed-since-the-r6-gate re-confirms (10): the token_count_ws
 #      literal-space redefinition (ADVICE r6) touches q_text_tokens,
 #      q_text_quality, q_tokens_fertility, q_quality_classifier,
@@ -69,13 +71,13 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 #      guard + overflow-checked rational-cosine predicate (ADVICE r6)
 #      touch the trained triple; the winnow-pairs prefix rewrite
 #      (VERDICT #6) touches q_dedup_winnow_pairs.
-#   3. Oldest re-confirms (35): all 21 queries whose LAST driver
+#   3. Oldest re-confirms (34): all 21 queries whose LAST driver
 #      check was round 2 (scan/sync/stream/UDF/TPC-H core), then the
-#      14 alphabetically-first of the 47 last checked in round 3.
+#      13 alphabetically-first of the 47 last checked in round 3.
 SHOWCASE = (
     # 1. never driver-checked (round-7 additions)
     "q_dedup_semantic_inc", "q_quality_gopher", "q_sample_kcenter",
-    "q_text_ttr", "q_dedup_softweight",
+    "q_text_ttr", "q_dedup_softweight", "q_sample_neyman",
     # 2. changed since the r6 driver gate
     "q_text_tokens", "q_text_quality", "q_tokens_fertility",
     "q_quality_classifier", "q_dedup_cluster_select", "q_split_eval",
@@ -93,7 +95,6 @@ SHOWCASE = (
     "q_agg_hll_merge", "q_agg_kmv_jaccard", "q_agg_sets",
     "q_agg_time_weighted", "q_anomaly_zscore", "q_array_funcs",
     "q_basket_pairs", "q_case_coalesce", "q_curriculum_order",
-    "q_dedup_embed_bucketed",
 )
 
 # Green in CORRECTNESS_r02.json (round-2 driver gate) — kept here so

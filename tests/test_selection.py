@@ -614,3 +614,46 @@ def test_token_count_ws_matches_duckdb_on_hostile_whitespace(spark):
             "SELECT len(string_split(?, ' '))", [t]
         ).fetchall()
         assert got[i] == n, (i, repr(t), got[i], n)
+
+
+def test_neyman_allocation_properties(spark, sf_dir):
+    """Structural invariants of the largest-remainder Neyman split:
+    quotas sum to the budget (when no stratum caps bind), no quota
+    exceeds its stratum size, each stratum's draw is complete (ranks
+    1..quota, md5 order), and allocation is weight-monotone to within
+    the +1 largest-remainder step."""
+    import hashlib
+
+    import numpy as np
+
+    from fhir2sql_spark.queries.selection import q_sample_neyman
+    from fhir2sql_spark.tables import load
+
+    rows = q_sample_neyman(spark, sf_dir).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    quotas = {lg: rs[0]["quota"] for lg, rs in by_lang.items()}
+    assert sum(quotas.values()) == 100
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text").collect()
+    sizes, weights = {}, {}
+    for lg in quotas:
+        toks = [len([t for t in d["text"].split(" ") if t])
+                for d in docs if d["lang"] == lg]
+        sizes[lg] = len(toks)
+        weights[lg] = len(toks) * float(np.std(toks))
+    for lg, rs in by_lang.items():
+        assert quotas[lg] <= sizes[lg]
+        assert len(rs) == quotas[lg]
+        assert sorted(r["rn"] for r in rs) == list(range(1, quotas[lg] + 1))
+        # the drawn docs are exactly the first-quota in md5 order
+        ordered = sorted(
+            (d["doc_id"] for d in docs if d["lang"] == lg),
+            key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i),
+        )[: quotas[lg]]
+        assert sorted(r["doc_id"] for r in rs) == sorted(ordered)
+    # weight-monotone within the largest-remainder +1 step
+    for a in quotas:
+        for b in quotas:
+            if weights[a] > weights[b]:
+                assert quotas[a] >= quotas[b] - 1
