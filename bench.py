@@ -79,7 +79,11 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
-    run_id = time.strftime("%Y%m%dT%H%M%S")
+    # pid suffix disambiguates two runs started in the same second —
+    # otherwise BENCH_HISTORY.jsonl holds duplicate run_ids and
+    # tools/bench_diff.py's history:<run_id> lookup silently returns
+    # the first match (ADVICE r7)
+    run_id = f"{time.strftime('%Y%m%dT%H%M%S')}-p{os.getpid()}"
     stamp = host_stamp(sf_dir)
 
     registry.load_all()

@@ -627,14 +627,21 @@ _NEYMAN_BUDGET = 100
     ),
     tot AS (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
                                list(w ORDER BY lang)),
-                               (a, b) -> a + b) AS tw FROM st),
-    q0 AS (
+                               (a, b) -> a + b) AS tw,
+                   CAST(SUM(n_h) AS DOUBLE) AS tn FROM st),
+    wq AS (
         SELECT st.lang, st.n_h, st.sd,
-               CAST(FLOOR({_NEYMAN_BUDGET} * st.w / tot.tw) AS BIGINT)
-                   AS base_q,
-               {_NEYMAN_BUDGET} * st.w / tot.tw
-                 - FLOOR({_NEYMAN_BUDGET} * st.w / tot.tw) AS rem
+               CASE WHEN tot.tw = 0
+                    THEN CAST(st.n_h AS DOUBLE) / tot.tn
+                    ELSE st.w / tot.tw END AS wq
         FROM st CROSS JOIN tot
+    ),
+    q0 AS (
+        SELECT lang, n_h, sd,
+               CAST(FLOOR({_NEYMAN_BUDGET} * wq) AS BIGINT) AS base_q,
+               {_NEYMAN_BUDGET} * wq
+                 - FLOOR({_NEYMAN_BUDGET} * wq) AS rem
+        FROM wq
     ),
     rk AS (
         SELECT x.lang, x.n_h, x.sd, x.base_q,
@@ -710,23 +717,32 @@ def q_sample_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
     # flake class — caught by tests/test_oracle_stability.py on this
     # very query before it ever shipped)
     tot = (
-        st.agg(F.array_sort(F.collect_list(F.struct("lang", "w"))).alias("__a"))
+        st.agg(
+            F.array_sort(F.collect_list(F.struct("lang", "w"))).alias("__a"),
+            F.sum("n_h").cast("double").alias("tn"),
+        )
         .select(
             F.aggregate(
                 "__a", F.lit(0.0), lambda acc, x: acc + x["w"]
-            ).alias("tw")
+            ).alias("tw"),
+            "tn",
         )
     )
+    # degenerate guard (ADVICE r7): if every stratum has constant token
+    # counts, all sd are 0 so tw = 0 and B*w/tw is NaN — DuckDB's
+    # CAST(FLOOR(NaN) AS BIGINT) errors while Spark yields null. Fall
+    # back to plain proportional allocation (wq = n_h / N, an exact
+    # integer ratio) on BOTH engines so they stay bit-identical.
+    wq = F.when(
+        F.col("tw") == 0.0, F.col("n_h").cast("double") / F.col("tn")
+    ).otherwise(F.col("w") / F.col("tw"))
     q0 = (
         st.crossJoin(F.broadcast(tot))
         .select(
             "lang",
             "n_h",
-            F.floor(B * F.col("w") / F.col("tw")).cast("long").alias("base_q"),
-            (
-                B * F.col("w") / F.col("tw")
-                - F.floor(B * F.col("w") / F.col("tw"))
-            ).alias("rem"),
+            F.floor(B * wq).cast("long").alias("base_q"),
+            (B * wq - F.floor(B * wq)).alias("rem"),
         )
         .localCheckpoint(eager=True)
     )

@@ -34,9 +34,11 @@ connection is a no-op.
 Known (documented) limits, all irrelevant to the sink's statement
 shapes: every fetched value is text (callers cast in SQL or in
 Python); NULL fetches as ``''``; a ``%s`` inside a string literal
-would be bound (no sink statement has one); values containing raw
-newlines would split rows on fetch (``jsonb``'s text form is always
-single-line, and the mirror schema has no free-text columns).
+would be bound (no sink statement has one). String parameters
+containing NUL, newline, CR or the ``\\x1f`` field separator are
+REJECTED with ``PsqlError`` (ADVICE r7) — they would silently split
+rows/columns on the sentinel-delimited stdout protocol, and the sink
+never needs them (``jsonb``'s text form is always single-line).
 """
 
 from __future__ import annotations
@@ -71,8 +73,18 @@ def _literal(v: object) -> str:
             return f"'{v}'::float8"
         return repr(v)
     if isinstance(v, str):
-        if "\x00" in v:
-            raise PsqlError("NUL byte in string parameter")
+        # NUL is invalid in PG text; newline / CR / the \x1f field
+        # separator would silently split rows/columns on the
+        # sentinel-delimited stdout protocol (ADVICE r7) — the sink
+        # never needs them, so make corruption a loud error instead.
+        for ch, what in (
+            ("\x00", "NUL byte"),
+            ("\n", "newline"),
+            ("\r", "carriage return"),
+            (_FIELD_SEP, "\\x1f field-separator byte"),
+        ):
+            if ch in v:
+                raise PsqlError(f"{what} in string parameter")
         return "'" + v.replace("'", "''") + "'"
     raise TypeError(f"unsupported parameter type {type(v).__name__}")
 
@@ -167,6 +179,13 @@ class PsqlConnection:
             text=True,
         )
         self._n = 0
+        # _literal's quote-doubling is only safe with
+        # standard_conforming_strings (PG default since 9.1, but a
+        # server could be configured with it off — then backslashes
+        # become escapes and e.g. "\\'" breaks out of the literal).
+        # Pin it per-session so client-side quoting never depends on
+        # server config (ADVICE r7).
+        self._exec("SET standard_conforming_strings = on")
         self._exec("BEGIN")
 
     # --- protocol ----------------------------------------------------
@@ -217,15 +236,23 @@ class PsqlConnection:
 
     def close(self) -> None:
         p = self._proc
-        if p.poll() is None and p.stdin is not None:
-            try:
-                p.stdin.write("\\q\n")
-                p.stdin.flush()
-                p.stdin.close()
-            except BrokenPipeError:
-                pass
-            p.wait(timeout=10)
-        self._stderr.close()
+        try:
+            if p.poll() is None and p.stdin is not None:
+                try:
+                    p.stdin.write("\\q\n")
+                    p.stdin.flush()
+                    p.stdin.close()
+                except BrokenPipeError:
+                    pass
+                try:
+                    p.wait(timeout=10)
+                except subprocess.TimeoutExpired:
+                    # a hung psql must not leak out of close() nor
+                    # leave a zombie child (ADVICE r7)
+                    p.kill()
+                    p.wait()
+        finally:
+            self._stderr.close()
 
 
 def connect(

@@ -145,6 +145,14 @@ def test_bind_quoting_and_count_mismatch():
         bind("VALUES (%s)", (1, 2))
     with pytest.raises(PsqlError, match="NUL"):
         bind("VALUES (%s)", ("a\x00b",))
+    # ADVICE r7: newline / CR / \x1f would silently split rows or
+    # columns on the sentinel-delimited stdout protocol — loud error
+    with pytest.raises(PsqlError, match="newline"):
+        bind("VALUES (%s)", ("a\nb",))
+    with pytest.raises(PsqlError, match="carriage return"):
+        bind("VALUES (%s)", ("a\rb",))
+    with pytest.raises(PsqlError, match="field-separator"):
+        bind("VALUES (%s)", ("a\x1fb",))
 
 
 # --- server round-trips ----------------------------------------------

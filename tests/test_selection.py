@@ -657,3 +657,37 @@ def test_neyman_allocation_properties(spark, sf_dir):
         for b in quotas:
             if weights[a] > weights[b]:
                 assert quotas[a] >= quotas[b] - 1
+
+
+def test_neyman_degenerate_constant_strata(spark, tmp_path):
+    """ADVICE r7 regression: when EVERY stratum has constant token
+    counts, all stratum stds are 0, so the Neyman weight total tw = 0
+    and B*w/tw is NaN — DuckDB errors on CAST(FLOOR(NaN) AS BIGINT)
+    while Spark yields null. Both engines must instead fall back to
+    proportional allocation (wq = n_h / N) and stay bit-identical."""
+    import duckdb
+    import pandas as pd
+
+    from fhir2sql_spark.queries.selection import q_sample_neyman
+    from fhir2sql_spark.registry import ORACLE
+
+    rows = [(i, "w w w", "aa" if i < 60 else "bb", "s", 5)
+            for i in range(100)]
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(tmp_path / "documents.parquet")
+
+    sp = q_sample_neyman(spark, str(tmp_path)).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    dk = con.execute(ORACLE["q_sample_neyman"]).df()
+    # proportional fallback: 60/40 split of the 100-doc budget, capped
+    quotas = sp.groupby("lang")["quota"].first().to_dict()
+    assert quotas == {"aa": 60, "bb": 40}
+    key = ["lang", "doc_id"]
+    sp = sp.sort_values(key).reset_index(drop=True)[sorted(sp.columns)]
+    dk = dk.sort_values(key).reset_index(drop=True)[sorted(dk.columns)]
+    pd.testing.assert_frame_equal(sp, dk, check_dtype=False)

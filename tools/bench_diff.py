@@ -28,11 +28,21 @@ REPO = Path(__file__).resolve().parent.parent
 def load_run(spec: str) -> dict:
     if spec.startswith("history:"):
         run_id = spec.split(":", 1)[1]
+        hits = []
         with (REPO / "BENCH_HISTORY.jsonl").open() as f:
             for line in f:
                 rec = json.loads(line)
                 if rec.get("run_id") == run_id:
-                    return rec
+                    hits.append(rec)
+        if len(hits) > 1:
+            # legacy second-resolution run_ids could collide; a silent
+            # first-match here would diff against the wrong run
+            raise SystemExit(
+                f"run_id {run_id!r} is ambiguous: {len(hits)} history "
+                "records share it (pre-ADVICE-r7 second-resolution id)"
+            )
+        if hits:
+            return hits[0]
         raise SystemExit(f"run_id {run_id!r} not in BENCH_HISTORY.jsonl")
     data = json.loads(Path(spec).read_text())
     # driver BENCH_r{N}.json wraps the parsed stdout line
