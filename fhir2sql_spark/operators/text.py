@@ -653,6 +653,7 @@ def winnow_pairs(
     k: int = 3,
     w: int = 4,
     min_shared: int = 2,
+    max_df: int | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
@@ -681,13 +682,32 @@ def winnow_pairs(
     fingerprints are locally-minimal hashes, i.e. RARE by
     construction, so posting lists stay short the way setsim's
     rarest-first prefixes do (the 2-exchange shape is pinned by
-    tests/test_selection.py like 372a349's setsim pin)."""
+    tests/test_selection.py like 372a349's setsim pin).
+
+    ``max_df`` (VERDICT r7 #1, MOSS's own published practice of
+    dropping over-common fingerprints): "rare by construction" bounds
+    the AVERAGE posting size, not the worst case — one boilerplate
+    sentence repeated across n documents yields ONE fingerprint with
+    an n-element posting set, i.e. an n-element collect_set row and
+    C(n, 2) pairs fanned out of a single task. With ``max_df`` set,
+    fingerprints seen in more than ``max_df`` distinct documents are
+    dropped as stop-fingerprints BEFORE pair generation, capping
+    per-fingerprint fan-out at C(max_df, 2) regardless of corpus
+    size. The filter rides the existing fp-keyed aggregate (a
+    post-aggregation size predicate), so the 3-exchange/0-join plan is
+    unchanged. Recall cost is confined to pairs whose ONLY evidence is
+    corpus-wide boilerplate — exactly the pairs a near-dup pipeline
+    must not emit anyway (tests/test_selection.py plants such a
+    sentence and asserts bounded pair count with unchanged recall on
+    the genuinely near-duplicate planted pairs)."""
     fps = winnow_fp_sets(docs, k=k, w=w, id_col=id_col, text_col=text_col)
     posts = (
         fps.groupBy("__fp")
         .agg(F.collect_set(id_col).alias("__docs"))
         .where(F.size("__docs") >= 2)
     )
+    if max_df is not None:
+        posts = posts.where(F.size("__docs") <= max_df)
     pairs = (
         posts.select("__docs", F.posexplode("__docs").alias("__p1", "doc_a"))
         .select("doc_a", "__p1", F.posexplode("__docs").alias("__p2", "__d2"))

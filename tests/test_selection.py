@@ -539,10 +539,45 @@ def test_winnow_pairs_two_exchange_plan(spark, sf_dir):
     from fhir2sql_spark.tables import load
 
     docs = load(spark, sf_dir, "documents")
-    out = winnow_pairs(docs, k=3, w=4, min_shared=2)
+    # max_df=64 = the registered query's form: the stop-fingerprint
+    # cap must ride the existing aggregate, not add a plan node
+    out = winnow_pairs(docs, k=3, w=4, min_shared=2, max_df=64)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 3, plan
     assert "Join" not in plan, plan
+
+
+def test_winnow_pairs_max_df_caps_boilerplate_fanout(spark):
+    """VERDICT r7 #1: a corpus-wide boilerplate sentence yields ONE
+    fingerprint whose posting set is the whole corpus — C(n, 2) pairs
+    out of a single task at 100 TB. With max_df, that fingerprint is
+    dropped as a stop-fingerprint: pair count is bounded, while the
+    genuinely near-duplicate planted pairs (which share RARE runs
+    beyond the boilerplate) are still recalled with n_shared >= 2."""
+    from fhir2sql_spark.operators.text import winnow_pairs
+
+    boiler = "this content is provided as is without any warranty"
+    runA = "quick brown foxes jump over seven lazy sleeping dogs"
+    runB = "pack my box with five dozen amber liquor jugs"
+    rows = []
+    for i in range(40):
+        rows.append((i, f"{boiler} unique{i} filler{i} alpha{i} beta{i}"))
+    # planted near-dup pair: two distinct shared rare runs -> >= 2
+    # shared fingerprints by the winnowing guarantee (runs >= 6 toks)
+    rows.append((100, f"{boiler} {runA} middle{100} {runB} tail{100}"))
+    rows.append((101, f"{boiler} {runA} middle{101} {runB} tail{101}"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = winnow_pairs(docs, k=3, w=4, min_shared=2).collect()
+    capped = winnow_pairs(docs, k=3, w=4, min_shared=2, max_df=10).collect()
+
+    # without the cap the boilerplate fingerprint pairs everything
+    assert len(uncapped) == 42 * 41 // 2
+    # with it, only pairs with rare shared evidence survive
+    cap_pairs = {(r["doc_a"], r["doc_b"]): r["n_shared"] for r in capped}
+    assert (100, 101) in cap_pairs
+    assert cap_pairs[(100, 101)] >= 2
+    assert len(cap_pairs) < 5  # bounded: no boilerplate-only pairs
 
 
 def test_kcenter_matches_numpy_greedy(spark):
