@@ -28,7 +28,7 @@ rounding only where engine summation order genuinely drifts).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fhir2sql_spark.operators.packing import distributed_prefix_sum
@@ -645,4 +645,252 @@ def q_text_ttr(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)).cast("double"),
             6,
         ).alias("hapax_frac"),
+    )
+
+
+def _bpe_sym_encode(col: Column) -> Column:
+    """The double-space symbol encoding q_bpe_merges trains over:
+    ' s1  s2  ...  sn ' (single guard space at the ends, double
+    between symbols) — boundary-safe for plain replace() merges."""
+    return F.concat(F.lit(" "), F.array_join(F.split(col, ""), "  "), F.lit(" "))
+
+
+def _bpe_top_pair(v: DataFrame) -> DataFrame:
+    """Corpus-wide most frequent adjacent symbol pair of vocabulary
+    ``v`` (w = encoded word, cnt = word frequency); ties broken
+    (freq DESC, a, b) — identical to q_bpe_merges' per-round top."""
+    syms = F.split(F.trim(F.col("w")), "  ")
+    pairs = (
+        v.select(syms.alias("__s"), "cnt")
+        .where(F.size("__s") >= 2)
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice("__s", 1, F.size("__s") - 1),
+                    F.slice("__s", 2, F.size("__s") - 1),
+                )
+            ).alias("__p"),
+            "cnt",
+        )
+        .select(F.col("__p.0").alias("a"), F.col("__p.1").alias("b"), "cnt")
+    )
+    return (
+        pairs.groupBy("a", "b")
+        .agg(F.sum("cnt").cast("long").alias("pair_freq"))
+        .orderBy(F.desc("pair_freq"), "a", "b")
+        .limit(1)
+    )
+
+
+def _bpe_apply_merge(col: Column) -> Column:
+    """Apply the broadcast top pair (columns a, b in scope from the
+    crossJoin) to one encoded string: boundary-safe replace with
+    re-emitted guard spaces (consecutive merges still fire)."""
+    return F.replace(
+        col,
+        F.concat(F.lit(" "), F.col("a"), F.lit("  "), F.col("b"), F.lit(" ")),
+        F.concat(F.lit(" "), F.col("a"), F.col("b"), F.lit(" ")),
+    )
+
+
+def _bpe_encode_map(docs: DataFrame) -> DataFrame:
+    """Distinct-word -> trained-BPE pieces lookup table: train the
+    three q_bpe_merges rounds on the word-frequency vocabulary (the
+    only corpus-sized exchange), then apply the merge list IN ORDER to
+    every distinct word. Returns (w, pw = space-joined piece string,
+    np = piece count) — vocabulary-sized, each word encoded exactly
+    once no matter how often it occurs in the corpus."""
+    words = docs.select(F.explode(F.split("text", " ")).alias("w"))
+    wc = (
+        words.where(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    v = wc.select(_bpe_sym_encode(F.col("w")).alias("w"), "cnt").localCheckpoint(
+        eager=True
+    )
+    emap = (
+        words.where(F.col("w") != "")
+        .distinct()
+        .select("w", _bpe_sym_encode(F.col("w")).alias("e"))
+    )
+    for rnd in (1, 2, 3):
+        top = _bpe_top_pair(v).localCheckpoint(eager=True)
+        emap = emap.crossJoin(F.broadcast(top)).select(
+            "w", _bpe_apply_merge(F.col("e")).alias("e")
+        )
+        if rnd < 3:
+            # the vocabulary feeds BOTH the next round's pair scan and
+            # its replace — checkpoint per round (the iterative rule)
+            v = (
+                v.crossJoin(F.broadcast(top))
+                .select(_bpe_apply_merge(F.col("w")).alias("w"), "cnt")
+                .localCheckpoint(eager=True)
+            )
+    syms = F.split(F.trim(F.col("e")), "  ")
+    return emap.select(
+        "w",
+        F.array_join(syms, " ").alias("pw"),
+        F.size(syms).alias("np"),
+    )
+
+
+# Shared oracle CTE block: q_bpe_merges' training unroll (identical
+# text, so the merge list is pinned to the already-verified query)
+# plus the encode chain over the distinct-word table.
+_BPE_ENCODE_CTES = f"""
+    wc AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+      WHERE length(w) >= 2 GROUP BY w
+    ),
+    v0 AS MATERIALIZED (
+      SELECT ' ' || array_to_string(string_split(w, ''), '  ') || ' ' AS w,
+             cnt
+      FROM wc
+    ),{_bpe_round_sql('v0', 't1', 'v1')},{_bpe_round_sql('v1', 't2', 'v2')},{_bpe_round_sql('v2', 't3', 'v3')},
+    dw AS (
+      SELECT DISTINCT w
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+      WHERE w <> ''
+    ),
+    e0 AS (
+      SELECT w, ' ' || array_to_string(string_split(w, ''), '  ') || ' ' AS e
+      FROM dw
+    ),
+    e1 AS MATERIALIZED (
+      SELECT w, replace(e, ' '||t1.a||'  '||t1.b||' ', ' '||t1.a||t1.b||' ')
+                AS e
+      FROM e0, t1
+    ),
+    e2 AS MATERIALIZED (
+      SELECT w, replace(e, ' '||t2.a||'  '||t2.b||' ', ' '||t2.a||t2.b||' ')
+                AS e
+      FROM e1, t2
+    ),
+    e3 AS MATERIALIZED (
+      SELECT w, replace(e, ' '||t3.a||'  '||t3.b||' ', ' '||t3.a||t3.b||' ')
+                AS e
+      FROM e2, t3
+    ),
+    emap AS (
+      SELECT w,
+             array_to_string(string_split(trim(e), '  '), ' ') AS pw,
+             len(string_split(trim(e), '  ')) AS np
+      FROM e3
+    )"""
+
+
+@query(
+    "q_bpe_encode",
+    oracle=f"""
+    WITH {_BPE_ENCODE_CTES},
+    dwords AS (
+      SELECT doc_id, i AS pos, s[CAST(i AS INT)] AS w
+      FROM (
+        SELECT doc_id, string_split(text, ' ') AS s,
+               unnest(generate_series(
+                   1, len(string_split(text, ' ')))) AS i
+        FROM documents
+      )
+    )
+    SELECT d.doc_id,
+           CAST(SUM(m.np) AS BIGINT) AS n_pieces,
+           md5(string_agg(m.pw, ' ' ORDER BY d.pos)) AS piece_digest
+    FROM dwords d JOIN emap m ON d.w = m.w
+    WHERE d.w <> ''
+    GROUP BY d.doc_id
+    """,
+)
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODER (VERDICT r7 #3): apply q_bpe_merges' trained merge
+    list to encode every document into token pieces — the step between
+    "mine the tokenizer" and every downstream token count the pipeline
+    reports. Emits per doc the piece count and an md5 digest of the
+    ordered piece stream, so the full encoding (piece identity AND
+    order) is hash-pinned, not just the count.
+
+    Scale shape: training collapses the corpus to its word-frequency
+    vocabulary once (the only training-side corpus exchange); the
+    merge list is then applied to the DISTINCT-WORD table — each word
+    encoded exactly once regardless of its corpus frequency — and the
+    exploded word stream joins that vocabulary-sized map (word-keyed
+    shuffle join) before one doc_id-keyed aggregate. At 100 TB that is
+    two corpus-sized exchanges (word join + doc rollup); everything
+    merge-related is vocabulary-sized with 1-row broadcast tops.
+
+    Engine-exactness: the double-space symbol encoding and plain
+    boundary-safe replace() are the proven q_bpe_merges mechanics; the
+    oracle reuses that query's training CTEs VERBATIM (same merge
+    list by construction) and unrolls the 3-round encode chain as
+    MATERIALIZED CTEs. The digest orders pieces by word position —
+    unique per doc, so the string_agg/array_sort orders agree.
+
+    Cites the reference only for contrast: samply/fhir2sql has no
+    text surface (src/main.rs is a 4-table sync daemon)."""
+    docs = load(spark, sf_dir, "documents")
+    emap = _bpe_encode_map(docs)
+    wpos = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    ).where(F.col("w") != "")
+    return (
+        wpos.join(emap, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("np").cast("long").alias("n_pieces"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "pw"))),
+                        lambda x: x["pw"],
+                    ),
+                    " ",
+                )
+            ).alias("piece_digest"),
+        )
+    )
+
+
+@query(
+    "q_tokens_fertility_bpe",
+    oracle=f"""
+    WITH {_BPE_ENCODE_CTES},
+    lw AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents
+    )
+    SELECT l.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(m.np) AS BIGINT) AS bpe_tokens,
+           CAST(SUM(m.np) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               AS fertility
+    FROM lw l JOIN emap m ON l.w = m.w
+    WHERE l.w <> ''
+    GROUP BY l.lang
+    """,
+)
+def q_tokens_fertility_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility measured with the REAL trained encoder —
+    q_tokens_fertility's regex proxy replaced by q_bpe_encode's
+    pieces-per-word (VERDICT r7 #3's "real-encoder twin"): per
+    language, words, trained-BPE pieces, and pieces/word. With only 3
+    merge rounds fertility sits just under chars/word; the VALUE of
+    the twin is that the number now moves when the tokenizer does
+    (more merges -> lower fertility), which the proxy never could.
+    Same two-exchange scale shape as q_bpe_encode minus the per-doc
+    digest (lang rollup instead of doc rollup)."""
+    docs = load(spark, sf_dir, "documents")
+    emap = _bpe_encode_map(docs)
+    lw = docs.select(
+        "lang", F.explode(F.split("text", " ")).alias("w")
+    ).where(F.col("w") != "")
+    return (
+        lw.join(emap, "w")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("np").cast("long").alias("bpe_tokens"),
+            (
+                F.sum("np").cast("double") / F.count(F.lit(1)).cast("double")
+            ).alias("fertility"),
+        )
     )

@@ -490,3 +490,119 @@ def test_pq_trained_codebooks_reduce_mse(spark):
     rows2 = sorted(tr2.collect(), key=lambda r: (r["s"], r["code_id"]))
     trained2 = np.array([r["w"] for r in rows2]).reshape(m, n_codes, sub)
     assert np.array_equal(trained, trained2)
+
+
+def test_bpe_encode_matches_python_reference(spark):
+    """q_bpe_encode == a pure-python BPE: train 3 merge rounds on the
+    word vocabulary (most frequent adjacent pair, ties lexicographic),
+    then greedily apply the merge list in order to every word. Checks
+    piece COUNTS per doc and the ordered piece-stream digest — i.e.
+    piece identity and order, not just totals."""
+    import hashlib
+    from collections import Counter
+
+    from pyspark.sql import Row
+
+    from fhir2sql_spark.registry import QUERIES, load_all
+
+    load_all()
+    texts = {
+        1: "the cat sat on the mat",
+        2: "the cats sat and sat again",
+        3: "a cat and a mat and a hat",
+        4: "zz zz zz zz zz yyy",
+    }
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t, lang="en", source="s", n_chars=len(t))
+         for i, t in texts.items()]
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        docs.toPandas().to_parquet(f"{d}/documents.parquet")
+
+        # python reference ------------------------------------------------
+        wc = Counter(
+            w for t in texts.values() for w in t.split(" ") if len(w) >= 2
+        )
+        vocab = {w: list(w) for w in wc}
+        merges = []
+        for _ in range(3):
+            pf = Counter()
+            for w, syms in vocab.items():
+                for i in range(len(syms) - 1):
+                    pf[(syms[i], syms[i + 1])] += wc[w]
+            (a, b), _n = sorted(pf.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            merges.append((a, b))
+            for w, syms in vocab.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if (
+                        i + 1 < len(syms)
+                        and syms[i] == a
+                        and syms[i + 1] == b
+                    ):
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                vocab[w] = out
+
+        def encode(w: str) -> list[str]:
+            syms = list(w)
+            for a, b in merges:
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            return syms
+
+        want = {}
+        for doc_id, t in texts.items():
+            pieces = [p for w in t.split(" ") if w for p in encode(w)]
+            want[doc_id] = (
+                len(pieces),
+                hashlib.md5(" ".join(pieces).encode()).hexdigest(),
+            )
+
+        got = {
+            r["doc_id"]: (r["n_pieces"], r["piece_digest"])
+            for r in QUERIES["q_bpe_encode"](spark, d).collect()
+        }
+        assert got == want
+        # merges must actually compress: 'zz' (freq 4+) merges, so doc 4
+        # has fewer pieces than characters-without-spaces
+        assert got[4][0] < sum(len(w) for w in texts[4].split())
+
+
+def test_fertility_bpe_consistent_with_encode(spark, sf_dir):
+    """The fertility twin's per-lang totals equal q_bpe_encode's
+    per-doc pieces rolled up by language (same encoder, two rollups)."""
+    import duckdb
+
+    from fhir2sql_spark.registry import QUERIES, load_all
+
+    load_all()
+    enc = {
+        r["doc_id"]: r["n_pieces"]
+        for r in QUERIES["q_bpe_encode"](spark, sf_dir).collect()
+    }
+    langs = dict(
+        duckdb.sql(
+            f"SELECT doc_id, lang FROM read_parquet('{sf_dir}/documents.parquet')"
+        ).fetchall()
+    )
+    by_lang: dict[str, int] = {}
+    for d, n in enc.items():
+        by_lang[langs[d]] = by_lang.get(langs[d], 0) + n
+    got = {
+        r["lang"]: r["bpe_tokens"]
+        for r in QUERIES["q_tokens_fertility_bpe"](spark, sf_dir).collect()
+    }
+    assert got == by_lang
