@@ -726,3 +726,118 @@ def test_neyman_degenerate_constant_strata(spark, tmp_path):
     sp = sp.sort_values(key).reset_index(drop=True)[sorted(sp.columns)]
     dk = dk.sort_values(key).reset_index(drop=True)[sorted(dk.columns)]
     pd.testing.assert_frame_equal(sp, dk, check_dtype=False)
+
+
+def test_winnow_inc_bucketed_index_probe_exchange_free(spark, sf_dir, tmp_path_factory):
+    """q_dedup_winnow_inc's 100 TB posture: the stored corpus
+    fingerprint index, written BUCKETED by fingerprint, is probed by
+    the new batch with no Exchange on the corpus side — the per-ingest
+    cost is O(batch postings), corpus-size-independent (the
+    test_bucketed_join.py pattern applied to the fingerprint index)."""
+    from fhir2sql_spark.operators.text import winnow_fp_sets
+    from fhir2sql_spark.tables import load
+
+    wh = str(tmp_path_factory.mktemp("fpidx"))
+    docs = load(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % 3 == 0
+    fps = winnow_fp_sets(docs, k=3, w=4)
+    (
+        fps.where(~is_new)
+        .select("__fp")
+        .distinct()
+        .write.mode("overwrite")
+        .bucketBy(8, "__fp")
+        .sortBy("__fp")
+        .option("path", f"{wh}/winnow_fp_index")
+        .saveAsTable("winnow_fp_index")
+    )
+    try:
+        corp = spark.table("winnow_fp_index")
+        bat = fps.where(is_new).repartition(8, "__fp")
+        probe = bat.join(corp.withColumn("__c", F.lit(1)), "__fp", "left")
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        # the corpus (index) side reads its buckets directly: exactly
+        # the batch side's repartition may exchange, never the scan of
+        # the stored index
+        scan_side = plan[plan.index("FileScan") :]
+        assert "winnow_fp_index" in plan
+        before_scan = plan[: plan.index("winnow_fp_index")]
+        after_scan = plan[plan.index("winnow_fp_index") :]
+        assert "Exchange" not in after_scan, plan
+        # and the probe result is the same as the unbucketed join
+        got = sorted(
+            (r["doc_id"], r["__fp"], r["__c"])
+            for r in probe.select("doc_id", "__fp", "__c").collect()
+        )
+        ref = sorted(
+            (r["doc_id"], r["__fp"], r["__c"])
+            for r in fps.where(is_new)
+            .join(
+                fps.where(~is_new).select("__fp").distinct()
+                .withColumn("__c", F.lit(1)),
+                "__fp",
+                "left",
+            )
+            .select("doc_id", "__fp", "__c")
+            .collect()
+        )
+        assert got == ref
+    finally:
+        spark.sql("DROP TABLE IF EXISTS winnow_fp_index")
+
+
+
+def test_winnow_inc_statuses_consistent_with_pairs(spark, sf_dir):
+    """Cross-query invariant: every batch doc that q_dedup_winnow_pairs
+    pairs with an EARLIER batch doc must be dup_batch or dup_corpus in
+    q_dedup_winnow_inc (never 'new'); every 'dup_corpus' doc really
+    shares >= 2 fingerprints with the non-batch corpus; and the output
+    covers exactly the batch (doc_id % 3 == 0), all three statuses
+    present on the fixture."""
+    from fhir2sql_spark.operators.text import winnow_fp_sets
+    from fhir2sql_spark.registry import QUERIES
+    from fhir2sql_spark.tables import load
+
+    inc = {r["doc_id"]: r for r in
+           QUERIES["q_dedup_winnow_inc"](spark, sf_dir).collect()}
+    docs = load(spark, sf_dir, "documents")
+    batch_ids = {r["doc_id"] for r in
+                 docs.where(F.col("doc_id") % 3 == 0)
+                 .select("doc_id").collect()}
+    assert set(inc) == batch_ids
+    assert {r["status"] for r in inc.values()} <= {
+        "dup_corpus", "dup_batch", "new"
+    }
+    assert "dup_corpus" in {r["status"] for r in inc.values()}
+
+    pairs = QUERIES["q_dedup_winnow_pairs"](spark, sf_dir).collect()
+    for p in pairs:
+        a, b = p["doc_a"], p["doc_b"]
+        if a in batch_ids and b in batch_ids:
+            assert inc[b]["status"] in ("dup_batch", "dup_corpus"), (a, b)
+
+    # ground truth: recompute per-doc fingerprint sets directly
+    fps = winnow_fp_sets(docs, k=3, w=4)
+    corp_fps = {r["__fp"] for r in
+                fps.where(~(F.col("doc_id") % 3 == 0))
+                .select("__fp").distinct().collect()}
+    bat = {}
+    for r in fps.where(F.col("doc_id") % 3 == 0).collect():
+        bat.setdefault(r["doc_id"], set()).add(r["__fp"])
+    # no within-batch fp exceeds the max_df cap at this scale, so the
+    # uncapped pairwise ground truth below is exact
+    from collections import Counter
+
+    df = Counter(fp for s in bat.values() for fp in s)
+    assert max(df.values(), default=0) <= 64
+    for d, r in inc.items():
+        hits = len(bat.get(d, set()) & corp_fps)
+        assert r["corpus_hits"] == hits
+        assert (r["status"] == "dup_corpus") == (hits >= 2)
+        if hits < 2:
+            has_earlier = any(
+                len(bat.get(d, set()) & bat.get(a, set())) >= 2
+                for a in bat
+                if a < d
+            )
+            assert (r["status"] == "dup_batch") == has_earlier, d
