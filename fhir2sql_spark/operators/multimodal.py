@@ -187,3 +187,111 @@ def resize_images(
         .select("blob_id", "mime_type", "content")
         .mapInPandas(fn, RESIZED_SCHEMA)
     )
+
+
+def phash_blobs(spark: SparkSession, n: int = 200) -> DataFrame:
+    """Blob fixture with PLANTED near-duplicate images for perceptual
+    dedup: groups of 4 blobs share a 72-byte base payload
+    (sha256-expanded from the group id); each member perturbs exactly
+    ONE byte (position m*13+7, value from its own blob_id digest), so
+    any two members of a group differ in <= 2 bytes — <= 4 dHash bits
+    — while blobs from different groups are pseudo-random and ~32 bits
+    apart. Returns (blob_id, content BINARY); the hash pipeline must
+    re-derive the byte grid from the binary column (the multimodal
+    family's plumbing contract). Pure SQL both engines reproduce
+    byte-identically (the q_multimodal_frames fixture technique)."""
+    base = spark.range(0, n).withColumnRenamed("id", "blob_id")
+    return (
+        base.selectExpr(
+            "blob_id",
+            "substring(repeat(sha2(concat('pblob-', "
+            "CAST(blob_id DIV 4 AS STRING)), 256), 5), 1, 144) AS h0",
+            "(CAST(blob_id % 4 AS INT) * 13 + 7) AS p",
+            "substring(sha2(concat('perturb-', CAST(blob_id AS STRING)), "
+            "256), 1, 2) AS pb",
+        )
+        .selectExpr(
+            "blob_id",
+            "unhex(concat(substring(h0, 1, p*2), pb, "
+            "substring(h0, p*2+3))) AS content",
+        )
+    )
+
+
+def dhash_bands(blobs: DataFrame) -> DataFrame:
+    """dHash over the blob's leading 9x8 byte grid, emitted as 8
+    one-byte row bands: bit (r, c) = grid[r*9+c] > grid[r*9+c+1]
+    (the standard difference-hash gradient, computed on raw payload
+    bytes because no image decoder ships in this container — a real
+    pipeline resizes to 9x8 grayscale first, same arithmetic after).
+    Returns (blob_id, bands ARRAY<BIGINT> length 8, each 0..255).
+    All exact integer arithmetic riding the scan — hex-nibble byte
+    extraction, comparisons, and shifts in whole-stage codegen; no
+    Python, no shuffle."""
+    return blobs.selectExpr(
+        "blob_id", "lower(hex(content)) AS hx"
+    ).selectExpr(
+        "blob_id",
+        "transform(sequence(0, 71), i -> "
+        "  (instr('0123456789abcdef', substring(hx, i*2+1, 1)) - 1) * 16"
+        "  + instr('0123456789abcdef', substring(hx, i*2+2, 1)) - 1"
+        ") AS g",
+    ).selectExpr(
+        "blob_id",
+        "transform(sequence(0, 7), r -> "
+        "  aggregate(sequence(0, 7), CAST(0 AS BIGINT), (acc, c) -> "
+        "    acc + IF(element_at(g, r*9+c+1) > element_at(g, r*9+c+2), "
+        "             shiftleft(CAST(1 AS BIGINT), c), CAST(0 AS BIGINT))"
+        ")) AS bands",
+    )
+
+
+def phash_dedup_pairs(blobs: DataFrame, k: int = 4) -> DataFrame:
+    """Near-duplicate blob pairs at Hamming distance <= k over the
+    64-bit dHash, banded: with 8 one-byte bands, any pair within
+    Hamming k < 8 agrees on at least one band (pigeonhole — the exact
+    q_dedup_simhash argument, llm.py), so candidates come from
+    band-equality buckets and only candidates pay the exact distance.
+
+    Plan: bands ride the scan; ONE (band_no, band)-keyed exchange
+    builds the bucket posting sets (collect_set + double posexplode,
+    the winnow_pairs cooccurrence shape — no self-join); candidate
+    pairs then fetch both blobs' band arrays with two blob_id-keyed
+    joins and the exact Hamming sum is a zip_with/bit_count fold in
+    codegen. At 100 TB the bucket exchange carries 8 rows per blob
+    and candidates are collision-bounded — never all-pairs."""
+    bands = dhash_bands(blobs)
+    flat = bands.select(
+        "blob_id", F.posexplode("bands").alias("band_no", "band")
+    )
+    buckets = (
+        flat.groupBy("band_no", "band")
+        .agg(F.collect_set("blob_id").alias("__ids"))
+        .where(F.size("__ids") >= 2)
+    )
+    cand = (
+        buckets.select(
+            "__ids", F.posexplode("__ids").alias("__p1", "blob_a")
+        )
+        .select("blob_a", "__p1", F.posexplode("__ids").alias("__p2", "__b2"))
+        .where(F.col("__p2") != F.col("__p1"))
+        .where(F.col("blob_a") < F.col("__b2"))
+        .select("blob_a", F.col("__b2").alias("blob_b"))
+        .distinct()
+    )
+    ba = bands.select(
+        F.col("blob_id").alias("blob_a"), F.col("bands").alias("__ba")
+    )
+    bb = bands.select(
+        F.col("blob_id").alias("blob_b"), F.col("bands").alias("__bb")
+    )
+    ham = F.expr(
+        "aggregate(zip_with(__ba, __bb, (x, y) -> bit_count(x ^ y)), "
+        "CAST(0 AS BIGINT), (acc, v) -> acc + CAST(v AS BIGINT))"
+    )
+    return (
+        cand.join(ba, "blob_a")
+        .join(bb, "blob_b")
+        .select("blob_a", "blob_b", ham.alias("hamming"))
+        .where(F.col("hamming") <= k)
+    )

@@ -278,3 +278,73 @@ def test_gopher_rules_semantics(spark):
     assert out[3]["alpha_frac"] == 0.0
     assert out[4]["keep"] is False          # mean word length rule
     assert out[4]["mean_word_len"] > 10
+
+
+def test_phash_dedup_python_reference(spark):
+    """q_multimodal_phash_dedup == a pure-python dHash + brute-force
+    Hamming scan on the same planted fixture: every within-group pair
+    (one-byte-perturbed copies, <= 4 bits apart) surfaces with the
+    exact distance; no pair beyond Hamming 4 leaks through the band
+    blocking."""
+    import hashlib
+    from itertools import combinations
+
+    from fhir2sql_spark.operators.multimodal import (
+        phash_blobs,
+        phash_dedup_pairs,
+    )
+
+    n = 200
+
+    def blob_bytes(blob_id: int) -> bytes:
+        grp, m = blob_id // 4, blob_id % 4
+        h0 = (hashlib.sha256(f"pblob-{grp}".encode()).hexdigest() * 5)[:144]
+        pb = hashlib.sha256(f"perturb-{blob_id}".encode()).hexdigest()[:2]
+        p = m * 13 + 7
+        return bytes.fromhex(h0[: p * 2] + pb + h0[p * 2 + 2 :])
+
+    def dhash(b: bytes) -> int:
+        h = 0
+        for r in range(8):
+            for c in range(8):
+                if b[r * 9 + c] > b[r * 9 + c + 1]:
+                    h |= 1 << (r * 8 + c)
+        return h
+
+    hashes = {i: dhash(blob_bytes(i)) for i in range(n)}
+    want = {
+        (a, b): bin(hashes[a] ^ hashes[b]).count("1")
+        for a, b in combinations(range(n), 2)
+        if bin(hashes[a] ^ hashes[b]).count("1") <= 4
+    }
+    got = {
+        (r["blob_a"], r["blob_b"]): r["hamming"]
+        for r in phash_dedup_pairs(phash_blobs(spark, n=n), k=4).collect()
+    }
+    assert got == want
+    # the plant worked: every within-group pair is present
+    for g in range(n // 4):
+        for a, b in combinations(range(g * 4, g * 4 + 4), 2):
+            assert (a, b) in got and got[(a, b)] <= 4
+
+
+def test_phash_band_blocking_plan(spark):
+    """The candidate pipeline is the winnow_pairs cooccurrence shape:
+    band buckets from ONE (band_no, band) exchange + double
+    posexplode — a self-join on the bands table means the blocking
+    regressed to all-pairs."""
+    from fhir2sql_spark.operators.multimodal import (
+        dhash_bands,
+        phash_blobs,
+        phash_dedup_pairs,
+    )
+
+    out = phash_dedup_pairs(phash_blobs(spark, n=200), k=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # candidate generation contributes no join; the only joins are the
+    # two blob_id-keyed band fetches for the exact distance
+    assert plan.count("Generate explode") >= 2 or "PosExplode" in plan or "posexplode" in plan.lower(), plan
+    assert "CartesianProduct" not in plan
+    bands = dhash_bands(phash_blobs(spark, n=200))
+    bplan = bands._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in bplan, "bands must ride the scan"
