@@ -205,6 +205,44 @@ def apply_changeset(
     )
 
 
+def copy_partition_write(
+    df: DataFrame,
+    table: str,
+    columns: Sequence[str],
+    connect_fn: Callable[[], object],
+    retry_attempts: int = 3,
+    retry_backoff_s: float = 1.0,
+) -> None:
+    """Bulk append via PostgreSQL ``COPY … FROM STDIN`` (VERDICT r7
+    #6): one COPY stream + one transaction per partition, the real
+    high-throughput ingest path — one statement parse for the whole
+    partition instead of per-batch INSERT mogrification, and COPY's
+    text-format escaping carries newline/tab-bearing payloads the
+    row-per-line INSERT protocol must reject. ``connect_fn`` must
+    produce connections exposing ``copy_rows`` (sinks/psql_dbapi.py);
+    measured ~195k rows/s vs the multi-row-INSERT path's ~8.5k on the
+    throwaway cluster, a ~23× speedup (SCALE.md "PG sink bulk-load").
+    Executor-parallel like foreach_partition_write — N partitions COPY
+    concurrently."""
+
+    def write_partition(rows) -> None:
+        conn = connect_with_retry(connect_fn, attempts=retry_attempts,
+                                  backoff_s=retry_backoff_s)
+        try:
+            conn.copy_rows(table, columns, (tuple(r) for r in rows))
+            conn.commit()
+        except Exception:
+            try:
+                conn.rollback()
+            finally:
+                pass
+            raise
+        finally:
+            conn.close()
+
+    df.foreachPartition(write_partition)
+
+
 # --- staging + set-based merge (the scale path) ---------------------
 
 MERGE_FROM_STAGE_SQL = """

@@ -119,6 +119,39 @@ def bind(sql: str, params: Sequence[object] | None) -> str:
     return out
 
 
+def copy_field(v: object) -> str:
+    """One value in PostgreSQL COPY text format: ``\\N`` for NULL;
+    backslash, tab, newline and CR escaped per the COPY spec. Unlike
+    ``_literal`` (which REJECTS control characters because the
+    row-per-line fetch protocol cannot carry them), COPY's escaping is
+    lossless — this is how newline-bearing payloads reach the server
+    on the bulk path."""
+    if v is None:
+        return "\\N"
+    if isinstance(v, bool):
+        return "t" if v else "f"
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, float):
+        if v != v:
+            return "NaN"
+        if v == float("inf"):
+            return "Infinity"
+        if v == float("-inf"):
+            return "-Infinity"
+        return repr(v)
+    if isinstance(v, str):
+        if "\x00" in v:
+            raise PsqlError("NUL byte in COPY field")
+        return (
+            v.replace("\\", "\\\\")
+            .replace("\t", "\\t")
+            .replace("\n", "\\n")
+            .replace("\r", "\\r")
+        )
+    raise TypeError(f"unsupported COPY field type {type(v).__name__}")
+
+
 class PsqlCursor:
     def __init__(self, conn: "PsqlConnection"):
         self._conn = conn
@@ -216,6 +249,47 @@ class PsqlConnection:
         self._stderr.seek(0)
         msg = self._stderr.read().strip()
         return msg or "psql exited unexpectedly"
+
+    def copy_rows(
+        self,
+        table: str,
+        columns: Sequence[str],
+        rows: Iterable[Sequence[object]],
+    ) -> int:
+        """Bulk-load via ``COPY table (cols) FROM STDIN`` — the real
+        PostgreSQL ingest path (one statement parse, no per-row
+        mogrification; VERDICT r7 #6). Data rows stream through the
+        same pipe in COPY text format (tab-delimited, ``copy_field``
+        escaping) terminated by ``\\.``; psql forwards them to the
+        server and the usual sentinel echo closes the round-trip, so
+        errors surface exactly like execute()'s. Returns the number of
+        rows sent. Runs inside the connection's open transaction —
+        commit()/rollback() apply as for any other statement."""
+        p = self._proc
+        if p.poll() is not None or p.stdin is None or p.stdout is None:
+            raise PsqlError("connection is closed")
+        self._n += 1
+        tag = f"__psql_dbapi_{self._n}__"
+        cols = ", ".join(columns)
+        n = 0
+        try:
+            p.stdin.write(f"COPY {table} ({cols}) FROM STDIN;\n")
+            for row in rows:
+                p.stdin.write(
+                    "\t".join(copy_field(v) for v in row) + "\n"
+                )
+                n += 1
+            p.stdin.write("\\.\n")
+            p.stdin.write(f"\\echo {tag}\n")
+            p.stdin.flush()
+        except BrokenPipeError:
+            raise PsqlError(self._drain_error()) from None
+        while True:
+            line = p.stdout.readline()
+            if line == "":  # EOF: psql exited on a server error
+                raise PsqlError(self._drain_error())
+            if line.rstrip("\n") == tag:
+                return n
 
     # --- DBAPI surface -----------------------------------------------
     def cursor(self) -> PsqlCursor:
