@@ -220,6 +220,42 @@ def lattice_kmeans(
     )
 
 
+def lattice_assign(qv: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment against a (frozen) lattice codebook:
+    (vid, cell int, d2 long) with the EXACT integer squared L2 to the
+    winning centroid — ties break to the lowest cent_id, matching the
+    oracle's ``ORDER BY d2, cent_id``. One fused Arrow pass against the
+    broadcast codebook; the corpus never shuffles. Shared by the
+    prototype-pruning and codebook-drift queries (and mirrors the
+    assignment step inside lattice_kmeans/lattice_ivf_topk)."""
+    import numpy as np
+    import pandas as pd
+
+    cent_rows = cents.orderBy("cent_id").collect()
+    code = np.stack([np.array(r["cv"], dtype=np.int64) for r in cent_rows])
+    cids = np.array([r["cent_id"] for r in cent_rows], dtype=np.int64)
+
+    def assign(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            x = np.array(pdf["qv"].tolist(), dtype=np.int64)
+            _check_domain(x)
+            d2 = _d2_int(x, code)
+            idx = np.argmin(d2, axis=1)  # ties -> lowest index = lowest cent_id
+            yield pd.DataFrame(
+                {
+                    "vid": pdf["vid"].to_numpy(dtype=np.int64),
+                    "cell": cids[idx].astype("int32"),
+                    "d2": d2[np.arange(len(idx)), idx].astype("int64"),
+                }
+            )
+
+    return qv.select("vid", "qv").mapInPandas(
+        assign, "vid long, cell int, d2 long"
+    )
+
+
 def lattice_ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -24,6 +24,7 @@ _MODULES = (
     "retrieval",
     "vocab",
     "selection",
+    "diagnostics",
 )
 
 

@@ -17,7 +17,7 @@ training-data pipeline (BASELINE.json).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from fhir2sql_spark.operators import packing, text
@@ -543,4 +543,92 @@ def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (alpha_f >= 0.8)
             & (stop_hits >= 2)
         ).alias("keep"),
+    )
+
+
+@query(
+    "q_dedup_paragraph",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ),
+    ch AS (
+        SELECT doc_id, g.i AS idx,
+               array_to_string(ts[CAST(g.i*8+1 AS INT) : CAST(g.i*8+8 AS INT)],
+                               ' ') AS chunk
+        FROM t, unnest(generate_series(0, (len(ts)-1)//8)) AS g(i)
+    ),
+    k AS (
+        SELECT doc_id, idx, chunk,
+               ROW_NUMBER() OVER (PARTITION BY md5(chunk)
+                                  ORDER BY doc_id, idx) = 1 AS kept
+        FROM ch
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(COUNT(*) FILTER (WHERE NOT kept) AS BIGINT) AS n_dropped,
+           round(CAST(COUNT(*) FILTER (WHERE kept) AS DOUBLE) / COUNT(*), 6)
+               AS kept_frac,
+           md5(COALESCE(string_agg(CASE WHEN kept THEN chunk END, ' '
+                                   ORDER BY idx), '')) AS new_text_md5
+    FROM k GROUP BY doc_id
+    """,
+)
+def q_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style paragraph-hash deduplication (Wenzek et al. 2020,
+    "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+    Data"): hash every paragraph, keep only the FIRST occurrence of
+    each hash corpus-wide, and REWRITE each document to its surviving
+    paragraphs — the content-level dedup that removes boilerplate
+    (headers, cookie banners) while keeping the rest of the page,
+    upstream of the document-level dedups (q_dedup_exact/minhash).
+    Paragraph boundary proxy for the newline-free fixture:
+    non-overlapping 8-token chunks (real corpora split on blank
+    lines); the keeper rule is the deterministic (doc_id, idx)
+    row_number, the md5 chunk key is the engine-portable hash, and the
+    rewritten document is pinned exactly by new_text_md5 = md5 of the
+    kept chunks rejoined in order (md5('') for fully-dropped docs).
+
+    Scale shape: two uniform exchanges — one keyed by chunk hash for
+    the global first-occurrence window (md5 keys cannot skew; a
+    boilerplate chunk repeated across millions of docs is ONE hot
+    window partition but the window computes only row_number, no
+    collect), one back on doc_id for the rollup. Both aggregate
+    map-side; nothing is driver-side; at 100 TB this is the same
+    2-exchange posture as q_dedup_exact with the explode bounded by
+    token count / 8."""
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "ts", F.split(F.col("text"), " ")
+    )
+    ch = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, cast(floor((size(ts)-1)/8) as int)),"
+                " i -> concat_ws(' ', slice(ts, i*8+1, 8)))"
+            )
+        ).alias("idx", "chunk"),
+    )
+    w = Window.partitionBy(F.md5("chunk")).orderBy("doc_id", "idx")
+    k = ch.withColumn("kept", F.row_number().over(w) == 1)
+    kept_struct = F.when(
+        F.col("kept"), F.struct("idx", "chunk")
+    )  # collect_list skips the NULLs for dropped chunks
+    return k.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum(F.when(~F.col("kept"), 1).otherwise(0)).alias("n_dropped"),
+        F.round(
+            F.sum(F.when(F.col("kept"), 1).otherwise(0))
+            / F.count("*"),
+            6,
+        ).alias("kept_frac"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda x: x.chunk,
+                ),
+                " ",
+            )
+        ).alias("new_text_md5"),
     )

@@ -1,0 +1,212 @@
+"""Pipeline-operations diagnostics (round 8): the queries an operator
+of a 100 TB Spark pipeline runs BEFORE and BETWEEN the heavy jobs —
+shuffle-key skew profiling (pick broadcast/salt strategy from data,
+not folklore) and semantic-index staleness (decide when the frozen
+SemDeDup/IVF codebook must be retrained).
+
+Both are exact-oracle queries like everything else in the registry:
+the skew profile is pure integer counting with single-IEEE-op ratios;
+the drift monitor rides the integer-lattice codebook machinery
+(operators/lattice.py) whose train -> freeze -> assign pipeline
+replays bit-exactly in DuckDB.
+
+The reference (samply/fhir2sql, /root/reference/src/main.rs) has no
+diagnostics surface at all — its only observability is log lines and
+the row-count reconciliation check (src/main.rs:299-316, covered by
+q_count_reconcile); these queries extend that reconciliation idea to
+the two failure modes that actually take down large Spark jobs:
+skewed shuffle keys and stale learned partitioners.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fhir2sql_spark.registry import query
+from fhir2sql_spark.tables import load
+
+
+@query(
+    "q_diag_skew",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id
+    ),
+    t AS (
+        SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+               CAST(COUNT(*) AS BIGINT) AS n_keys
+        FROM c
+    ),
+    top AS (
+        SELECT user_id, cnt FROM c ORDER BY cnt DESC, user_id LIMIT 10
+    )
+    SELECT top.user_id, top.cnt,
+           round(CAST(top.cnt AS DOUBLE) / t.total, 6) AS share,
+           round(CAST(top.cnt * t.n_keys AS DOUBLE) / t.total, 6) AS skew_x,
+           top.cnt * t.n_keys >= 4 * t.total AS needs_salt
+    FROM top, t
+    """,
+)
+def q_diag_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew profile: the top-10 heaviest values of a
+    prospective join/aggregation key (events.user_id) with each key's
+    row share and its load factor vs a perfectly uniform key
+    (skew_x = cnt * n_keys / total — the straggler multiplier a
+    hash-partitioned shuffle on this key would hand one task), plus a
+    salting recommendation as the pure-integer predicate
+    cnt * n_keys >= 4 * total. This is the measurement behind every
+    "salt or broadcast?" decision in SCALE.md: at 100 TB you profile
+    the key BEFORE the 6-hour join, on the same engine, as one
+    map-side-combined count + a 10-row TakeOrdered — no second system
+    and nothing driver-side but the 10-row result. The ratios are one
+    IEEE division each over exact integer counts, so the profile is
+    bit-deterministic; ties at the cut line break by key.
+    """
+    ev = load(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    tot = counts.agg(
+        F.sum("cnt").alias("total"), F.count("*").alias("n_keys")
+    )
+    top = counts.orderBy(F.desc("cnt"), "user_id").limit(10)
+    return top.crossJoin(F.broadcast(tot)).select(
+        "user_id",
+        "cnt",
+        F.round(F.col("cnt") / F.col("total"), 6).alias("share"),
+        F.round(F.col("cnt") * F.col("n_keys") / F.col("total"), 6).alias(
+            "skew_x"
+        ),
+        (F.col("cnt") * F.col("n_keys") >= 4 * F.col("total")).alias(
+            "needs_salt"
+        ),
+    )
+
+
+def _drift_oracle(rounds: int = 2) -> str:
+    """Frozen-codebook drift replay: train on the base shard
+    (vec_id % 3 <> 0) with the shared lattice prologue, assign BOTH
+    shards against the FINAL codebook, then per-cell share comparison
+    in exact arithmetic."""
+    from fhir2sql_spark.queries.llm import (
+        _LATTICE_SCALE,
+        _d2i,
+        _lattice_prologue,
+    )
+
+    pro, cb = _lattice_prologue(
+        "16", rounds, src_where=" WHERE vec_id % 3 <> 0"
+    )
+    return f"""WITH {pro},
+qn AS MATERIALIZED (
+  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+                                x -> CAST(ROUND(x * {_LATTICE_SCALE}) AS BIGINT)) AS qv
+  FROM embeddings WHERE vec_id % 3 = 0
+),
+asg_base AS MATERIALIZED (
+  SELECT vec_id, cent_id FROM (
+    SELECT t.vec_id, c.cent_id,
+           ROW_NUMBER() OVER (PARTITION BY t.vec_id
+                              ORDER BY {_d2i('t.qv', 'c.cv')}, c.cent_id) AS rn
+    FROM q t CROSS JOIN {cb} c) z
+  WHERE rn = 1
+),
+asg_new AS MATERIALIZED (
+  SELECT vec_id, cent_id FROM (
+    SELECT t.vec_id, c.cent_id,
+           ROW_NUMBER() OVER (PARTITION BY t.vec_id
+                              ORDER BY {_d2i('t.qv', 'c.cv')}, c.cent_id) AS rn
+    FROM qn t CROSS JOIN {cb} c) z
+  WHERE rn = 1
+),
+j AS (
+  SELECT c.cent_id,
+         CAST(COALESCE(b.n_base, 0) AS BIGINT) AS n_base,
+         CAST(COALESCE(n.n_new, 0) AS BIGINT) AS n_new
+  FROM {cb} c
+  LEFT JOIN (SELECT cent_id, COUNT(*) AS n_base FROM asg_base GROUP BY 1) b
+    USING (cent_id)
+  LEFT JOIN (SELECT cent_id, COUNT(*) AS n_new FROM asg_new GROUP BY 1) n
+    USING (cent_id)
+),
+t AS (
+  SELECT CAST(SUM(n_base) AS BIGINT) AS tb,
+         CAST(SUM(n_new) AS BIGINT) AS tn
+  FROM j
+)
+SELECT CAST(j.cent_id AS INTEGER) AS cell, j.n_base, j.n_new,
+       round(CAST(j.n_base AS DOUBLE) / t.tb, 6) AS share_base,
+       round(CAST(j.n_new AS DOUBLE) / t.tn, 6) AS share_new,
+       round(abs(CAST(j.n_new AS DOUBLE) / t.tn
+                 - CAST(j.n_base AS DOUBLE) / t.tb) / 2, 6) AS tvd_contrib,
+       (j.n_new * t.tb > 2 * j.n_base * t.tn
+        OR j.n_base * t.tn > 2 * j.n_new * t.tb) AS drifted
+FROM j, t"""
+
+
+@query("q_diag_codebook_drift", oracle=_drift_oracle())
+def q_diag_codebook_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-index staleness monitor: is the FROZEN codebook that
+    q_dedup_semantic_inc / q_embed_ivf_trained keep probing still
+    representative of what the pipeline now ingests? Train the
+    16-cell lattice codebook on the base shard (vec_id % 3 <> 0, the
+    q_dedup_incremental convention), assign base AND the new batch
+    against it, and compare per-cell occupancy shares: the per-cell
+    total-variation contribution |share_new - share_base| / 2 plus an
+    exact-integer 2x-share drift flag
+    (n_new * tb > 2 * n_base * tn, and symmetrically) — when cells
+    drift, re-train before the incremental dedup's cell pruning stops
+    matching where new vectors actually land. Scale shape: the
+    codebook broadcasts, both assignment passes are fused Arrow
+    map-side work (operators/lattice.py lattice_assign — the corpus
+    never shuffles), and everything after is a 16-row rollup; per
+    ingest this costs one pass over the BATCH plus one over the base's
+    stored assignments (in production the base side is a stored
+    (vec_id, cell) table, so only the batch is scanned). Every count
+    is an integer, shares are one IEEE division each, and training is
+    the bit-exact lattice replay — the full monitor hash-matches the
+    DuckDB oracle."""
+    from fhir2sql_spark.operators import lattice
+
+    emb = load(spark, sf_dir, "embeddings")
+    qv = lattice.quantize(emb)
+    base = qv.where(F.col("vid") % 3 != 0)
+    new = qv.where(F.col("vid") % 3 == 0)
+    cents = lattice.lattice_kmeans(base, k=16, iters=2)
+    nb = (
+        lattice.lattice_assign(base, cents)
+        .groupBy("cell")
+        .agg(F.count("*").alias("n_base"))
+    )
+    nn = (
+        lattice.lattice_assign(new, cents)
+        .groupBy("cell")
+        .agg(F.count("*").alias("n_new"))
+    )
+    spine = cents.select(F.col("cent_id").alias("cell"))
+    j = (
+        spine.join(nb, "cell", "left")
+        .join(nn, "cell", "left")
+        .fillna(0, ["n_base", "n_new"])
+    )
+    t = j.agg(F.sum("n_base").alias("tb"), F.sum("n_new").alias("tn"))
+    return j.crossJoin(F.broadcast(t)).select(
+        "cell",
+        "n_base",
+        "n_new",
+        F.round(F.col("n_base") / F.col("tb"), 6).alias("share_base"),
+        F.round(F.col("n_new") / F.col("tn"), 6).alias("share_new"),
+        F.round(
+            F.abs(
+                F.col("n_new") / F.col("tn") - F.col("n_base") / F.col("tb")
+            )
+            / 2,
+            6,
+        ).alias("tvd_contrib"),
+        (
+            (F.col("n_new") * F.col("tb") > 2 * F.col("n_base") * F.col("tn"))
+            | (
+                F.col("n_base") * F.col("tn")
+                > 2 * F.col("n_new") * F.col("tb")
+            )
+        ).alias("drifted"),
+    )

@@ -1813,3 +1813,173 @@ def q_embed_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cos_full", 4).alias("cos_full"),
         )
     )
+
+
+@query(
+    "q_dedup_minhash_inc",
+    oracle="""
+    WITH s AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    pos AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(1, len(toks) - 2)) AS i
+        FROM s
+    ),
+    sh AS MATERIALIZED (
+        SELECT DISTINCT doc_id,
+               toks[CAST(i AS INT)] || ' ' || toks[CAST(i+1 AS INT)]
+                 || ' ' || toks[CAST(i+2 AS INT)] AS shingle
+        FROM pos
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    perms AS (SELECT unnest(generate_series(0, 31)) AS p),
+    sigs AS (
+        SELECT doc_id, p,
+               MIN(md5(CAST(p AS VARCHAR) || '|' || shingle)) AS h
+        FROM sh CROSS JOIN perms GROUP BY 1, 2
+    ),
+    bands AS MATERIALIZED (
+        SELECT doc_id, p // 4 AS band,
+               string_agg(h, '' ORDER BY p) AS bkey
+        FROM sigs GROUP BY 1, 2
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bkey = b.bkey
+        WHERE a.doc_id % 3 = 0
+          AND (b.doc_id % 3 <> 0
+               OR (b.doc_id % 3 = 0 AND b.doc_id < a.doc_id))
+    ),
+    com AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS common
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.doc_a
+        JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+        GROUP BY 1, 2
+    ),
+    ver AS (
+        SELECT m.doc_a, m.doc_b
+        FROM com m
+        JOIN sz sa ON m.doc_a = sa.doc_id
+        JOIN sz sb ON m.doc_b = sb.doc_id
+        WHERE m.common * 5 >= (sa.n + sb.n - m.common) * 4
+    )
+    SELECT d.doc_id,
+           CASE WHEN dc.doc_a IS NOT NULL THEN 'dup_corpus'
+                WHEN db.doc_a IS NOT NULL THEN 'dup_batch'
+                ELSE 'new' END AS status
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 3 = 0) d
+    LEFT JOIN (SELECT DISTINCT doc_a FROM ver WHERE doc_b % 3 <> 0) dc
+           ON dc.doc_a = d.doc_id
+    LEFT JOIN (SELECT DISTINCT doc_a FROM ver WHERE doc_b % 3 = 0) db
+           ON db.doc_a = d.doc_id
+    """,
+)
+def q_dedup_minhash_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash-LSH near-dedup against a FROZEN band index
+    — the last member of the per-ingest dedup family (exact:
+    q_dedup_incremental, semantic: q_dedup_semantic_inc, fingerprint:
+    q_dedup_winnow_inc; VERDICT r7 noted the pairwise-LSH gap). The
+    stored corpus index holds each document's 8 LSH band keys (32 md5
+    permutations, 8x4 banding — the q_dedup_minhash_portable
+    construction, so the WHOLE pipeline including band collisions
+    replays exactly in SQL) plus its shingle sets for verification.
+    Per ingest, the NEW batch (doc_id % 3 = 0) computes signatures,
+    probes the band index with a hash equi-join, exact-Jaccard-verifies
+    only the collided pairs (>= 4/5), and classifies every batch doc:
+    'dup_corpus' (verified match in the index), 'dup_batch' (verified
+    match to a SMALLER-id batch doc — the min-id keeper rule), or
+    'new' (admit + append bands to the index).
+
+    Scale shape: per-ingest cost is O(batch signatures + collisions) —
+    the corpus is touched only through the (band, bkey) equi-join and
+    the verification semi-join, both probe-sized; stored bucketed by
+    (band, bkey) the index read is exchange-free (the
+    q_dedup_incremental posture, tests/test_bucketed_join.py). Band
+    keys are md5 concatenations: uniform, unskewable shuffle keys. The
+    scale variant swaps md5 for xxhash64 exactly as q_dedup_minhash
+    does vs its portable twin; recall equivalence is pinned in
+    tests/test_llm_ops.py."""
+    docs = load(spark, sf_dir, "documents")
+    sh = dedup.shingles(docs, n=3, distinct=True)
+    mins = [
+        F.min(
+            F.md5(F.concat_ws("|", F.lit(str(i)), F.col("shingle")))
+        ).alias(f"h{i}")
+        for i in range(32)
+    ]
+    sig = sh.groupBy("doc_id").agg(*mins)
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat(
+                            *[F.col(f"h{i}") for i in range(b * 4, b * 4 + 4)]
+                        ).alias("bkey"),
+                    )
+                    for b in range(8)
+                ]
+            )
+        ).alias("s"),
+    ).select("doc_id", "s.band", "s.bkey")
+    nb = banded.where(F.col("doc_id") % 3 == 0)  # new-batch probe side
+    idx = banded.where(F.col("doc_id") % 3 != 0)  # frozen band index
+    a = nb.select("band", "bkey", F.col("doc_id").alias("doc_a"))
+    cand_corpus = (
+        a.join(
+            idx.select(
+                F.col("band").alias("band_b"),
+                F.col("bkey").alias("bkey_b"),
+                F.col("doc_id").alias("doc_b"),
+            ),
+            (F.col("band") == F.col("band_b"))
+            & (F.col("bkey") == F.col("bkey_b")),
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    cand_batch = (
+        a.join(
+            nb.select(
+                F.col("band").alias("band_b"),
+                F.col("bkey").alias("bkey_b"),
+                F.col("doc_id").alias("doc_b"),
+            ),
+            (F.col("band") == F.col("band_b"))
+            & (F.col("bkey") == F.col("bkey_b"))
+            & (F.col("doc_b") < F.col("doc_a")),
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ver = dedup.verify_candidate_pairs(
+        docs, cand_corpus.unionByName(cand_batch), 4, 5
+    )
+    dupc = (
+        ver.where(F.col("doc_b") % 3 != 0)
+        .select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("in_corp", F.lit(True))
+    )
+    dupb = (
+        ver.where(F.col("doc_b") % 3 == 0)
+        .select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("in_batch", F.lit(True))
+    )
+    return (
+        docs.where(F.col("doc_id") % 3 == 0)
+        .select("doc_id")
+        .join(dupc, "doc_id", "left")
+        .join(dupb, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("in_corp").isNotNull(), F.lit("dup_corpus"))
+            .when(F.col("in_batch").isNotNull(), F.lit("dup_batch"))
+            .otherwise(F.lit("new"))
+            .alias("status"),
+        )
+    )

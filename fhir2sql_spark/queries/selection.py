@@ -902,3 +902,74 @@ def q_sample_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("quota").cast("long").alias("quota"),
         )
     )
+
+
+def _prototypes_oracle(rounds: int = 2) -> str:
+    """Prototype-pruning replay: the shared lattice prologue trains on
+    the FULL corpus, the final codebook assigns every vector (keeping
+    the exact integer distance), then per-cell hardest-70% ranking in
+    pure window arithmetic."""
+    from fhir2sql_spark.queries.llm import _d2i, _lattice_prologue
+
+    pro, cb = _lattice_prologue("16", rounds)
+    return f"""WITH {pro},
+asg AS MATERIALIZED (
+  SELECT vec_id, cent_id, d2 FROM (
+    SELECT t.vec_id, c.cent_id, {_d2i('t.qv', 'c.cv')} AS d2,
+           ROW_NUMBER() OVER (PARTITION BY t.vec_id
+                              ORDER BY {_d2i('t.qv', 'c.cv')}, c.cent_id) AS rn
+    FROM q t CROSS JOIN {cb} c) z
+  WHERE rn = 1
+)
+SELECT vec_id, CAST(cent_id AS INTEGER) AS cell, d2,
+       CAST(ROW_NUMBER() OVER (PARTITION BY cent_id
+                               ORDER BY d2 DESC, vec_id) AS BIGINT) AS rnk,
+       CAST(COUNT(*) OVER (PARTITION BY cent_id) AS BIGINT) AS n_cell,
+       ROW_NUMBER() OVER (PARTITION BY cent_id ORDER BY d2 DESC, vec_id) * 10
+         <= COUNT(*) OVER (PARTITION BY cent_id) * 7 AS keep
+FROM asg"""
+
+
+@query("q_prune_prototypes", oracle=_prototypes_oracle())
+def q_prune_prototypes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prototype-distance data pruning (Sorscher et al. 2022, "Beyond
+    neural scaling laws: beating power law scaling via data pruning"):
+    cluster the embedding corpus with k-means, score every example by
+    its distance to the nearest prototype (cluster centroid), and in
+    the abundant-data regime KEEP THE HARD examples — here the
+    farthest 70% per cluster (rnk * 10 <= n_cell * 7, the exact
+    integer form), dropping the easy prototypical 30% that the paper
+    shows contributes least to the loss. Per-cluster (not global)
+    ranking preserves coverage of every mode, which is what separates
+    this from naive global outlier-keeping.
+
+    Scale shape: training is the lattice trainer's broadcast-codebook
+    partial-sum pass (operators/lattice.py), scoring is one fused
+    Arrow map-side pass (lattice_assign — the corpus never shuffles
+    for assignment), and the only exchange is the per-CELL window
+    (16-way key here, k ~ sqrt(N) in production — never a single-task
+    window). Everything is exact int64 lattice arithmetic, so the
+    whole train -> assign -> rank -> keep pipeline hash-matches the
+    unrolled DuckDB replay."""
+    from pyspark.sql import Window
+
+    from fhir2sql_spark.operators import lattice
+
+    emb = load(spark, sf_dir, "embeddings")
+    qv = lattice.quantize(emb)
+    cents = lattice.lattice_kmeans(qv, k=16, iters=2)
+    asg = lattice.lattice_assign(qv, cents)
+    w = Window.partitionBy("cell").orderBy(F.desc("d2"), "vid")
+    cw = Window.partitionBy("cell")
+    return (
+        asg.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .withColumn("n_cell", F.count("*").over(cw))
+        .select(
+            F.col("vid").alias("vec_id"),
+            "cell",
+            "d2",
+            "rnk",
+            "n_cell",
+            (F.col("rnk") * 10 <= F.col("n_cell") * 7).alias("keep"),
+        )
+    )

@@ -74,27 +74,50 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 #   3. Oldest re-confirms (34): all 21 queries whose LAST driver
 #      check was round 2 (scan/sync/stream/UDF/TPC-H core), then the
 #      13 alphabetically-first of the 47 last checked in round 3.
+# Round-8 window (VERDICT r7 #2: rotate to the round-3 cohort — the
+# 34 queries whose last driver check ran on round-3 code — plus every
+# round-8 addition and the two queries whose semantics changed after
+# the r7 gate). Priority order:
+#   1. Never-driver-checked: the round-8 additions — q_bpe_encode
+#      (trained-merge-list encoder), q_dedup_winnow_inc (frozen
+#      fingerprint-index ingest dedup), q_multimodal_phash_dedup
+#      (perceptual-hash image near-dup), q_tokens_fertility_bpe
+#      (real-encoder fertility twin), q_diag_skew (shuffle-key skew
+#      profiler), q_diag_codebook_drift (semantic-index staleness),
+#      q_dedup_paragraph (CCNet paragraph-hash dedup),
+#      q_prune_prototypes (prototype-distance data pruning),
+#      q_embed_sq (SQ8 scalar-quantized ANN), q_dedup_minhash_inc
+#      (incremental MinHash-LSH vs frozen band index).
+#   2. Changed since the r7 gate: q_dedup_winnow_pairs (max_df
+#      stop-fingerprint cap), q_sample_neyman (tw=0 degenerate-case
+#      proportional fallback, ADVICE r7 #4).
+#   3. Oldest re-confirms: the full 34-query round-3 cohort
+#      (alphabetically from q_dedup_embed_bucketed through
+#      q_window_range_frame), then the alphabetical prefix of the
+#      round-4 cohort to fill 50.
 SHOWCASE = (
-    # 1. never driver-checked (round-7 additions)
-    "q_dedup_semantic_inc", "q_quality_gopher", "q_sample_kcenter",
-    "q_text_ttr", "q_dedup_softweight", "q_sample_neyman",
-    # 2. changed since the r6 driver gate
-    "q_text_tokens", "q_text_quality", "q_tokens_fertility",
-    "q_quality_classifier", "q_dedup_cluster_select", "q_split_eval",
-    "q_dedup_semantic_trained", "q_embed_ivf_trained",
-    "q_embed_pq_trained", "q_dedup_winnow_pairs",
-    # 3a. last driver-checked in round 2
-    "q_scan_count", "q_scan_project", "q_session", "q_str_funcs",
-    "q_stream_dedup", "q_stream_join", "q_subquery_correlated",
-    "q_sync_deletes", "q_sync_diff_full", "q_sync_inserts",
-    "q_sync_updates", "q_text_langid", "q_text_tfidf",
-    "q_topk_pergroup", "q_tpch_q3", "q_tumble", "q_udaf_pandas",
-    "q_udf_scalar", "q_udtf_python", "q_union_all", "q_window_rank",
-    # 3b. last driver-checked in round 3 (alphabetical prefix)
-    "q_agg_cube", "q_agg_decay", "q_agg_having", "q_agg_histogram",
-    "q_agg_hll_merge", "q_agg_kmv_jaccard", "q_agg_sets",
-    "q_agg_time_weighted", "q_anomaly_zscore", "q_array_funcs",
-    "q_basket_pairs", "q_case_coalesce", "q_curriculum_order",
+    # 1. never driver-checked (round-8 additions)
+    "q_bpe_encode", "q_dedup_winnow_inc", "q_multimodal_phash_dedup",
+    "q_tokens_fertility_bpe", "q_diag_skew", "q_diag_codebook_drift",
+    "q_dedup_paragraph", "q_prune_prototypes", "q_embed_sq",
+    "q_dedup_minhash_inc",
+    # 2. changed since the r7 driver gate
+    "q_dedup_winnow_pairs", "q_sample_neyman",
+    # 3a. last driver-checked in round 3 (all 34)
+    "q_dedup_embed_bucketed", "q_downsample_m4", "q_event_transitions",
+    "q_except", "q_intersect", "q_join_asof_tol", "q_join_bloom",
+    "q_join_full", "q_join_interval", "q_join_theta",
+    "q_join_theta_banded", "q_json_funcs", "q_late_data",
+    "q_layout_zorder", "q_map_funcs", "q_math_funcs",
+    "q_rollup_hypertable", "q_sample_mixture", "q_sample_weighted",
+    "q_slide", "q_sort_multi", "q_text_lang_profile", "q_text_lm_score",
+    "q_text_stats", "q_tokens_cms", "q_tokens_heavy_hitters",
+    "q_udf_pandas", "q_udtf_explode", "q_union_distinct", "q_unpivot",
+    "q_window_frame", "q_window_gapfill", "q_window_lag",
+    "q_window_range_frame",
+    # 3b. last driver-checked in round 4 (alphabetical prefix)
+    "q_agg_conditional", "q_agg_mode", "q_agg_stats",
+    "q_cohort_retention",
 )
 
 # Green in CORRECTNESS_r02.json (round-2 driver gate) — kept here so
