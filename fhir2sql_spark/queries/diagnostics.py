@@ -187,6 +187,10 @@ def q_diag_codebook_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         spine.join(nb, "cell", "left")
         .join(nn, "cell", "left")
         .fillna(0, ["n_base", "n_new"])
+        # pin the k-row per-cell table: the totals row below re-reads
+        # it, and without the barrier BOTH corpus assignment passes
+        # would re-execute for the second reference (4 scans -> 2)
+        .localCheckpoint(eager=True)
     )
     t = j.agg(F.sum("n_base").alias("tb"), F.sum("n_new").alias("tn"))
     return j.crossJoin(F.broadcast(t)).select(

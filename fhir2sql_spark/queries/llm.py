@@ -1958,27 +1958,21 @@ def q_dedup_minhash_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ver = dedup.verify_candidate_pairs(
         docs, cand_corpus.unionByName(cand_batch), 4, 5
     )
-    dupc = (
-        ver.where(F.col("doc_b") % 3 != 0)
-        .select(F.col("doc_a").alias("doc_id"))
-        .distinct()
-        .withColumn("in_corp", F.lit(True))
-    )
-    dupb = (
-        ver.where(F.col("doc_b") % 3 == 0)
-        .select(F.col("doc_a").alias("doc_id"))
-        .distinct()
-        .withColumn("in_batch", F.lit(True))
+    # ONE rollup of the (tiny) verified-pair list classifies both dup
+    # kinds — referencing ver twice would re-execute the whole verify
+    # pipeline (2 corpus shingle passes) per reference
+    flags = ver.groupBy(F.col("doc_a").alias("doc_id")).agg(
+        F.max((F.col("doc_b") % 3 != 0).cast("int")).alias("hit_corpus"),
+        F.max((F.col("doc_b") % 3 == 0).cast("int")).alias("hit_batch"),
     )
     return (
         docs.where(F.col("doc_id") % 3 == 0)
         .select("doc_id")
-        .join(dupc, "doc_id", "left")
-        .join(dupb, "doc_id", "left")
+        .join(F.broadcast(flags), "doc_id", "left")
         .select(
             "doc_id",
-            F.when(F.col("in_corp").isNotNull(), F.lit("dup_corpus"))
-            .when(F.col("in_batch").isNotNull(), F.lit("dup_batch"))
+            F.when(F.col("hit_corpus") == 1, F.lit("dup_corpus"))
+            .when(F.col("hit_batch") == 1, F.lit("dup_batch"))
             .otherwise(F.lit("new"))
             .alias("status"),
         )

@@ -444,11 +444,20 @@ def q_embed_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     st = ux.groupBy("pos").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
-    srow = st.agg(
-        F.array_sort(F.collect_list(F.struct("pos", "mn", "mx"))).alias("s")
-    ).select(
-        F.expr("transform(s, z -> z.mn)").alias("mn"),
-        F.expr("transform(s, z -> z.mx)").alias("mx"),
+    srow = (
+        st.agg(
+            F.array_sort(F.collect_list(F.struct("pos", "mn", "mx"))).alias(
+                "s"
+            )
+        )
+        .select(
+            F.expr("transform(s, z -> z.mn)").alias("mn"),
+            F.expr("transform(s, z -> z.mx)").alias("mx"),
+        )
+        # pin the 1-row stats: `code` is referenced twice (query side +
+        # corpus side) and without the barrier the whole per-dim stats
+        # pass re-executes per reference
+        .localCheckpoint(eager=True)
     )
     code = emb.crossJoin(F.broadcast(srow)).select(
         "vec_id",

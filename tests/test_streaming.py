@@ -660,3 +660,251 @@ def test_semantic_inc_dedup_foreachbatch(spark, tmp_path):
     assert got == expect
     # the semantic statuses must actually be exercised on this fixture
     assert set(got.values()) >= {"new", "dup_corpus"}
+
+
+def test_minhash_inc_dedup_foreachbatch(spark, tmp_path):
+    """q_dedup_minhash_inc as a CONTINUOUS ingest (the
+    test_incremental_dedup_foreachbatch convention for the LSH form):
+    the frozen index is TWO parquet tables — (band, bkey, doc_id) band
+    postings and the per-doc shingle-set store for verification — and
+    each micro-batch computes signatures, probes the GROWN index,
+    exact-Jaccard-verifies the collisions, classifies, and appends its
+    admitted docs' bands + sets. A batch-2 near-dup of a doc admitted
+    in batch 1 classifies dup_corpus ACROSS batches. The expectation
+    is a sequential driver replay of the IDENTICAL pipeline (md5
+    permutations, 8x4 banding, band-collision candidates, >= 4/5
+    verify) in pure Python, so LSH recall is part of the contract,
+    not a tolerance. Runs on sf0.01 — sf0.001 has no cross-batch
+    near-dup pairs."""
+    import hashlib
+
+    from fhir2sql_spark.operators import dedup as dedup_ops
+
+    from tests.conftest import SF_MED
+
+    docs = load(spark, SF_MED, "documents")
+
+    def bands_of(df: DataFrame) -> DataFrame:
+        sh = dedup_ops.shingles(df, n=3, distinct=True)
+        mins = [
+            F.min(
+                F.md5(F.concat_ws("|", F.lit(str(i)), F.col("shingle")))
+            ).alias(f"h{i}")
+            for i in range(32)
+        ]
+        sig = sh.groupBy("doc_id").agg(*mins)
+        return sig.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.concat(
+                                *[
+                                    F.col(f"h{i}")
+                                    for i in range(b * 4, b * 4 + 4)
+                                ]
+                            ).alias("bkey"),
+                        )
+                        for b in range(8)
+                    ]
+                )
+            ).alias("s"),
+        ).select("doc_id", "s.band", "s.bkey")
+
+    def sets_of(df: DataFrame) -> DataFrame:
+        return (
+            dedup_ops.shingles(df, n=3, distinct=True)
+            .groupBy("doc_id")
+            .agg(F.collect_set("shingle").alias("sh_set"))
+        )
+
+    index_dir = str(tmp_path / "index")
+    out_dir = str(tmp_path / "classified")
+    in_dir = str(tmp_path / "ingest")
+    ckpt = str(tmp_path / "ckpt")
+    corpus_docs = docs.where(F.col("doc_id") % 3 != 0)
+    bands_of(corpus_docs).write.parquet(index_dir + "/bands/base")
+    sets_of(corpus_docs).write.parquet(index_dir + "/sets/base")
+    new_docs = docs.where(F.col("doc_id") % 3 == 0).select(
+        "doc_id", "lang", "text"
+    )
+
+    def classify(bdf: DataFrame, batch_id: int) -> None:
+        s = bdf.sparkSession
+        bdf = bdf.localCheckpoint()  # batch is re-read several times
+        idx_bands = s.read.option("recursiveFileLookup", "true").parquet(
+            index_dir + "/bands"
+        )
+        idx_sets = s.read.option("recursiveFileLookup", "true").parquet(
+            index_dir + "/sets"
+        )
+        nb = bands_of(bdf).localCheckpoint()
+        bsets = sets_of(bdf).localCheckpoint()
+        a = nb.select("band", "bkey", F.col("doc_id").alias("doc_a"))
+        cand_corpus = (
+            a.join(
+                idx_bands.select(
+                    F.col("band").alias("band_b"),
+                    F.col("bkey").alias("bkey_b"),
+                    F.col("doc_id").alias("doc_b"),
+                ),
+                (F.col("band") == F.col("band_b"))
+                & (F.col("bkey") == F.col("bkey_b")),
+            )
+            .select("doc_a", "doc_b")
+            .distinct()
+            # provenance, NOT doc_id % 3: admitted docs from earlier
+            # batches live in the index but still have doc_id % 3 == 0
+            .withColumn("src", F.lit("corpus"))
+        )
+        cand_batch = (
+            a.join(
+                nb.select(
+                    F.col("band").alias("band_b"),
+                    F.col("bkey").alias("bkey_b"),
+                    F.col("doc_id").alias("doc_b"),
+                ),
+                (F.col("band") == F.col("band_b"))
+                & (F.col("bkey") == F.col("bkey_b"))
+                & (F.col("doc_b") < F.col("doc_a")),
+            )
+            .select("doc_a", "doc_b")
+            .distinct()
+            .withColumn("src", F.lit("batch"))
+        )
+        cands = cand_corpus.unionByName(cand_batch).localCheckpoint()
+        all_sets = idx_sets.unionByName(bsets)
+        ver = (
+            cands.join(
+                bsets.select(
+                    F.col("doc_id").alias("doc_a"),
+                    F.col("sh_set").alias("set_a"),
+                ),
+                "doc_a",
+            )
+            .join(
+                all_sets.select(
+                    F.col("doc_id").alias("doc_b"),
+                    F.col("sh_set").alias("set_b"),
+                ),
+                "doc_b",
+            )
+            .withColumn(
+                "common", F.size(F.array_intersect("set_a", "set_b"))
+            )
+            .withColumn(
+                "union_n",
+                F.size("set_a") + F.size("set_b") - F.col("common"),
+            )
+            .where(F.col("common") * 5 >= F.col("union_n") * 4)
+        )
+        flags = ver.groupBy(F.col("doc_a").alias("doc_id")).agg(
+            F.max((F.col("src") == "corpus").cast("int")).alias("hc"),
+            F.max((F.col("src") == "batch").cast("int")).alias("hb"),
+        )
+        tagged = (
+            bdf.select("doc_id")
+            .join(F.broadcast(flags), "doc_id", "left")
+            .select(
+                "doc_id",
+                F.when(F.col("hc") == 1, F.lit("dup_corpus"))
+                .when(F.col("hb") == 1, F.lit("dup_batch"))
+                .otherwise(F.lit("new"))
+                .alias("status"),
+            )
+            .localCheckpoint()
+        )
+        tagged.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+        admitted = tagged.where(F.col("status") == "new").select("doc_id")
+        nb.join(F.broadcast(admitted), "doc_id", "left_semi").write.mode(
+            "overwrite"
+        ).parquet(f"{index_dir}/bands/batch={batch_id}")
+        bsets.join(F.broadcast(admitted), "doc_id", "left_semi").write.mode(
+            "overwrite"
+        ).parquet(f"{index_dir}/sets/batch={batch_id}")
+
+    def drain() -> None:
+        stream = spark.readStream.schema(
+            "doc_id long, lang string, text string"
+        ).parquet(in_dir)
+        q = (
+            stream.writeStream.foreachBatch(classify)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        q.stop()
+
+    b1 = new_docs.where(F.col("doc_id") % 2 == 0)
+    b2 = new_docs.where(F.col("doc_id") % 2 == 1)
+    b1.write.mode("append").parquet(in_dir)
+    drain()
+    b2.write.mode("append").parquet(in_dir)
+    drain()
+
+    out_rows = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(out_dir)
+        .collect()
+    )
+    got = {r["doc_id"]: r["status"] for r in out_rows}
+
+    # sequential Python replay of the identical pipeline
+    def sh3(text: str) -> set:
+        t = text.split(" ")
+        return {" ".join(t[i : i + 3]) for i in range(len(t) - 2)}
+
+    def bands_py(sset: set) -> set:
+        hs = [
+            min(
+                hashlib.md5(f"{p}|{s}".encode()).hexdigest() for s in sset
+            )
+            for p in range(32)
+        ]
+        return {(b, "".join(hs[b * 4 : b * 4 + 4])) for b in range(8)}
+
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in docs.select("doc_id", "text").collect()
+    }
+    sets_py = {d: sh3(t) for d, t in texts.items()}
+    bands_idx: dict[int, set] = {
+        d: bands_py(sets_py[d]) for d in texts if d % 3 != 0
+    }
+
+    def jac_ok(a: int, b: int) -> bool:
+        c = len(sets_py[a] & sets_py[b])
+        u = len(sets_py[a] | sets_py[b])
+        return u > 0 and c * 5 >= u * 4
+
+    expect = {}
+    for parity in (0, 1):
+        batch = sorted(d for d in texts if d % 3 == 0 and d % 2 == parity)
+        bb = {d: bands_py(sets_py[d]) for d in batch}
+        for d in batch:
+            corp_hits = [
+                o for o, ob in bands_idx.items() if bb[d] & ob and jac_ok(d, o)
+            ]
+            batch_hits = [
+                o for o in batch if o < d and bb[d] & bb[o] and jac_ok(d, o)
+            ]
+            if corp_hits:
+                expect[d] = "dup_corpus"
+            elif batch_hits:
+                expect[d] = "dup_batch"
+            else:
+                expect[d] = "new"
+        bands_idx.update(
+            {d: bb[d] for d in batch if expect[d] == "new"}
+        )
+    assert len(out_rows) == len(expect)  # no replay-duplicated rows
+    assert got == expect
+    assert set(got.values()) >= {"new", "dup_corpus"}
+    # the cross-batch case must actually occur: 420 (batch 1, no
+    # corpus partner) is admitted, then its near-dup 393 (batch 2)
+    # hits the GROWN index — the one-shot query calls 393/420 a
+    # dup_batch pair; the stream sees 420 as corpus by then
+    assert got[420] == "new" and got[393] == "dup_corpus"

@@ -399,6 +399,78 @@ CHECKS: list[tuple[str, str, str]] = [
         "FlatMapGroupsInPandas",
         "the pairwise verdict runs per-cell in Arrow groups",
     ),
+    # round 8: BPE encoder / incremental winnow / phash dedup
+    (
+        "q_bpe_encode",
+        "BroadcastHashJoin",
+        "the trained merge vocabulary broadcasts into the token join",
+    ),
+    (
+        "q_dedup_winnow_inc",
+        "!SortMergeJoin",
+        "frozen-index probe and classification are all broadcast "
+        "joins — the ingest never shuffles the corpus index",
+    ),
+    (
+        "q_multimodal_phash_dedup",
+        "Generate posexplode(__ids",
+        "Hamming-band candidate pairs come from posting-list "
+        "posexplodes (the winnow co-occurrence form), never a band "
+        "self-join",
+    ),
+    (
+        "q_tokens_fertility_bpe",
+        "BroadcastHashJoin",
+        "the trained merge vocabulary broadcasts into the token join",
+    ),
+    # round 8: diagnostics + curation additions
+    (
+        "q_diag_skew",
+        "TakeOrderedAndProject",
+        "skew profile's top-10 must not global-sort the key counts",
+    ),
+    (
+        "q_dedup_paragraph",
+        "#2:Exchange hashpartitioning",
+        "paragraph dedup is exactly 2 exchanges: chunk-hash keeper "
+        "window + doc_id rollup",
+    ),
+    (
+        "q_embed_sq",
+        "WindowGroupLimit",
+        "SQ8 top-k prunes to 5 rows/query per partition BEFORE the "
+        "q_id exchange",
+    ),
+    (
+        "q_embed_sq",
+        "#1:Exchange hashpartitioning",
+        "SQ8 search: the q_id ranking exchange is the ONLY hash "
+        "exchange — the corpus never shuffles (stats ride a "
+        "broadcast, queries broadcast into the scoring pass)",
+    ),
+    (
+        "q_prune_prototypes",
+        "MapInPandas",
+        "prototype scoring is the fused Arrow assignment pass",
+    ),
+    (
+        "q_prune_prototypes",
+        "#1:Exchange hashpartitioning",
+        "one cell-keyed exchange shared by the rank and count windows",
+    ),
+    (
+        "q_diag_codebook_drift",
+        "BroadcastNestedLoopJoin",
+        "the checkpointed k-row per-cell table cross-joins the 1-row "
+        "totals broadcast (the spine BroadcastHashJoins run "
+        "pre-checkpoint; see PLANS.md round 8)",
+    ),
+    (
+        "q_dedup_minhash_inc",
+        "BroadcastHashJoin",
+        "verified-pair flags broadcast into the batch classification "
+        "(and candidate pairs broadcast inside the verify)",
+    ),
     ("q_cdc_scd2", "WindowGroupLimit", ""),  # placeholder replaced below
 ]
 # q_cdc_scd2's property is structural, not a substring: all three
@@ -496,6 +568,17 @@ BUILDER_ACTION_QUERIES = frozenset(
         "q_sample_temperature",
         "q_dedup_winnow_pairs",
         "q_bpe_merges",
+        # round 8: lattice trainers (k-means collects), the verify
+        # checkpoint inside minhash_inc, the drift j-table checkpoint,
+        # BPE merge training loops, winnow fp-set checkpoints
+        "q_prune_prototypes",
+        "q_diag_codebook_drift",
+        "q_dedup_minhash_inc",
+        "q_bpe_encode",
+        "q_tokens_fertility_bpe",
+        "q_dedup_winnow_inc",
+        "q_multimodal_phash_dedup",
+        "q_embed_sq",  # eager 1-row stats checkpoint
     }
 )
 
