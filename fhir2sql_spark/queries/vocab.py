@@ -833,8 +833,14 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     wpos = docs.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
     ).where(F.col("w") != "")
+    # SHUFFLE_HASH with the vocabulary as build side: Catalyst's size
+    # estimate under-guesses the exploded token stream at fixture
+    # scale and BROADCASTS THE CORPUS (fatal at 100 TB where the
+    # stream is the dataset and the vocab can itself be too large to
+    # broadcast); the hint pins the documented word-keyed shuffle
+    # join with the vocab-sized map as the per-partition hash build
     return (
-        wpos.join(emap, "w")
+        wpos.join(emap.hint("shuffle_hash"), "w")
         .groupBy("doc_id")
         .agg(
             F.sum("np").cast("long").alias("n_pieces"),
@@ -883,8 +889,9 @@ def q_tokens_fertility_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     lw = docs.select(
         "lang", F.explode(F.split("text", " ")).alias("w")
     ).where(F.col("w") != "")
+    # same SHUFFLE_HASH pin as q_bpe_encode (corpus-broadcast hazard)
     return (
-        lw.join(emap, "w")
+        lw.join(emap.hint("shuffle_hash"), "w")
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_words"),

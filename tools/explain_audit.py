@@ -402,8 +402,10 @@ CHECKS: list[tuple[str, str, str]] = [
     # round 8: BPE encoder / incremental winnow / phash dedup
     (
         "q_bpe_encode",
-        "BroadcastHashJoin",
-        "the trained merge vocabulary broadcasts into the token join",
+        "ShuffledHashJoin",
+        "the token-stream/vocab join is the pinned word-keyed shuffle "
+        "join with the vocab map as build side — Catalyst's estimate "
+        "broadcast THE CORPUS at fixture scale (fatal at 100 TB)",
     ),
     (
         "q_dedup_winnow_inc",
@@ -420,8 +422,8 @@ CHECKS: list[tuple[str, str, str]] = [
     ),
     (
         "q_tokens_fertility_bpe",
-        "BroadcastHashJoin",
-        "the trained merge vocabulary broadcasts into the token join",
+        "ShuffledHashJoin",
+        "same corpus-broadcast hazard pin as q_bpe_encode",
     ),
     # round 8: diagnostics + curation additions
     (
