@@ -656,6 +656,7 @@ def winnow_pairs(
     max_df: int | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    fps: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup candidate pairs by SHARED winnowing fingerprints (the
     MOSS comparison step): every unordered doc pair sharing at least
@@ -699,8 +700,15 @@ def winnow_pairs(
     corpus-wide boilerplate — exactly the pairs a near-dup pipeline
     must not emit anyway (tests/test_selection.py plants such a
     sentence and asserts bounded pair count with unchanged recall on
-    the genuinely near-duplicate planted pairs)."""
-    fps = winnow_fp_sets(docs, k=k, w=w, id_col=id_col, text_col=text_col)
+    the genuinely near-duplicate planted pairs).
+
+    ``fps``: precomputed (id_col, __fp) fingerprint stream — callers
+    holding a materialized/stored index (q_dedup_winnow_inc) pass it
+    to avoid recomputing the winnow window from raw text."""
+    if fps is None:
+        fps = winnow_fp_sets(
+            docs, k=k, w=w, id_col=id_col, text_col=text_col
+        )
     posts = (
         fps.groupBy("__fp")
         .agg(F.collect_set(id_col).alias("__docs"))

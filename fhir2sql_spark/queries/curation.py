@@ -596,7 +596,11 @@ def q_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     collect), one back on doc_id for the rollup. Both aggregate
     map-side; nothing is driver-side; at 100 TB this is the same
     2-exchange posture as q_dedup_exact with the explode bounded by
-    token count / 8."""
+    token count / 8. (A round-8 A/B tried the min-struct winner
+    election with a single text-carrying exchange: 6% better at
+    sf100, 2x worse at sf1/sf10 because the chunk explode runs twice
+    — the window form measured 2.3 / 4.1 / 94 s across the decades
+    and stays.)"""
     docs = load(spark, sf_dir, "documents").withColumn(
         "ts", F.split(F.col("text"), " ")
     )

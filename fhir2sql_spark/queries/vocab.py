@@ -882,22 +882,33 @@ def q_tokens_fertility_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge rounds fertility sits just under chars/word; the VALUE of
     the twin is that the number now moves when the tokenizer does
     (more merges -> lower fertility), which the proxy never could.
-    Same two-exchange scale shape as q_bpe_encode minus the per-doc
-    digest (lang rollup instead of doc rollup)."""
+    Unlike q_bpe_encode (whose per-doc digest forces a corpus-sized
+    word join), fertility is frequency algebra: the token stream
+    collapses map-side to (lang, word, count) and the encoder join +
+    rollup run on vocabulary-sized input."""
     docs = load(spark, sf_dir, "documents")
     emap = _bpe_encode_map(docs)
     lw = docs.select(
         "lang", F.explode(F.split("text", " ")).alias("w")
     ).where(F.col("w") != "")
-    # same SHUFFLE_HASH pin as q_bpe_encode (corpus-broadcast hazard)
+    # collapse the token stream to per-(lang, word) counts FIRST — the
+    # q_bpe_pairs argument: the aggregate is map-side combined, so the
+    # join and everything after it is VOCABULARY-sized and the corpus
+    # token stream never crosses the wire (round-8 A/B at sf100: the
+    # raw-token shuffle-hash join cost 76 s; this form is flat).
+    # shuffle_hash keeps the corpus-broadcast hazard pinned away.
+    lwc = lw.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("cnt"))
     return (
-        lw.join(emap.hint("shuffle_hash"), "w")
+        lwc.join(emap.hint("shuffle_hash"), "w")
         .groupBy("lang")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_words"),
-            F.sum("np").cast("long").alias("bpe_tokens"),
+            F.sum("cnt").cast("long").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("np")).cast("long").alias(
+                "bpe_tokens"
+            ),
             (
-                F.sum("np").cast("double") / F.count(F.lit(1)).cast("double")
+                F.sum(F.col("cnt") * F.col("np")).cast("double")
+                / F.sum("cnt").cast("double")
             ).alias("fertility"),
         )
     )

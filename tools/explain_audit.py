@@ -435,7 +435,8 @@ CHECKS: list[tuple[str, str, str]] = [
         "q_dedup_paragraph",
         "#2:Exchange hashpartitioning",
         "paragraph dedup is exactly 2 exchanges: chunk-hash keeper "
-        "window + doc_id rollup",
+        "window + doc_id rollup (the 1-text-exchange variant lost "
+        "the round-8 A/B — see the docstring)",
     ),
     (
         "q_embed_sq",

@@ -32,12 +32,18 @@ def main() -> int:
     spark = get_spark("measure-scale")
     for name in args.names:
         fn = registry.QUERIES[name]
-        best, rows = float("inf"), -1
+        best = float("inf")
         for _ in range(args.runs):
             t0 = time.monotonic()
-            rows = fn(spark, args.sf).count()
+            # noop sink = bench.py's methodology: FULL materialization
+            # of every output column (a bare .count() lets Catalyst
+            # prune aggregate columns and eliminate unique-keyed left
+            # joins, silently under-measuring)
+            fn(spark, args.sf).write.format("noop").mode(
+                "overwrite"
+            ).save()
             best = min(best, time.monotonic() - t0)
-        print(f">>SCALE {name} {args.sf} {best:.2f}s rows={rows}", flush=True)
+        print(f">>SCALE {name} {args.sf} {best:.2f}s", flush=True)
     return 0
 
 
