@@ -414,6 +414,14 @@ CHECKS: list[tuple[str, str, str]] = [
         "joins — the ingest never shuffles the corpus index",
     ),
     (
+        "q_dedup_winnow_inc",
+        "!Generate posexplode(arrays_zip",
+        "the winnow fingerprint window runs ONCE behind the eager "
+        "checkpoint — no branch re-derives fingerprints from raw "
+        "text (round-8: per-branch recompute cost 177 s vs 111 s at "
+        "sf100)",
+    ),
+    (
         "q_multimodal_phash_dedup",
         "Generate posexplode(__ids",
         "Hamming-band candidate pairs come from posting-list "
