@@ -1955,12 +1955,20 @@ def q_dedup_minhash_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
+    return _classify_new_batch(docs, cand_corpus, cand_batch)
+
+
+def _classify_new_batch(
+    docs: DataFrame, cand_corpus: DataFrame, cand_batch: DataFrame
+) -> DataFrame:
+    """Shared tail of the incremental MinHash dedups: exact-Jaccard
+    verify the (doc_a = batch, doc_b) candidates, then classify every
+    batch doc in ONE flags rollup — referencing the verified list
+    twice would re-execute the whole verify pipeline (2 corpus shingle
+    passes) per reference."""
     ver = dedup.verify_candidate_pairs(
         docs, cand_corpus.unionByName(cand_batch), 4, 5
     )
-    # ONE rollup of the (tiny) verified-pair list classifies both dup
-    # kinds — referencing ver twice would re-execute the whole verify
-    # pipeline (2 corpus shingle passes) per reference
     flags = ver.groupBy(F.col("doc_a").alias("doc_id")).agg(
         F.max((F.col("doc_b") % 3 != 0).cast("int")).alias("hit_corpus"),
         F.max((F.col("doc_b") % 3 == 0).cast("int")).alias("hit_batch"),
@@ -1977,3 +1985,67 @@ def q_dedup_minhash_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("status"),
         )
     )
+
+
+@query("q_dedup_minhash_inc_fast")  # engine-specific hash: rows-only
+def q_dedup_minhash_inc_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The xxhash64 SCALE PATH of q_dedup_minhash_inc — the same
+    relationship q_dedup_minhash bears to q_dedup_minhash_portable:
+    identical pipeline (32 permutations, 8x4 banding, frozen band
+    index probe, exact-Jaccard verify, dup_corpus / dup_batch / new
+    with the min-id keeper), but signatures come from the JVM-side
+    (a*xxhash64+b) mod P family and each band folds to ONE 8-byte
+    xxhash64 key instead of a 128-char md5 concatenation — ~3x
+    cheaper to compute and 16x lighter to shuffle/store in the index
+    (round-8 decade rows in SCALE.md). xxhash64 is engine-specific,
+    so this is a declared rows-only query; its ALGORITHM is
+    exact-gated through the md5 twin, and status equality on the
+    fixture is pinned in tests/test_round8_ops.py. Unlike
+    lsh_candidate_pairs' per-lang banding, the band key here is
+    language-agnostic to match the twin's contract."""
+    docs = load(spark, sf_dir, "documents")
+    sig = dedup.minhash_signatures(docs, num_hashes=32, seed=42)
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.lit(b),
+                        *[
+                            F.col("signature").getItem(i)
+                            for i in range(b * 4, (b + 1) * 4)
+                        ],
+                    )
+                    for b in range(8)
+                ]
+            )
+        ).alias("bkey"),
+    )
+    nb = banded.where(F.col("doc_id") % 3 == 0)
+    idx = banded.where(F.col("doc_id") % 3 != 0)
+    a = nb.select("bkey", F.col("doc_id").alias("doc_a"))
+    cand_corpus = (
+        a.join(
+            idx.select(
+                F.col("bkey").alias("bkey_b"),
+                F.col("doc_id").alias("doc_b"),
+            ),
+            F.col("bkey") == F.col("bkey_b"),
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    cand_batch = (
+        a.join(
+            nb.select(
+                F.col("bkey").alias("bkey_b"),
+                F.col("doc_id").alias("doc_b"),
+            ),
+            (F.col("bkey") == F.col("bkey_b"))
+            & (F.col("doc_b") < F.col("doc_a")),
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return _classify_new_batch(docs, cand_corpus, cand_batch)

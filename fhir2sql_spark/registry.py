@@ -100,7 +100,7 @@ SHOWCASE = (
     "q_bpe_encode", "q_dedup_winnow_inc", "q_multimodal_phash_dedup",
     "q_tokens_fertility_bpe", "q_diag_skew", "q_diag_codebook_drift",
     "q_dedup_paragraph", "q_prune_prototypes", "q_embed_sq",
-    "q_dedup_minhash_inc",
+    "q_dedup_minhash_inc", "q_dedup_minhash_inc_fast",
     # 2. changed since the r7 driver gate
     "q_dedup_winnow_pairs", "q_sample_neyman",
     # 3a. last driver-checked in round 3 (all 34)
@@ -117,7 +117,6 @@ SHOWCASE = (
     "q_window_range_frame",
     # 3b. last driver-checked in round 4 (alphabetical prefix)
     "q_agg_conditional", "q_agg_mode", "q_agg_stats",
-    "q_cohort_retention",
 )
 
 # Green in CORRECTNESS_r02.json (round-2 driver gate) — kept here so

@@ -139,3 +139,28 @@ def test_minhash_inc_statuses_are_sound(spark, sf_dir):
             assert d in truth_batch and d not in truth_corpus
         else:
             assert d not in truth_corpus
+
+
+def test_minhash_inc_fast_statuses_equal_md5_twin(spark):
+    """The xxhash64 scale path must classify the fixture identically
+    to the exact-oracled md5 twin — different hash families can in
+    principle band-collide differently, but exact verification makes
+    false positives impossible and the fixture's near-dup pairs are
+    high-Jaccard enough that both families catch them all (the
+    q_dedup_minhash recall=1.0 argument, applied to statuses)."""
+    from tests.conftest import SF_MED
+
+    for sf in [SF_MED]:
+        slow = {
+            r["doc_id"]: r["status"]
+            for r in registry.QUERIES["q_dedup_minhash_inc"](
+                spark, sf
+            ).collect()
+        }
+        fast = {
+            r["doc_id"]: r["status"]
+            for r in registry.QUERIES["q_dedup_minhash_inc_fast"](
+                spark, sf
+            ).collect()
+        }
+        assert fast == slow

@@ -482,6 +482,12 @@ CHECKS: list[tuple[str, str, str]] = [
         "verified-pair flags broadcast into the batch classification "
         "(and candidate pairs broadcast inside the verify)",
     ),
+    (
+        "q_dedup_minhash_inc_fast",
+        "BroadcastHashJoin",
+        "same classification shape as the md5 twin; band keys are "
+        "single xxhash64 longs",
+    ),
     ("q_cdc_scd2", "WindowGroupLimit", ""),  # placeholder replaced below
 ]
 # q_cdc_scd2's property is structural, not a substring: all three
@@ -589,6 +595,7 @@ BUILDER_ACTION_QUERIES = frozenset(
         "q_tokens_fertility_bpe",
         "q_dedup_winnow_inc",
         "q_multimodal_phash_dedup",
+        "q_dedup_minhash_inc_fast",
         "q_embed_sq",  # eager 1-row stats checkpoint
     }
 )
