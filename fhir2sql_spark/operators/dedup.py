@@ -221,8 +221,15 @@ def verify_candidate_pairs(
     threshold_num: int,
     threshold_den: int,
     n: int = 3,
+    containment: bool = False,
 ) -> DataFrame:
     """Exact-Jaccard verification restricted to candidate pairs.
+
+    With ``containment=True`` the filter becomes the DIRECTED
+    predicate |Sa ∩ Sb| * den >= |Sa| * num (doc_a mostly inside
+    doc_b — the containment_pairs formulation); the emitted ``jac``
+    column still reports the Jaccard ratio, callers that need the
+    containment ratio derive it from common / |Sa|.
 
     This is the second half of the LSH pipeline: per-doc shingle SETS
     (collect_set, one shuffle) joined to the (tiny) candidate list on
@@ -259,15 +266,21 @@ def verify_candidate_pairs(
         .join(sa, "doc_a")
         .join(sb, "doc_b")
     )
-    out = (
-        joined.withColumn(
-            "common", F.size(F.array_intersect("set_a", "set_b"))
-        )
-        .withColumn(
-            "union_n", F.size("set_a") + F.size("set_b") - F.col("common")
-        )
-        .where(F.col("common") * threshold_den >= F.col("union_n") * threshold_num)
+    scored = joined.withColumn(
+        "common", F.size(F.array_intersect("set_a", "set_b"))
+    ).withColumn(
+        "union_n", F.size("set_a") + F.size("set_b") - F.col("common")
     )
+    if containment:
+        out = scored.where(
+            F.col("common") * threshold_den
+            >= F.size("set_a") * threshold_num
+        )
+    else:
+        out = scored.where(
+            F.col("common") * threshold_den
+            >= F.col("union_n") * threshold_num
+        )
     return out.select(
         "doc_a",
         "doc_b",

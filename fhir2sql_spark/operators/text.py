@@ -649,7 +649,7 @@ def winnow_fp_sets(
 
 
 def winnow_pairs(
-    docs: DataFrame,
+    docs: DataFrame | None = None,
     k: int = 3,
     w: int = 4,
     min_shared: int = 2,
@@ -704,7 +704,16 @@ def winnow_pairs(
 
     ``fps``: precomputed (id_col, __fp) fingerprint stream — callers
     holding a materialized/stored index (q_dedup_winnow_inc) pass it
-    to avoid recomputing the winnow window from raw text."""
+    to avoid recomputing the winnow window from raw text. Exactly one
+    of ``docs`` / ``fps`` must be provided (ADVICE r8: a caller
+    passing both would silently have docs/k/w/text_col ignored, with
+    no warning if fps was built under different winnow parameters)."""
+    if (docs is None) == (fps is None):
+        raise ValueError(
+            "winnow_pairs: provide exactly one of docs= (raw text, "
+            "fingerprinted here with k/w) or fps= (precomputed "
+            "fingerprints; k/w/text_col are not consulted)"
+        )
     if fps is None:
         fps = winnow_fp_sets(
             docs, k=k, w=w, id_col=id_col, text_col=text_col

@@ -64,7 +64,16 @@ def q_diag_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-deterministic; ties at the cut line break by key.
     """
     ev = load(spark, sf_dir, "events")
-    counts = ev.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    # counts is referenced twice (totals rollup + top-10); without a
+    # lineage barrier each reference re-scans and re-aggregates the
+    # fact table — on the 100 TB events table this diagnostic exists
+    # for, that doubles its cost (ADVICE r8). The checkpoint holds
+    # O(distinct keys) rows of (key, cnt) on executor disk.
+    counts = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
     tot = counts.agg(
         F.sum("cnt").alias("total"), F.count("*").alias("n_keys")
     )

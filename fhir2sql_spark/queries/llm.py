@@ -146,6 +146,253 @@ def q_dedup_setsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_INC_STATUS_SQL = """
+    SELECT d.doc_id,
+           CASE WHEN dc.doc_a IS NOT NULL THEN 'dup_corpus'
+                WHEN db.doc_a IS NOT NULL THEN 'dup_batch'
+                ELSE 'new' END AS status
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 3 = 0) d
+    LEFT JOIN (SELECT DISTINCT doc_a FROM ver WHERE doc_b % 3 <> 0) dc
+           ON dc.doc_a = d.doc_id
+    LEFT JOIN (SELECT DISTINCT doc_a FROM ver WHERE doc_b % 3 = 0) db
+           ON db.doc_a = d.doc_id
+"""
+
+_5GRAM_SQL = """
+    WITH s AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
+               FROM documents),
+    pos AS (
+        SELECT doc_id, lang, toks,
+               unnest(generate_series(1, len(toks) - 4)) AS i
+        FROM s
+    ),
+    sh AS MATERIALIZED (
+        SELECT DISTINCT doc_id, lang,
+               toks[CAST(i AS INT)] || ' ' || toks[CAST(i+1 AS INT)]
+                 || ' ' || toks[CAST(i+2 AS INT)]
+                 || ' ' || toks[CAST(i+3 AS INT)]
+                 || ' ' || toks[CAST(i+4 AS INT)] AS shingle
+        FROM pos
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    com AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+        FROM sh a JOIN sh b
+          ON a.lang = b.lang AND a.shingle = b.shingle
+        WHERE a.doc_id % 3 = 0
+          AND (b.doc_id % 3 <> 0 OR b.doc_id < a.doc_id)
+        GROUP BY 1, 2
+    )
+"""
+
+
+def _inc_prefix_postings(
+    docs: DataFrame,
+    threshold_num: int,
+    threshold_den: int,
+    n: int,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Shared prologue of the r9 incremental prefix-filter dedups:
+    per-doc rarity-ordered prefixes under the FROZEN corpus token
+    order.
+
+    The stored index's total order is (corpus document frequency,
+    sid): df here is counted over the corpus shard ONLY — a
+    conditional count over the same sid window setsim_pairs uses, so
+    in one pass every token (corpus AND batch rows) carries the
+    frozen statistic, and tokens the index has never seen rank df=0
+    (rarest — they cannot hit the corpus index anyway, but order
+    batch-batch prefixes). Prefix completeness holds under ANY fixed
+    total order (Bayardo et al.'s theorem never uses rarity, only
+    consistency), which is what makes the frozen order sound: rarity
+    only buys selectivity, and a STALE rarity profile degrades speed,
+    never recall — the drift monitor (q_diag_codebook_drift's role
+    for the semantic index) tells you when to re-rank.
+
+    Plan: the same 2-big-exchange linear pipeline as setsim_pairs
+    (one explicit sid exchange shared by the distinct aggregate and
+    the df window, one doc_id exchange for the size+prefix windows);
+    only the prefix slice is checkpointed — it is the stored-index
+    stand-in, read once as the corpus side and twice as the batch
+    probe."""
+    sh = (
+        dedup.shingles(docs, n=n, distinct=False)
+        .select("doc_id", F.xxhash64("lang", "shingle").alias("__sid"))
+        .repartition(F.col("__sid"))
+        .groupBy("__sid", "doc_id")
+        .agg(F.lit(1))
+        .select("doc_id", "__sid")
+    )
+    toks = sh.withColumn(
+        "__df",
+        F.count(F.when(F.col("doc_id") % 3 != 0, F.lit(1))).over(
+            Window.partitionBy("__sid")
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy("__df", "__sid")
+    w_size = Window.partitionBy("doc_id")
+    prefix_len = (
+        F.col("__s")
+        - F.expr(
+            f"(__s * {threshold_num} + {threshold_den} - 1) "
+            f"div {threshold_den}"
+        )
+        + 1
+    )
+    pref = (
+        toks.withColumn("__s", F.count(F.lit(1)).over(w_size))
+        .withColumn("__pos", F.row_number().over(w))
+        .where(F.col("__pos") <= prefix_len)
+        .select("doc_id", "__sid")
+    )
+    # checkpoint=False exists ONLY so tests can read the pre-barrier
+    # plan (the 2-exchange pin); every query path checkpoints
+    return pref.localCheckpoint(eager=True) if checkpoint else pref
+
+
+@query(
+    "q_dedup_setsim_inc",
+    oracle=_5GRAM_SQL
+    + """,
+    ver AS (
+        SELECT m.doc_a, m.doc_b
+        FROM com m
+        JOIN sz sa ON m.doc_a = sa.doc_id
+        JOIN sz sb ON m.doc_b = sb.doc_id
+        WHERE m.common * 2 >= (sa.n + sb.n - m.common) * 1
+    )
+"""
+    + _INC_STATUS_SQL,
+)
+def q_dedup_setsim_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental EXACT set-similarity dedup against a FROZEN prefix
+    index (VERDICT r8 #4 — the last heavy batch dedup without a
+    per-ingest form; composition proven by q_dedup_incremental /
+    _semantic_inc / _winnow_inc / _minhash_inc). The stored corpus
+    index holds each corpus doc's rarity-ordered PREFIX postings
+    (rarest |S| - ceil(t|S|) + 1 tokens under the frozen (corpus-df,
+    sid) order). Per ingest, the NEW batch (doc_id % 3 = 0) computes
+    its own prefixes under the SAME frozen order, equi-joins the
+    corpus prefix index and its own prefixes on the token sid, then
+    exact-verifies candidates at word-5-gram Jaccard >= 1/2 and
+    classifies each batch doc dup_corpus / dup_batch (min-id keeper) /
+    new.
+
+    Unlike the LSH family this needs NO recall caveat and NO bucket
+    cap replay in the oracle: prefix filtering is COMPLETE under any
+    consistent total order, and verification is exact, so the emitted
+    statuses are order-independent — the oracle is the plain
+    brute-force inverted-index join (q_dedup_setsim's own oracle
+    restricted to batch rows), not an xxhash64 replay.
+
+    Scale shape: per-ingest cost is O(batch prefix postings +
+    candidates). The corpus is touched only through the sid equi-join
+    against its stored prefix slice (~(1-t)|S|+1 tokens per doc) and
+    the candidate-restricted verify; boilerplate fan-out is bounded
+    by RARITY itself — a token in many corpus docs has high frozen df
+    and falls outside every prefix (the property the winnow family
+    buys with max_df, here free by construction)."""
+    docs = load(spark, sf_dir, "documents")
+    pref = _inc_prefix_postings(docs, threshold_num=1, threshold_den=2, n=5)
+    is_new = F.col("doc_id") % 3 == 0
+    pb = pref.where(is_new).select("__sid", F.col("doc_id").alias("doc_a"))
+    pc = pref.where(~is_new).select(
+        F.col("__sid").alias("__sid_b"), F.col("doc_id").alias("doc_b")
+    )
+    bb = pref.where(is_new).select(
+        F.col("__sid").alias("__sid_b"), F.col("doc_id").alias("doc_b")
+    )
+    cand_corpus = (
+        pb.join(pc, F.col("__sid") == F.col("__sid_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    cand_batch = (
+        pb.join(
+            bb,
+            (F.col("__sid") == F.col("__sid_b"))
+            & (F.col("doc_b") < F.col("doc_a")),
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return _classify_new_batch(
+        docs, cand_corpus, cand_batch, threshold_num=1, threshold_den=2, n=5
+    )
+
+
+@query(
+    "q_dedup_containment_inc",
+    oracle=_5GRAM_SQL
+    + """,
+    ver AS (
+        SELECT m.doc_a, m.doc_b
+        FROM com m
+        JOIN sz sa ON m.doc_a = sa.doc_id
+        WHERE m.common * 5 >= sa.n * 4
+    )
+"""
+    + _INC_STATUS_SQL,
+)
+def q_dedup_containment_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental DIRECTED containment dedup against a FROZEN full
+    posting index — the per-ingest form of q_dedup_containment
+    (VERDICT r8 'What's missing' #2): classify each new-batch doc as
+    dup if its word-5-gram set is >= 4/5 CONTAINED in some corpus doc
+    (dup_corpus) or some smaller-id batch doc (dup_batch) — quotes,
+    mirrored sections, and near-supersets that Jaccard dilutes.
+
+    Asymmetry mirrors the batch operator: the batch PROBE side is
+    prefix-pruned (|A| - ceil(t|A|) + 1 rarest tokens under the
+    frozen order — the containment theorem prunes only the contained
+    side), while the stored corpus side is its FULL posting index —
+    containment says nothing about |B|, so the index cannot be
+    prefix-sliced; that is inherent (JOSIE's positional bounds are a
+    refinement, not an escape). The index side therefore reuses the
+    RAW hashed shingle stream exactly as containment_pairs does: per
+    -doc duplicate sids only duplicate candidates, absorbed by the
+    pair distinct, so the stored index needs no aggregate at all.
+    Statuses are order-independent (complete candidates + exact
+    verify), so the oracle is the brute-force directed join, no
+    hash replay."""
+    docs = load(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % 3 == 0
+    pref = _inc_prefix_postings(docs, threshold_num=4, threshold_den=5, n=5)
+    pb = pref.where(is_new).select("__sid", F.col("doc_id").alias("doc_a"))
+    # frozen FULL posting index (corpus side, no prefix prune)
+    full = dedup.shingles(docs, n=5, distinct=False).select(
+        F.xxhash64("lang", "shingle").alias("__sid_b"),
+        F.col("doc_id").alias("doc_b"),
+    )
+    cand_corpus = (
+        pb.join(
+            full.where(F.col("doc_b") % 3 != 0),
+            F.col("__sid") == F.col("__sid_b"),
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    cand_batch = (
+        pb.join(
+            full.where(F.col("doc_b") % 3 == 0),
+            (F.col("__sid") == F.col("__sid_b"))
+            & (F.col("doc_b") < F.col("doc_a")),
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return _classify_new_batch(
+        docs,
+        cand_corpus,
+        cand_batch,
+        threshold_num=4,
+        threshold_den=5,
+        n=5,
+        containment=True,
+    )
+
+
 @query("q_dedup_minhash")  # probabilistic: rows-only; recall vs exact in tests
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32 perms, seed 42) + 8x4 banding -> candidate pairs ->
@@ -1842,11 +2089,18 @@ def q_embed_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
                string_agg(h, '' ORDER BY p) AS bkey
         FROM sigs GROUP BY 1, 2
     ),
+    bands_r AS (
+        SELECT doc_id, band, bkey,
+               ROW_NUMBER() OVER (PARTITION BY band, bkey, doc_id % 3 = 0
+                                  ORDER BY doc_id) AS pr
+        FROM bands
+    ),
     cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a JOIN bands b
+        FROM bands a JOIN bands_r b
           ON a.band = b.band AND a.bkey = b.bkey
         WHERE a.doc_id % 3 = 0
+          AND b.pr <= 64
           AND (b.doc_id % 3 <> 0
                OR (b.doc_id % 3 = 0 AND b.doc_id < a.doc_id))
     ),
@@ -1896,10 +2150,16 @@ def q_dedup_minhash_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
     the verification semi-join, both probe-sized; stored bucketed by
     (band, bkey) the index read is exchange-free (the
     q_dedup_incremental posture, tests/test_bucketed_join.py). Band
-    keys are md5 concatenations: uniform, unskewable shuffle keys. The
-    scale variant swaps md5 for xxhash64 exactly as q_dedup_minhash
-    does vs its portable twin; recall equivalence is pinned in
-    tests/test_llm_ops.py."""
+    keys are md5 concatenations: uniform, unskewable shuffle keys —
+    but md5 uniformity only defends against HASH skew; TRUE
+    duplication (a boilerplate mega-cluster) still piles n docs into
+    one bucket, so both posting sides are stop-bucket-capped at
+    _INC_BUCKET_CAP min-ids per (band, bkey) before the probe (the
+    winnow max_df lesson, VERDICT r8 #2; the cap is replayed in the
+    SQL oracle's bands_r CTE and the planted mega-cluster test is
+    tests/test_round9_ops.py). The scale variant swaps md5 for
+    xxhash64 exactly as q_dedup_minhash does vs its portable twin;
+    recall equivalence is pinned in tests/test_llm_ops.py."""
     docs = load(spark, sf_dir, "documents")
     sh = dedup.shingles(docs, n=3, distinct=True)
     mins = [
@@ -1926,7 +2186,14 @@ def q_dedup_minhash_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("s"),
     ).select("doc_id", "s.band", "s.bkey")
     nb = banded.where(F.col("doc_id") % 3 == 0)  # new-batch probe side
-    idx = banded.where(F.col("doc_id") % 3 != 0)  # frozen band index
+    # frozen band index, stop-bucket-capped (VERDICT r8 #2): at most
+    # _INC_BUCKET_CAP postings per (band, bkey) per side survive —
+    # the index stores min-id postings, the batch probe side is
+    # capped the same way before it plays doc_b
+    idx = _cap_bucket_postings(
+        banded.where(F.col("doc_id") % 3 != 0), "band", "bkey"
+    )
+    nb_post = _cap_bucket_postings(nb, "band", "bkey")
     a = nb.select("band", "bkey", F.col("doc_id").alias("doc_a"))
     cand_corpus = (
         a.join(
@@ -1943,7 +2210,7 @@ def q_dedup_minhash_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cand_batch = (
         a.join(
-            nb.select(
+            nb_post.select(
                 F.col("band").alias("band_b"),
                 F.col("bkey").alias("bkey_b"),
                 F.col("doc_id").alias("doc_b"),
@@ -1958,16 +2225,69 @@ def q_dedup_minhash_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _classify_new_batch(docs, cand_corpus, cand_batch)
 
 
+#: Per-(band-bucket, side) posting cap for the incremental LSH probes
+#: (VERDICT r8 #2 — the winnow max_df lesson applied to band buckets).
+#: A boilerplate mega-cluster puts n docs into ONE (band, bkey)
+#: bucket; uncapped, a probe against it fans out n_batch x n_index
+#: candidate rows before the distinct. Keeping only the BUCKET_CAP
+#: smallest doc_ids per bucket per side bounds candidate fan-out at
+#: O(batch x bands x cap) regardless of true duplication, and on a
+#: mega-cluster every kept posting is a mutual near-dup of the
+#: dropped ones, so statuses are preserved (planted-cluster test in
+#: tests/test_round9_ops.py). Mirrored exactly in the md5 twin's SQL
+#: oracle via ROW_NUMBER() OVER (PARTITION BY band, bkey, side).
+_INC_BUCKET_CAP = 64
+
+
+def _cap_bucket_postings(banded: DataFrame, *keys: str) -> DataFrame:
+    """Keep the _INC_BUCKET_CAP smallest doc_ids per bucket.
+
+    ``keys`` are the bucket columns ((band, bkey) for the md5 form,
+    (bkey,) for the xxhash64 form); callers apply it per SIDE (index /
+    batch) so the rank is deterministic and SQL-replayable. The window
+    shuffles on the same key the probe join uses, so at scale it rides
+    the exchange the join needs anyway."""
+    w = Window.partitionBy(*keys).orderBy("doc_id")
+    return (
+        banded.withColumn("__pr", F.row_number().over(w))
+        .where(F.col("__pr") <= _INC_BUCKET_CAP)
+        .drop("__pr")
+    )
+
+
 def _classify_new_batch(
-    docs: DataFrame, cand_corpus: DataFrame, cand_batch: DataFrame
+    docs: DataFrame,
+    cand_corpus: DataFrame,
+    cand_batch: DataFrame,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+    n: int = 3,
+    containment: bool = False,
 ) -> DataFrame:
-    """Shared tail of the incremental MinHash dedups: exact-Jaccard
+    """Shared tail of the incremental pairwise dedups (MinHash r8,
+    set-similarity r9 — each passes its own Jaccard threshold and
+    shingle width): exact-Jaccard
     verify the (doc_a = batch, doc_b) candidates, then classify every
     batch doc in ONE flags rollup — referencing the verified list
     twice would re-execute the whole verify pipeline (2 corpus shingle
-    passes) per reference."""
+    passes) per reference.
+
+    The flags join is a PLAIN doc_id equi-join on purpose (VERDICT r8
+    #1): flags holds one row per batch doc with a verified collision —
+    O(batch x dup-rate), not O(constant) — so a forced broadcast would
+    grow with the ingest straight into the 8 GB broadcast ceiling on a
+    dup-heavy crawl. AQE still elects a broadcast when flags is
+    genuinely small (the fixture case); with elective broadcasts
+    disabled it degrades to a probe-sized shuffle, never a
+    driver-sized build map (pinned in tests/test_round9_ops.py) —
+    the same discipline q_dedup_incremental's classification uses."""
     ver = dedup.verify_candidate_pairs(
-        docs, cand_corpus.unionByName(cand_batch), 4, 5
+        docs,
+        cand_corpus.unionByName(cand_batch),
+        threshold_num,
+        threshold_den,
+        n=n,
+        containment=containment,
     )
     flags = ver.groupBy(F.col("doc_a").alias("doc_id")).agg(
         F.max((F.col("doc_b") % 3 != 0).cast("int")).alias("hit_corpus"),
@@ -1976,7 +2296,7 @@ def _classify_new_batch(
     return (
         docs.where(F.col("doc_id") % 3 == 0)
         .select("doc_id")
-        .join(F.broadcast(flags), "doc_id", "left")
+        .join(flags, "doc_id", "left")
         .select(
             "doc_id",
             F.when(F.col("hit_corpus") == 1, F.lit("dup_corpus"))
@@ -2023,7 +2343,12 @@ def q_dedup_minhash_inc_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bkey"),
     )
     nb = banded.where(F.col("doc_id") % 3 == 0)
-    idx = banded.where(F.col("doc_id") % 3 != 0)
+    # same stop-bucket cap as the md5 twin — the folded xxhash64 key
+    # IS the bucket here, so the cap partitions on (bkey,) alone
+    idx = _cap_bucket_postings(
+        banded.where(F.col("doc_id") % 3 != 0), "bkey"
+    )
+    nb_post = _cap_bucket_postings(nb, "bkey")
     a = nb.select("bkey", F.col("doc_id").alias("doc_a"))
     cand_corpus = (
         a.join(
@@ -2038,7 +2363,7 @@ def q_dedup_minhash_inc_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cand_batch = (
         a.join(
-            nb.select(
+            nb_post.select(
                 F.col("bkey").alias("bkey_b"),
                 F.col("doc_id").alias("doc_b"),
             ),

@@ -494,7 +494,7 @@ def q_dedup_winnow_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("__c").cast("long").alias("corpus_hits"))
     )
     dupb = (
-        winnow_pairs(docs, min_shared=2, max_df=64, fps=bat)
+        winnow_pairs(min_shared=2, max_df=64, fps=bat)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
         .withColumn("__dup", F.lit(1))

@@ -150,17 +150,16 @@ def test_minhash_inc_fast_statuses_equal_md5_twin(spark):
     q_dedup_minhash recall=1.0 argument, applied to statuses)."""
     from tests.conftest import SF_MED
 
-    for sf in [SF_MED]:
-        slow = {
-            r["doc_id"]: r["status"]
-            for r in registry.QUERIES["q_dedup_minhash_inc"](
-                spark, sf
-            ).collect()
-        }
-        fast = {
-            r["doc_id"]: r["status"]
-            for r in registry.QUERIES["q_dedup_minhash_inc_fast"](
-                spark, sf
-            ).collect()
-        }
-        assert fast == slow
+    slow = {
+        r["doc_id"]: r["status"]
+        for r in registry.QUERIES["q_dedup_minhash_inc"](
+            spark, SF_MED
+        ).collect()
+    }
+    fast = {
+        r["doc_id"]: r["status"]
+        for r in registry.QUERIES["q_dedup_minhash_inc_fast"](
+            spark, SF_MED
+        ).collect()
+    }
+    assert fast == slow

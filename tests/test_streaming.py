@@ -675,7 +675,17 @@ def test_minhash_inc_dedup_foreachbatch(spark, tmp_path):
     permutations, 8x4 banding, band-collision candidates, >= 4/5
     verify) in pure Python, so LSH recall is part of the contract,
     not a tolerance. Runs on sf0.01 — sf0.001 has no cross-batch
-    near-dup pairs."""
+    near-dup pairs.
+
+    Replay discipline (VERDICT r8 #5): overwrite-per-batch-dir sinks
+    alone do NOT make foreachBatch replay a noop here — a replayed
+    batch would find its OWN admitted bands already in the index
+    (every doc self-collides at Jaccard 1, flipping new ->
+    dup_corpus). The index is therefore a WATERMARKED log: every
+    append carries src_batch, reads filter src_batch < batch_id, so a
+    replayed batch sees exactly the index view its first run saw and
+    rewrites byte-identical outputs (asserted below by re-invoking
+    classify with the final batch's id)."""
     import hashlib
 
     from fhir2sql_spark.operators import dedup as dedup_ops
@@ -725,8 +735,12 @@ def test_minhash_inc_dedup_foreachbatch(spark, tmp_path):
     in_dir = str(tmp_path / "ingest")
     ckpt = str(tmp_path / "ckpt")
     corpus_docs = docs.where(F.col("doc_id") % 3 != 0)
-    bands_of(corpus_docs).write.parquet(index_dir + "/bands/base")
-    sets_of(corpus_docs).write.parquet(index_dir + "/sets/base")
+    bands_of(corpus_docs).withColumn("src_batch", F.lit(-1)).write.parquet(
+        index_dir + "/bands/base"
+    )
+    sets_of(corpus_docs).withColumn("src_batch", F.lit(-1)).write.parquet(
+        index_dir + "/sets/base"
+    )
     new_docs = docs.where(F.col("doc_id") % 3 == 0).select(
         "doc_id", "lang", "text"
     )
@@ -734,11 +748,17 @@ def test_minhash_inc_dedup_foreachbatch(spark, tmp_path):
     def classify(bdf: DataFrame, batch_id: int) -> None:
         s = bdf.sparkSession
         bdf = bdf.localCheckpoint()  # batch is re-read several times
-        idx_bands = s.read.option("recursiveFileLookup", "true").parquet(
-            index_dir + "/bands"
+        idx_bands = (
+            s.read.option("recursiveFileLookup", "true")
+            .parquet(index_dir + "/bands")
+            .where(F.col("src_batch") < batch_id)
+            .drop("src_batch")
         )
-        idx_sets = s.read.option("recursiveFileLookup", "true").parquet(
-            index_dir + "/sets"
+        idx_sets = (
+            s.read.option("recursiveFileLookup", "true")
+            .parquet(index_dir + "/sets")
+            .where(F.col("src_batch") < batch_id)
+            .drop("src_batch")
         )
         nb = bands_of(bdf).localCheckpoint()
         bsets = sets_of(bdf).localCheckpoint()
@@ -818,12 +838,12 @@ def test_minhash_inc_dedup_foreachbatch(spark, tmp_path):
         )
         tagged.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
         admitted = tagged.where(F.col("status") == "new").select("doc_id")
-        nb.join(F.broadcast(admitted), "doc_id", "left_semi").write.mode(
-            "overwrite"
-        ).parquet(f"{index_dir}/bands/batch={batch_id}")
-        bsets.join(F.broadcast(admitted), "doc_id", "left_semi").write.mode(
-            "overwrite"
-        ).parquet(f"{index_dir}/sets/batch={batch_id}")
+        nb.join(F.broadcast(admitted), "doc_id", "left_semi").withColumn(
+            "src_batch", F.lit(batch_id)
+        ).write.mode("overwrite").parquet(f"{index_dir}/bands/batch={batch_id}")
+        bsets.join(F.broadcast(admitted), "doc_id", "left_semi").withColumn(
+            "src_batch", F.lit(batch_id)
+        ).write.mode("overwrite").parquet(f"{index_dir}/sets/batch={batch_id}")
 
     def drain() -> None:
         stream = spark.readStream.schema(
@@ -908,3 +928,29 @@ def test_minhash_inc_dedup_foreachbatch(spark, tmp_path):
     # hits the GROWN index — the one-shot query calls 393/420 a
     # dup_batch pair; the stream sees 420 as corpus by then
     assert got[420] == "new" and got[393] == "dup_corpus"
+
+    # replay-noop (VERDICT r8 #5): re-run the LAST batch through the
+    # same sink, as a post-restart foreachBatch replay would. The
+    # src_batch watermark hides the batch's own earlier appends, so
+    # classifications and index contents must be byte-identical.
+    idx_before = sorted(
+        (r["doc_id"], r["band"], r["bkey"], r["src_batch"])
+        for r in spark.read.option("recursiveFileLookup", "true")
+        .parquet(index_dir + "/bands")
+        .collect()
+    )
+    classify(b2, 1)  # the second drain processed b2 as batch_id 1
+    replay_rows = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(out_dir)
+        .collect()
+    )
+    assert len(replay_rows) == len(out_rows)
+    assert {r["doc_id"]: r["status"] for r in replay_rows} == expect
+    idx_after = sorted(
+        (r["doc_id"], r["band"], r["bkey"], r["src_batch"])
+        for r in spark.read.option("recursiveFileLookup", "true")
+        .parquet(index_dir + "/bands")
+        .collect()
+    )
+    assert idx_after == idx_before

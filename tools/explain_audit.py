@@ -479,9 +479,15 @@ CHECKS: list[tuple[str, str, str]] = [
     (
         "q_dedup_minhash_inc",
         "BroadcastHashJoin",
-        "verified-pair flags broadcast into the batch classification "
-        "(and candidate pairs broadcast inside the verify)",
+        "candidate pairs broadcast inside the verify; the flags "
+        "classification join is UNHINTED (r9 — stats-elective only; "
+        "forced-broadcast absence pinned by the threshold=-1 test in "
+        "tests/test_round9_ops.py)",
     ),
+    # (the r9 stop-bucket cap's WindowGroupLimit lives in the
+    # pre-checkpoint candidate subtree, invisible in these final
+    # plans — pinned instead on the subtree itself in
+    # tests/test_round9_ops.py::test_cap_plan_uses_window_group_limit)
     (
         "q_dedup_minhash_inc_fast",
         "BroadcastHashJoin",
@@ -597,6 +603,9 @@ BUILDER_ACTION_QUERIES = frozenset(
         "q_multimodal_phash_dedup",
         "q_dedup_minhash_inc_fast",
         "q_embed_sq",  # eager 1-row stats checkpoint
+        # round 9: the skew profile pins its (key, cnt) aggregate with
+        # an eager checkpoint so totals + top-10 share one fact scan
+        "q_diag_skew",
     }
 )
 
