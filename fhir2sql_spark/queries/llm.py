@@ -407,6 +407,60 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: 31-bit Mersenne modulus of the portable MinHash permutation family
+#: — the SAME modulus the xxhash64 scale path uses
+#: (operators/dedup.py:_P), so the two twins differ ONLY in the base
+#: hash (md5 hex-parse vs xxhash64) and the band-key encoding.
+_P31 = (1 << 31) - 1
+
+
+def _portable_perm_sql() -> str:
+    """The (p, a, b) permutation table as a SQL VALUES literal —
+    the identical constants `_minhash_params(32, 42)` feeds the
+    xxhash64 scale path, embedded in the oracle text so both engines
+    run the same affine family h_p(x) = (a*x + b) mod (2^31 - 1)."""
+    from fhir2sql_spark.operators.dedup import _minhash_params
+
+    rows = ", ".join(
+        f"({p}, {a}, {b})"
+        for p, (a, b) in enumerate(_minhash_params(32, 42))
+    )
+    return f"(VALUES {rows}) AS prm(p, a, b)"
+
+
+def _portable_sid() -> "F.Column":
+    """Portable 31-bit shingle id: the first 15 hex chars of
+    md5(shingle) parsed as an integer, mod 2^31 - 1. Both engines
+    compute md5 and the hex parse identically (pinned equal:
+    Spark conv(.,16,10) == DuckDB CAST('0x'||. AS BIGINT)), so ONE
+    md5 per (doc, shingle) row replaces the 32-md5s-per-row of the
+    round-5 construction — measured ~3x cheaper at sf0.1 and the
+    difference compounds at the sf100 decade."""
+    return F.pmod(
+        F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long"),
+        F.lit(_P31),
+    )
+
+
+_PORTABLE_SIG_SQL = """
+    sids AS (
+        SELECT doc_id, lang,
+               CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT)
+                 % 2147483647 AS sid
+        FROM sh
+    ),
+    sigs AS (
+        SELECT doc_id, lang, p, MIN((sid * a + b) % 2147483647) AS h
+        FROM sids CROSS JOIN {prm} GROUP BY 1, 2, 3
+    ),
+    bands AS MATERIALIZED (
+        SELECT doc_id, lang, p // 4 AS band,
+               string_agg(CAST(h AS VARCHAR), ',' ORDER BY p) AS bkey
+        FROM sigs GROUP BY 1, 2, 3
+    )
+"""
+
+
 @query(
     "q_dedup_minhash_portable",
     oracle="""
@@ -423,17 +477,9 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM pos
     ),
     sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-    perms AS (SELECT unnest(generate_series(0, 31)) AS p),
-    sigs AS (
-        SELECT doc_id, lang, p,
-               MIN(md5(CAST(p AS VARCHAR) || '|' || shingle)) AS h
-        FROM sh CROSS JOIN perms GROUP BY 1, 2, 3
-    ),
-    bands AS (
-        SELECT doc_id, lang, p // 4 AS band,
-               string_agg(h, '' ORDER BY p) AS bkey
-        FROM sigs GROUP BY 1, 2, 3
-    ),
+    """
+    + _PORTABLE_SIG_SQL.format(prm=_portable_perm_sql())
+    + """,
     cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b
@@ -458,26 +504,33 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The verification twin of q_dedup_minhash (round 5): the SAME
-    MinHash+LSH pipeline — 32 permutations, 8x4 banding, candidate
-    equi-join, exact-Jaccard verify — but with each permutation
-    h_i(shingle) = md5(i || '|' || shingle) instead of the linear
-    (a*xxhash64+b) mod P family. md5 is computed identically by both
-    engines, so the oracle replicates the ENTIRE pipeline including
-    which pairs collide in which band: the candidate set, not just the
-    verified output, is hash-checked — graduating the LSH family from
-    rows-only to an exact external gate. The registered scale path
-    stays on xxhash64 (8-byte band keys vs 128-char strings; ~2x
-    cheaper to compute and 16x lighter to shuffle); this twin pins its
-    algorithm, the recall tests in tests/test_llm_ops.py pin their
+    """The verification twin of q_dedup_minhash (round 5; construction
+    revised round 9): the SAME MinHash+LSH pipeline — 32 affine
+    permutations (a*x + b) mod (2^31 - 1) with the IDENTICAL (a, b)
+    constants and modulus as the xxhash64 scale path, 8x4 banding,
+    candidate equi-join, exact-Jaccard verify — differing from the
+    scale path ONLY in the base hash: shingle ids come from an
+    md5-hex-parse both engines compute bit-identically, so the oracle
+    replicates the ENTIRE pipeline including which pairs collide in
+    which band — the candidate set, not just the verified output, is
+    hash-checked. (The round-5 form spent 32 md5s per (doc, shingle)
+    row; one md5 + 32 integer ops is ~3x cheaper at sf0.1 and was the
+    #1 suite-time line item in the r9 idle-host baseline.) The
+    registered scale path stays on xxhash64 (8-byte folded band keys
+    vs the decimal-string keys here); this twin pins its algorithm,
+    the recall tests in tests/test_llm_ops.py pin their
     equivalence."""
     docs = load(spark, sf_dir, "documents")
-    sh = dedup.shingles(docs, n=3, distinct=True)
+    sh = dedup.shingles(docs, n=3, distinct=True).withColumn(
+        "__sid", _portable_sid()
+    )
+    from fhir2sql_spark.operators.dedup import _minhash_params
+
     mins = [
-        F.min(F.md5(F.concat_ws("|", F.lit(str(i)), F.col("shingle")))).alias(
+        F.min((F.col("__sid") * F.lit(a) + F.lit(b)) % F.lit(_P31)).alias(
             f"h{i}"
         )
-        for i in range(32)
+        for i, (a, b) in enumerate(_minhash_params(32, 42))
     ]
     sig = sh.groupBy("doc_id", "lang").agg(*mins)
     banded = sig.select(
@@ -488,8 +541,12 @@ def q_dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.concat(
-                            *[F.col(f"h{i}") for i in range(b * 4, b * 4 + 4)]
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col(f"h{i}").cast("string")
+                                for i in range(b * 4, b * 4 + 4)
+                            ],
                         ).alias("bkey"),
                     )
                     for b in range(8)
@@ -2078,15 +2135,21 @@ def q_embed_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM pos
     ),
     sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-    perms AS (SELECT unnest(generate_series(0, 31)) AS p),
+    sids AS (
+        SELECT doc_id,
+               CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT)
+                 % 2147483647 AS sid
+        FROM sh
+    ),
     sigs AS (
-        SELECT doc_id, p,
-               MIN(md5(CAST(p AS VARCHAR) || '|' || shingle)) AS h
-        FROM sh CROSS JOIN perms GROUP BY 1, 2
+        SELECT doc_id, p, MIN((sid * a + b) % 2147483647) AS h
+        FROM sids CROSS JOIN """
+    + _portable_perm_sql()
+    + """ GROUP BY 1, 2
     ),
     bands AS MATERIALIZED (
         SELECT doc_id, p // 4 AS band,
-               string_agg(h, '' ORDER BY p) AS bkey
+               string_agg(CAST(h AS VARCHAR), ',' ORDER BY p) AS bkey
         FROM sigs GROUP BY 1, 2
     ),
     bands_r AS (
@@ -2134,10 +2197,11 @@ def q_dedup_minhash_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the last member of the per-ingest dedup family (exact:
     q_dedup_incremental, semantic: q_dedup_semantic_inc, fingerprint:
     q_dedup_winnow_inc; VERDICT r7 noted the pairwise-LSH gap). The
-    stored corpus index holds each document's 8 LSH band keys (32 md5
-    permutations, 8x4 banding — the q_dedup_minhash_portable
-    construction, so the WHOLE pipeline including band collisions
-    replays exactly in SQL) plus its shingle sets for verification.
+    stored corpus index holds each document's 8 LSH band keys (32
+    affine permutations over md5-hex-parsed 31-bit shingle ids, 8x4
+    banding — the q_dedup_minhash_portable construction, so the WHOLE
+    pipeline including band collisions replays exactly in SQL) plus
+    its shingle sets for verification.
     Per ingest, the NEW batch (doc_id % 3 = 0) computes signatures,
     probes the band index with a hash equi-join, exact-Jaccard-verifies
     only the collided pairs (>= 4/5), and classifies every batch doc:
@@ -2150,8 +2214,9 @@ def q_dedup_minhash_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
     the verification semi-join, both probe-sized; stored bucketed by
     (band, bkey) the index read is exchange-free (the
     q_dedup_incremental posture, tests/test_bucketed_join.py). Band
-    keys are md5 concatenations: uniform, unskewable shuffle keys —
-    but md5 uniformity only defends against HASH skew; TRUE
+    keys concatenate 4 permutation values whose base is an md5 hex
+    parse: uniform, unskewable shuffle keys — but hash uniformity
+    only defends against HASH skew; TRUE
     duplication (a boilerplate mega-cluster) still piles n docs into
     one bucket, so both posting sides are stop-bucket-capped at
     _INC_BUCKET_CAP min-ids per (band, bkey) before the probe (the
@@ -2160,13 +2225,17 @@ def q_dedup_minhash_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_round9_ops.py). The scale variant swaps md5 for
     xxhash64 exactly as q_dedup_minhash does vs its portable twin;
     recall equivalence is pinned in tests/test_llm_ops.py."""
+    from fhir2sql_spark.operators.dedup import _minhash_params
+
     docs = load(spark, sf_dir, "documents")
-    sh = dedup.shingles(docs, n=3, distinct=True)
+    sh = dedup.shingles(docs, n=3, distinct=True).withColumn(
+        "__sid", _portable_sid()
+    )
     mins = [
-        F.min(
-            F.md5(F.concat_ws("|", F.lit(str(i)), F.col("shingle")))
-        ).alias(f"h{i}")
-        for i in range(32)
+        F.min((F.col("__sid") * F.lit(a) + F.lit(b)) % F.lit(_P31)).alias(
+            f"h{i}"
+        )
+        for i, (a, b) in enumerate(_minhash_params(32, 42))
     ]
     sig = sh.groupBy("doc_id").agg(*mins)
     banded = sig.select(
@@ -2176,8 +2245,12 @@ def q_dedup_minhash_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.concat(
-                            *[F.col(f"h{i}") for i in range(b * 4, b * 4 + 4)]
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col(f"h{i}").cast("string")
+                                for i in range(b * 4, b * 4 + 4)
+                            ],
                         ).alias("bkey"),
                     )
                     for b in range(8)

@@ -95,28 +95,47 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 #      (alphabetically from q_dedup_embed_bucketed through
 #      q_window_range_frame), then the alphabetical prefix of the
 #      round-4 cohort to fill 50.
+# Round-9 window (VERDICT r8 #3: rotate to the stalest cohort — the
+# 38 queries whose last driver check ran on round-4 code — plus every
+# round-9 addition and everything whose code changed after the r8
+# gate). Priority order:
+#   1. Never-driver-checked: the round-9 additions —
+#      q_dedup_setsim_inc (frozen rarity-prefix-index ingest dedup),
+#      q_dedup_containment_inc (frozen full-posting-index directed
+#      containment dedup).
+#   2. Changed since the r8 gate: q_dedup_minhash_inc /
+#      q_dedup_minhash_inc_fast (flags broadcast removed + the
+#      64-posting stop-bucket cap, VERDICT r8 #1/#2), q_diag_skew
+#      (counts checkpoint, ADVICE r8), q_dedup_minhash_portable (its
+#      verify helper grew the containment branch),
+#      q_dedup_winnow_pairs / q_dedup_winnow_inc (winnow_pairs
+#      docs/fps mutual-exclusion signature, ADVICE r8).
+#      q_dedup_minhash + q_dedup_simhash also changed-adjacent but
+#      already sit in the stale cohort below.
+#   3. Oldest re-confirms: the full 38-query round-4 cohort, then
+#      the alphabetical prefix of the round-5 cohort to fill 50.
 SHOWCASE = (
-    # 1. never driver-checked (round-8 additions)
-    "q_bpe_encode", "q_dedup_winnow_inc", "q_multimodal_phash_dedup",
-    "q_tokens_fertility_bpe", "q_diag_skew", "q_diag_codebook_drift",
-    "q_dedup_paragraph", "q_prune_prototypes", "q_embed_sq",
-    "q_dedup_minhash_inc", "q_dedup_minhash_inc_fast",
-    # 2. changed since the r7 driver gate
-    "q_dedup_winnow_pairs", "q_sample_neyman",
-    # 3a. last driver-checked in round 3 (all 34)
-    "q_dedup_embed_bucketed", "q_downsample_m4", "q_event_transitions",
-    "q_except", "q_intersect", "q_join_asof_tol", "q_join_bloom",
-    "q_join_full", "q_join_interval", "q_join_theta",
-    "q_join_theta_banded", "q_json_funcs", "q_late_data",
-    "q_layout_zorder", "q_map_funcs", "q_math_funcs",
-    "q_rollup_hypertable", "q_sample_mixture", "q_sample_weighted",
-    "q_slide", "q_sort_multi", "q_text_lang_profile", "q_text_lm_score",
-    "q_text_stats", "q_tokens_cms", "q_tokens_heavy_hitters",
-    "q_udf_pandas", "q_udtf_explode", "q_union_distinct", "q_unpivot",
-    "q_window_frame", "q_window_gapfill", "q_window_lag",
-    "q_window_range_frame",
-    # 3b. last driver-checked in round 4 (alphabetical prefix)
-    "q_agg_conditional", "q_agg_mode", "q_agg_stats",
+    # 1. never driver-checked (round-9 additions)
+    "q_dedup_setsim_inc", "q_dedup_containment_inc",
+    # 2. changed since the r8 driver gate
+    "q_dedup_minhash_inc", "q_dedup_minhash_inc_fast", "q_diag_skew",
+    "q_dedup_minhash_portable", "q_dedup_winnow_pairs",
+    "q_dedup_winnow_inc",
+    # 3a. last driver-checked in round 4 (all 38)
+    "q_cohort_retention", "q_corpus_carve", "q_dedup_minhash",
+    "q_dedup_simhash", "q_event_funnel", "q_join_asof_fwd",
+    "q_join_cross", "q_join_right", "q_join_salted",
+    "q_multimodal_embed", "q_multimodal_resize", "q_sample_hash",
+    "q_sample_stratified", "q_string_agg", "q_subquery_scalar",
+    "q_text_chunks", "q_text_fingerprint", "q_text_redact",
+    "q_text_repetition", "q_tpch_q4", "q_tpch_q5", "q_tpch_q6",
+    "q_tpch_q7", "q_tpch_q8", "q_tpch_q9", "q_tpch_q10", "q_tpch_q12",
+    "q_tpch_q13", "q_tpch_q14", "q_tpch_q15", "q_tpch_q16",
+    "q_tpch_q17", "q_tpch_q18", "q_tpch_q19", "q_tpch_q20",
+    "q_tpch_q22", "q_window_firstlast", "q_window_ntile",
+    # 3b. last driver-checked in round 5 (alphabetical prefix;
+    # q_dedup_minhash_portable already occupies a slot above)
+    "q_agg_bool", "q_agg_regr", "q_attribution", "q_bpe_pairs",
 )
 
 # Green in CORRECTNESS_r02.json (round-2 driver gate) — kept here so
