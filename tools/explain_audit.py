@@ -604,8 +604,12 @@ BUILDER_ACTION_QUERIES = frozenset(
         "q_dedup_minhash_inc_fast",
         "q_embed_sq",  # eager 1-row stats checkpoint
         # round 9: the skew profile pins its (key, cnt) aggregate with
-        # an eager checkpoint so totals + top-10 share one fact scan
+        # an eager checkpoint so totals + top-10 share one fact scan;
+        # the incremental prefix dedups checkpoint their prefix slice
+        # (the stored-index stand-in) and the verify candidates
         "q_diag_skew",
+        "q_dedup_setsim_inc",
+        "q_dedup_containment_inc",
     }
 )
 
