@@ -977,3 +977,112 @@ def q_prune_prototypes(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("rnk") * 10 <= F.col("n_cell") * 7).alias("keep"),
         )
     )
+
+
+@query(
+    "q_sample_doremi",
+    oracle="""
+    WITH d AS (
+        SELECT source AS domain, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS chars
+        FROM documents GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_docs) AS DOUBLE) AS tn,
+               CAST(SUM(chars) AS DOUBLE) AS tc
+        FROM d
+    ),
+    s AS (
+        SELECT domain, n_docs,
+               CAST(n_docs AS DOUBLE) / tn AS w0,
+               (CAST(chars AS DOUBLE) / n_docs) / (tc / tn) - 1 AS excess
+        FROM d CROSS JOIN tot
+    ),
+    e AS (
+        SELECT domain, n_docs, w0, excess, w0 * exp(excess) AS raw
+        FROM s
+    ),
+    z AS (
+        SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                                        list(raw ORDER BY domain)),
+                           (a, b) -> a + b) AS z,
+               CAST(COUNT(*) AS DOUBLE) AS k
+        FROM e
+    )
+    SELECT domain, n_docs, round(w0, 4) AS w0, round(excess, 4) AS excess,
+           round(0.8 * raw / z + 0.2 / k, 4) AS w1
+    FROM e CROSS JOIN z
+    """,
+)
+def q_sample_doremi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One DoReMi-style multiplicative-weights update over domain
+    mixture weights (Xie et al. 2023, "DoReMi: Optimizing Data
+    Mixtures Speeds Up Language Model Pretraining"): starting from the
+    corpus-share reference weights w0_d = n_d / N, each domain's
+    weight is scaled by exp(eta * excess_d) (eta = 1), normalized, and
+    smoothed with a uniform 20% floor — w1 = 0.8 * w' + 0.2 / k — so
+    no domain's sampling probability collapses to zero (the paper's
+    mixing step). The per-domain EXCESS signal here is the exact
+    relative mean-document-length advantage ((chars_d / n_d) /
+    (chars / N) - 1) — the deterministic stand-in for the per-domain
+    excess loss a proxy-model run would supply; in production the
+    q_text_lm_score / q_quality_classifier outputs plug into exactly
+    this column and the update is re-run per proxy checkpoint.
+
+    Exactness: per-domain moments are INTEGER aggregates; w0 / excess
+    / raw are float expressions with identical text on both engines;
+    the normalizer Z is an ORDERED sequential fold over the k-row
+    domain table (the q_sample_neyman lesson — a k-double SUM is
+    thread-order-sensitive in both engines); outputs round 4 dp (the
+    q_bm25 transcendental convention, exp being the one libm call).
+
+    Plan shape: ONE map-side-combined corpus aggregate to k domain
+    rows (checkpointed — 3 consumers), then O(k) driver-free algebra
+    via 1-row broadcasts. At 100 TB this is the cheapest query in the
+    selection family: the corpus is touched once, scan-shaped, and
+    everything after is k ~ dozens of rows."""
+    docs = load(spark, sf_dir, "documents")
+    d = (
+        docs.groupBy(F.col("source").alias("domain"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("chars"),
+        )
+        .localCheckpoint(eager=True)  # k rows; feeds tot, fold, final
+    )
+    tot = d.agg(
+        F.sum("n_docs").cast("double").alias("tn"),
+        F.sum("chars").cast("double").alias("tc"),
+    )
+    e = d.crossJoin(F.broadcast(tot)).select(
+        "domain",
+        "n_docs",
+        (F.col("n_docs").cast("double") / F.col("tn")).alias("w0"),
+        (
+            (F.col("chars").cast("double") / F.col("n_docs"))
+            / (F.col("tc") / F.col("tn"))
+            - 1
+        ).alias("excess"),
+    )
+    e = e.withColumn("raw", F.col("w0") * F.exp("excess")).localCheckpoint(
+        eager=True  # k rows; read by the fold AND the final projection
+    )
+    z = e.agg(
+        F.array_sort(F.collect_list(F.struct("domain", "raw"))).alias("__a"),
+        F.count(F.lit(1)).cast("double").alias("k"),
+    ).select(
+        F.aggregate("__a", F.lit(0.0), lambda acc, x: acc + x["raw"]).alias(
+            "z"
+        ),
+        "k",
+    )
+    return e.crossJoin(F.broadcast(z)).select(
+        "domain",
+        "n_docs",
+        F.round("w0", 4).alias("w0"),
+        F.round("excess", 4).alias("excess"),
+        F.round(
+            F.lit(0.8) * F.col("raw") / F.col("z") + F.lit(0.2) / F.col("k"),
+            4,
+        ).alias("w1"),
+    )

@@ -102,7 +102,8 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 #   1. Never-driver-checked: the round-9 additions —
 #      q_dedup_setsim_inc (frozen rarity-prefix-index ingest dedup),
 #      q_dedup_containment_inc (frozen full-posting-index directed
-#      containment dedup).
+#      containment dedup), q_sample_doremi (DoReMi multiplicative-
+#      weights domain-mixture update).
 #   2. Changed since the r8 gate: q_dedup_minhash_inc /
 #      q_dedup_minhash_inc_fast (flags broadcast removed + the
 #      64-posting stop-bucket cap, VERDICT r8 #1/#2), q_diag_skew
@@ -116,7 +117,7 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 #      the alphabetical prefix of the round-5 cohort to fill 50.
 SHOWCASE = (
     # 1. never driver-checked (round-9 additions)
-    "q_dedup_setsim_inc", "q_dedup_containment_inc",
+    "q_dedup_setsim_inc", "q_dedup_containment_inc", "q_sample_doremi",
     # 2. changed since the r8 driver gate
     "q_dedup_minhash_inc", "q_dedup_minhash_inc_fast", "q_diag_skew",
     "q_dedup_minhash_portable", "q_dedup_winnow_pairs",
@@ -135,7 +136,7 @@ SHOWCASE = (
     "q_tpch_q22", "q_window_firstlast", "q_window_ntile",
     # 3b. last driver-checked in round 5 (alphabetical prefix;
     # q_dedup_minhash_portable already occupies a slot above)
-    "q_agg_bool", "q_agg_regr", "q_attribution", "q_bpe_pairs",
+    "q_agg_bool", "q_agg_regr", "q_attribution",
 )
 
 # Green in CORRECTNESS_r02.json (round-2 driver gate) — kept here so

@@ -251,6 +251,25 @@ def test_inc_prefix_dedup_statuses_match_bruteforce(
     assert out == truth
 
 
+def test_doremi_weights_are_a_smoothed_distribution(spark, sf_dir):
+    """The updated mixture must stay a probability distribution with
+    the 20% uniform floor, and the multiplicative update must point
+    the right way: domains with above-average mean doc length (the
+    fixture's excess proxy) gain weight relative to their corpus
+    share, below-average domains lose it."""
+    rows = registry.QUERIES["q_sample_doremi"](spark, sf_dir).collect()
+    k = len(rows)
+    total = sum(r["w1"] for r in rows)
+    assert abs(total - 1.0) < 1e-2  # 4 dp rounding slack over k rows
+    floor = 0.2 / k
+    for r in rows:
+        assert r["w1"] >= floor - 1e-4
+        if r["excess"] > 0.05:
+            assert r["w1"] > r["w0"] * 0.8 + floor - 1e-4
+        if r["excess"] < -0.05:
+            assert r["w1"] < r["w0"] * 0.8 + floor + 1e-4
+
+
 def test_winnow_pairs_rejects_ambiguous_inputs(spark):
     """ADVICE r8: docs= and fps= are mutually exclusive — passing both
     silently ignored docs/k/w, hiding parameter mismatches."""
