@@ -210,6 +210,12 @@ def _inc_prefix_postings(
     never recall — the drift monitor (q_diag_codebook_drift's role
     for the semantic index) tells you when to re-rank.
 
+    Completeness is in SID space (ADVICE r9): |S| and prefix lengths
+    are counted over xxhash64-distinct shingle ids while verification
+    counts raw shingle strings, so the no-recall-caveat claim holds
+    modulo a within-doc 64-bit hash collision (~2^-64 per shingle
+    pair — negligible; a collision can only SHORTEN a prefix).
+
     Plan: the same 2-big-exchange linear pipeline as setsim_pairs
     (one explicit sid exchange shared by the distinct aggregate and
     the df window, one doc_id exchange for the size+prefix windows);
@@ -2222,7 +2228,10 @@ def q_dedup_minhash_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
     _INC_BUCKET_CAP min-ids per (band, bkey) before the probe (the
     winnow max_df lesson, VERDICT r8 #2; the cap is replayed in the
     SQL oracle's bands_r CTE and the planted mega-cluster test is
-    tests/test_round9_ops.py). The scale variant swaps md5 for
+    tests/test_round9_ops.py). Recall contract under the cap:
+    statuses are preserved for true-duplicate mega-clusters; residual
+    recall loss is possible in collision-polluted buckets (see the
+    _INC_BUCKET_CAP note). The scale variant swaps md5 for
     xxhash64 exactly as q_dedup_minhash does vs its portable twin;
     recall equivalence is pinned in tests/test_llm_ops.py."""
     from fhir2sql_spark.operators.dedup import _minhash_params
@@ -2304,11 +2313,16 @@ def q_dedup_minhash_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: bucket; uncapped, a probe against it fans out n_batch x n_index
 #: candidate rows before the distinct. Keeping only the BUCKET_CAP
 #: smallest doc_ids per bucket per side bounds candidate fan-out at
-#: O(batch x bands x cap) regardless of true duplication, and on a
-#: mega-cluster every kept posting is a mutual near-dup of the
-#: dropped ones, so statuses are preserved (planted-cluster test in
-#: tests/test_round9_ops.py). Mirrored exactly in the md5 twin's SQL
-#: oracle via ROW_NUMBER() OVER (PARTITION BY band, bkey, side).
+#: O(batch x bands x cap) regardless of true duplication. Statuses
+#: are preserved for TRUE-duplicate mega-clusters (every kept posting
+#: is a mutual near-dup of the dropped ones — planted-cluster test in
+#: tests/test_round9_ops.py); in a COLLISION-polluted bucket (band
+#: agreement without true similarity padding the 64 slots) a batch
+#: doc whose sole true near-dup ranks past the cap flips to 'new' —
+#: residual recall loss, the same caveat class as LSH banding itself
+#: (ADVICE r9). Oracle parity is unaffected: the cap is replayed
+#: exactly in the md5 twin's SQL oracle via ROW_NUMBER() OVER
+#: (PARTITION BY band, bkey, side).
 _INC_BUCKET_CAP = 64
 
 

@@ -24,6 +24,17 @@ from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
 
+# Queries whose WORKLOAD changed between rounds — a cross-round delta
+# on these is a definition change, not a speedup/regression (ADVICE
+# r9). Flagged with a footnote whenever they appear in the diff.
+WORKLOAD_CHANGES = {
+    "q_udf_scalar": (
+        "r9: input narrowed to a deterministic 1/20 l_orderkey slice "
+        "(oracle updated in lockstep) — the r9 timing drop is a "
+        "workload change"
+    ),
+}
+
 
 def load_run(spec: str) -> dict:
     if spec.startswith("history:"):
@@ -78,10 +89,16 @@ def main() -> int:
             regressions.append((b - a, q, a, b))
         elif a > b * (1 + args.band) and a - b > args.abs_s:
             improvements.append((a - b, q, a, b))
+    flagged = []
     for title, rows in (("REGRESSED", regressions), ("improved", improvements)):
         print(f"{title}: {len(rows)}")
         for d, q, a, b in sorted(rows, reverse=True):
-            print(f"  {q:32s} {a:7.2f}s -> {b:7.2f}s  ({b - a:+.2f}s)")
+            mark = " [workload-change]" if q in WORKLOAD_CHANGES else ""
+            print(f"  {q:32s} {a:7.2f}s -> {b:7.2f}s  ({b - a:+.2f}s){mark}")
+            if q in WORKLOAD_CHANGES:
+                flagged.append(q)
+    for q in flagged:
+        print(f"note: {q}: {WORKLOAD_CHANGES[q]}")
     return 1 if regressions else 0
 
 
