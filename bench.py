@@ -22,6 +22,17 @@ self-contained):
    2-5x with cache state).
  - BENCH_FULL.json: the latest full map (overwritten; kept for the
    tools that read it).
+
+Host-factor normalization (VERDICT r9 #1): every run also measures
+the BASELINE.md §B six-query DuckDB oracle set in-process BEFORE and
+AFTER the Spark suite and emits ``host_factor`` — the ratio of the
+measured oracle sum to the pinned 2026-08-13 constants. This VM's
+wall clock drifts up to ~5x with load/cache state, and the drift hits
+BOTH engines uniformly, so the gate (BASELINE.md §C) reads the
+NORMALIZED wall ``value / host_factor`` ≤ 240 s rather than the raw
+wall. The factor rides in the stdout line (``host_factor``,
+``norm_value``) so every BENCH_r{N}.json is self-normalizing — no
+prose appendix needed to read a noisy-host round correctly.
 """
 
 from __future__ import annotations
@@ -38,6 +49,64 @@ sys.path.insert(0, str(REPO))
 
 from fhir2sql_spark import registry  # noqa: E402
 from fhir2sql_spark.session import get_spark  # noqa: E402
+
+#: BASELINE.md §B constants — DuckDB oracle, warm best-of-2, measured
+#: 2026-08-13 on an idle host (seconds). The same six queries re-run
+#: in-process at bench time; the ratio of the two sums is the
+#: HOST FACTOR that normalizes the suite wall for host drift
+#: (VERDICT r9 #1: this VM swings up to ~5x through a day, so a raw
+#: wall time is uninterpretable without a same-run oracle A/B).
+DUCKDB_PINNED_S = {
+    "q_agg_basic": 0.049,
+    "q_join_inner": 0.021,
+    "q_window_rank": 0.051,
+    "q_limit_topk": 0.009,
+    "q_tumble": 0.011,
+    "q_sync_diff_full": 0.099,
+}
+
+#: The constants above were measured on THIS dataset — the host
+#: factor must hold the workload constant, so the A/B always probes
+#: the pinned directory even when the suite runs at another sf
+#: (first smoke run at sf0.01 produced a nonsense 0.36 factor by
+#: timing a 10x-smaller oracle workload against sf0.1 constants).
+DUCKDB_PINNED_DIR = "/root/testdata/sf0.1"
+
+_ORACLE_TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def duckdb_headline(sf_dir: str) -> dict[str, float]:
+    """Run the BASELINE.md §B headline oracles through in-process
+    DuckDB (registry must be loaded), warm best-of-2 — the identical
+    methodology the pinned constants were measured with
+    (tools/bench_duckdb.py is the standalone CLI form). Returns
+    {query: best_sec}."""
+    import duckdb
+
+    con = duckdb.connect()
+    try:
+        for t in _ORACLE_TABLES:
+            p = Path(sf_dir) / f"{t}.parquet"
+            if p.exists():
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * "
+                    f"FROM read_parquet('{p}')"
+                )
+        out: dict[str, float] = {}
+        for q in DUCKDB_PINNED_S:
+            sql = registry.ORACLE[q]
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                con.execute(sql).fetchall()
+                best = min(best, time.time() - t0)
+            out[q] = round(best, 4)
+        return out
+    finally:
+        con.close()
 
 
 def host_stamp(sf_dir: str) -> dict:
@@ -87,6 +156,16 @@ def main() -> None:
     stamp = host_stamp(sf_dir)
 
     registry.load_all()
+
+    # same-run DuckDB oracle A/B (VERDICT r9 #1): measure the §B
+    # headline set BEFORE and AFTER the Spark suite so the host
+    # factor brackets any drift across the run. Guarded — a DuckDB
+    # failure must not take the bench down with it.
+    try:
+        ddb_before = duckdb_headline(DUCKDB_PINNED_DIR)
+    except Exception:  # noqa: BLE001 — bench must still emit
+        ddb_before = {}
+
     spark = get_spark("bench")
 
     # warmup: prime codegen/JIT on a trivial plan (not timed)
@@ -104,6 +183,20 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
 
+    try:
+        ddb_after = duckdb_headline(DUCKDB_PINNED_DIR)
+    except Exception:  # noqa: BLE001
+        ddb_after = {}
+    # host_factor: mean of the before/after oracle sums over the
+    # pinned 2026-08-13 sum. 1.0 = the host the constants were
+    # measured on; >1 = this run's host is that much slower, and the
+    # gate reads suite_wall / host_factor (BASELINE.md §C, round 10).
+    pinned_sum = sum(DUCKDB_PINNED_S.values())
+    sums = [sum(d.values()) for d in (ddb_before, ddb_after) if d]
+    host_factor = (
+        round(sum(sums) / len(sums) / pinned_sum, 3) if sums else None
+    )
+
     full = {
         "metric": "suite_wall_seconds",
         "value": total,
@@ -112,6 +205,12 @@ def main() -> None:
         "sf": sf,
         "run_id": run_id,
         "host": stamp,
+        "duckdb_headline_s": {
+            "before": ddb_before,
+            "after": ddb_after,
+            "pinned": DUCKDB_PINNED_S,
+        },
+        "host_factor": host_factor,
     }
     # Full per-query detail goes to repo files; the stdout JSON line
     # must stay under the driver's 2000-char tail capture (round 1:
@@ -127,11 +226,18 @@ def main() -> None:
     headline = {
         n: timings[n] for n in registry.SHOWCASE_BENCH if n in timings
     }
+    # stdout carries only the FACTOR and the normalized wall (the
+    # 2000-char tail cap — full before/after maps live in
+    # BENCH_FULL.json / BENCH_HISTORY.jsonl)
     line = json.dumps(
         {
             "metric": "suite_wall_seconds",
             "value": total,
             "unit": "sec",
+            "host_factor": host_factor,
+            "norm_value": (
+                round(total / host_factor, 1) if host_factor else None
+            ),
             "queries": headline,
             "n_queries": len(timings),
             "run_id": run_id,

@@ -819,6 +819,181 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Bloom-tier sizing for the incremental-dedup membership sketch:
+#: m = 2^25 bits packed into 64-bit words (fixed 4 MB ceiling,
+#: independent of corpus size), k = 5 probes per key. At the sf100
+#: corpus (~3.3 M distinct prefix keys) that is ~10 bits/key ->
+#: FPR = (1 - e^(-kn/m))^k ~ 0.9 %; far lower at smaller sf. Spark's
+#: native BloomFilterAggregate/BloomFilterMightContain exist in
+#: catalyst 4.1 but are NOT SQL-registered (UNRESOLVED_ROUTINE), so
+#: the sketch is built in plain DataFrame algebra — which also makes
+#: it deterministic and engine-exact.
+_BLOOM_BITS = 1 << 25
+_BLOOM_K = 5
+
+
+def _bloom_positions(key: "F.Column", m: int = _BLOOM_BITS) -> "F.Column":
+    """The k Bloom bit positions of a key: pmod(xxhash64(j, key), m)
+    for j in 0..k-1 — k independent 64-bit hashes via the seed slot,
+    the same family every sketch in the repo draws from. ``m`` is
+    parameterized so the FPR tolerance test can saturate a small
+    sketch; the query always uses _BLOOM_BITS."""
+    return F.array(
+        *[
+            F.pmod(F.xxhash64(F.lit(j), key), F.lit(m))
+            for j in range(_BLOOM_K)
+        ]
+    )
+
+
+@query(
+    "q_dedup_incremental_bloom",
+    oracle="""
+    WITH h AS (
+        SELECT doc_id,
+               sha256(array_to_string(
+                   string_split(trim(regexp_replace(lower(text), '\\s+', ' ',
+                                                    'g')), ' ')[1:8], ' '))
+                 AS th,
+               doc_id % 3 = 0 AS is_new
+        FROM documents
+    ),
+    corp AS (SELECT DISTINCT th FROM h WHERE NOT is_new),
+    nb AS (
+        SELECT doc_id, th, MIN(doc_id) OVER (PARTITION BY th) AS keeper
+        FROM h WHERE is_new
+    )
+    SELECT nb.doc_id, nb.th AS text_hash,
+           CASE WHEN c.th IS NOT NULL THEN 'dup_corpus'
+                WHEN nb.doc_id <> nb.keeper THEN 'dup_batch'
+                ELSE 'new' END AS status,
+           TRUE AS bloom_sound
+    FROM nb LEFT JOIN corp c ON nb.th = c.th
+    """,
+)
+def q_dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_dedup_incremental with a Bloom MEMBERSHIP pre-filter in front
+    of the stored exact index (VERDICT r9 #5 — the per-ingest family's
+    missing sketch member next to HLL/distinct, CMS/frequency and
+    KMV/set-ops; the Dolma-pipeline cheap tier): the corpus keys fold
+    into a FIXED-SIZE mergeable Bloom sketch — m = 2^25 bits packed
+    into 64-bit words (4 MB ceiling), k = 5 positions per key, built
+    with explode -> groupBy(word) -> bit_or, so partial sketches from
+    every partition/ingest MERGE BY OR exactly like the native
+    structure. Every batch key is probed against the BROADCAST word
+    table (k position lookups + bit tests, whole-stage codegen), and
+    the exact corpus index is consulted ONLY for the positives — on a
+    clean crawl the overwhelmingly-common 'new' key never enters the
+    index join's exchange at all (the negatives branch is
+    index-join-free by plan, pinned in tests/test_round10_ops.py).
+    (Catalyst 4.1 has BloomFilterAggregate/MightContain but does not
+    SQL-register them; the algebraic form is also deterministic and
+    engine-portable.)
+
+    Soundness is DETERMINISTIC, not probabilistic (the q_tokens_cms /
+    q_agg_hll_merge flag pattern): a Bloom filter has NO false
+    negatives — every inserted key's k bits are set by construction —
+    so a bloom-miss is PROOF of corpus absence and the statuses equal
+    q_dedup_incremental's exactly, which is precisely what the oracle
+    hash-checks (the SQL side computes statuses with no bloom at all;
+    a single dropped member would flip a dup_corpus to new/dup_batch
+    and break the hash). False positives cost only a wasted index
+    probe and are removed by the exact left join. The emitted
+    `bloom_sound` flag is the self-membership invariant re-verified
+    engine-side per run — bool_and(all k bits set) over the STORED
+    key set itself — and the oracle pins it literal TRUE; the FPR
+    envelope is tolerance-tested in tests/test_round10_ops.py.
+
+    Scale shape: sketch build is one map-side-combined pass over the
+    stored key index reduced to <= m/64 = 524 288 words (in
+    production the words table is the stored artifact, merged by
+    bit_or per ingest); the probe is a batch-sized explode(k) +
+    broadcast word join + per-doc agg; the exact join sees only
+    |batch| x (dup-rate + ~1 % FPR) rows. Reference contrast:
+    src/main.rs:49-75 keeps the whole key set in a driver-side
+    BTreeMap — this is the sketch-tiered distributed form of the
+    same membership question."""
+    docs = load(spark, sf_dir, "documents")
+    prefix = F.concat_ws(
+        " ", F.slice(F.split(dedup.normalize_text(F.col("text")), " "), 1, 8)
+    )
+    h = docs.select(
+        "doc_id",
+        F.sha2(prefix, 256).alias("th"),
+        (F.col("doc_id") % 3 == 0).alias("is_new"),
+    )
+    corp = h.where(~F.col("is_new")).select("th").distinct()
+    # the sketch: bit positions -> (word, bit) -> bit_or per word.
+    # <= 524 288 rows regardless of corpus size; localCheckpoint
+    # stands in for the STORED sketch (3 consumers)
+    words = (
+        corp.select(F.explode(_bloom_positions(F.col("th"))).alias("pos"))
+        .select(
+            F.expr("pos div 64").alias("w"),
+            F.expr("shiftleft(1L, cast(pos % 64 AS int))").alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("b").alias("word"))
+        .localCheckpoint(eager=True)
+    )
+
+    def bloom_hit(df: DataFrame, *carry: str) -> DataFrame:
+        """Probe: k exploded positions, broadcast word join, a key
+        hits iff ALL its k bits are set."""
+        posed = df.select(
+            *carry, F.explode(_bloom_positions(F.col("th"))).alias("pos")
+        )
+        return (
+            posed.select(
+                *carry,
+                F.expr("pos div 64").alias("w"),
+                F.expr("shiftleft(1L, cast(pos % 64 AS int))").alias("b"),
+            )
+            .join(F.broadcast(words), "w", "left")
+            .withColumn(
+                "__hit",
+                F.coalesce(
+                    F.col("word").bitwiseAND(F.col("b")) != 0, F.lit(False)
+                ),
+            )
+            .groupBy(*carry)
+            .agg(F.min(F.col("__hit").cast("int")).alias("__allhit"))
+            .withColumn("bloom_hit", F.col("__allhit") == 1)
+            .drop("__allhit")
+        )
+
+    # self-membership invariant: every stored key tests positive
+    # (deterministic no-false-negative, checked on the exact key set)
+    sound = bloom_hit(corp, "th").agg(
+        F.coalesce(F.bool_and("bloom_hit"), F.lit(True)).alias(
+            "bloom_sound"
+        )  # empty corpus is vacuously sound
+    )
+    nb = h.where(F.col("is_new")).withColumn(
+        "keeper", F.min("doc_id").over(Window.partitionBy("th"))
+    )
+    probed = bloom_hit(nb, "doc_id", "th", "keeper")
+    pos = probed.where(F.col("bloom_hit")).join(
+        corp.withColumn("in_corp", F.lit(True)), "th", "left"
+    )
+    neg = probed.where(~F.col("bloom_hit")).withColumn(
+        "in_corp", F.lit(None).cast("boolean")
+    )
+    return (
+        pos.unionByName(neg)
+        .crossJoin(F.broadcast(sound))
+        .select(
+            "doc_id",
+            F.col("th").alias("text_hash"),
+            F.when(F.col("in_corp").isNotNull(), F.lit("dup_corpus"))
+            .when(F.col("doc_id") != F.col("keeper"), F.lit("dup_batch"))
+            .otherwise(F.lit("new"))
+            .alias("status"),
+            "bloom_sound",
+        )
+    )
+
+
 _SUBSTRING_ORACLE = """
     WITH toks AS (
         SELECT doc_id, string_split(text, ' ') AS ts FROM documents

@@ -68,18 +68,42 @@ def main() -> int:
     ap.add_argument("new")
     ap.add_argument("--band", type=float, default=0.25)
     ap.add_argument("--abs", dest="abs_s", type=float, default=0.3)
+    ap.add_argument(
+        "--raw",
+        action="store_true",
+        help="compare raw walls even when both runs carry host_factor",
+    )
     args = ap.parse_args()
 
     old, new = load_run(args.old), load_run(args.new)
+    factors = {}
     for tag, rec in (("old", old), ("new", new)):
         host = rec.get("host", {})
+        hf = rec.get("host_factor")
+        factors[tag] = hf
+        norm = (
+            f" norm_total={round(rec['value'] / hf, 1)}s (/{hf})"
+            if hf and rec.get("value")
+            else ""
+        )
         print(
             f"{tag}: total={rec.get('value')}s n={len(rec.get('queries', {}))}"
             f" sf={rec.get('sf')} run_id={rec.get('run_id', '-')}"
             f" loadavg={host.get('loadavg_1m', '-')}"
-            f" scan_mb_s={host.get('scan_mb_s', '-')}"
+            f" scan_mb_s={host.get('scan_mb_s', '-')}{norm}"
         )
     qo, qn = old.get("queries", {}), new.get("queries", {})
+    # normalized comparison (round 10): when BOTH runs carry a
+    # host_factor, per-query times are divided by each run's factor
+    # before the band test, so host drift between the two runs does
+    # not read as regression. --raw disables.
+    if not args.raw and factors["old"] and factors["new"]:
+        qo = {k: v / factors["old"] for k, v in qo.items()}
+        qn = {k: v / factors["new"] for k, v in qn.items()}
+        print(
+            f"comparing HOST-NORMALIZED times "
+            f"(old/{factors['old']}, new/{factors['new']})"
+        )
     common = sorted(set(qo) & set(qn))
     print(f"comparable queries: {len(common)}")
     regressions, improvements = [], []

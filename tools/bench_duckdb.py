@@ -50,7 +50,7 @@ def main() -> None:
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
             )
 
-    out: dict[str, float] = {}
+    out: dict = {}
     for q in args.queries.split(","):
         sql = registry.ORACLE[q]
         best = float("inf")
@@ -59,6 +59,13 @@ def main() -> None:
             con.execute(sql).fetchall()
             best = min(best, time.time() - t0)
         out[q] = round(best, 3)
+    # host factor vs the pinned 2026-08-13 §B constants when the
+    # measured set covers them (bench.py embeds the same A/B per run)
+    from bench import DUCKDB_PINNED_S
+
+    if set(DUCKDB_PINNED_S) <= set(out):
+        meas = sum(out[q] for q in DUCKDB_PINNED_S)
+        out["host_factor"] = round(meas / sum(DUCKDB_PINNED_S.values()), 3)
     print(json.dumps(out))
 
 

@@ -494,6 +494,20 @@ CHECKS: list[tuple[str, str, str]] = [
         "same classification shape as the md5 twin; band keys are "
         "single xxhash64 longs",
     ),
+    # round 10 additions
+    (
+        "q_dedup_incremental_bloom",
+        "#1:Join [th#",
+        "exactly ONE exact-index probe join (keyed th) — bloom "
+        "negatives classify without ever reaching the index",
+    ),
+    (
+        "q_dedup_incremental_bloom",
+        "#3:Join [w#",
+        "the fixed-size sketch word table BROADCASTS onto all three "
+        "probes (batch positives/negatives + self-check); it never "
+        "shuffles",
+    ),
     ("q_cdc_scd2", "WindowGroupLimit", ""),  # placeholder replaced below
 ]
 # q_cdc_scd2's property is structural, not a substring: all three
@@ -610,6 +624,12 @@ BUILDER_ACTION_QUERIES = frozenset(
         "q_diag_skew",
         "q_dedup_setsim_inc",
         "q_dedup_containment_inc",
+        # round 10: eager checkpoints in the builders — doremi's
+        # k-row corpus aggregates (the r9 q_sample_doremi belongs
+        # here too), the bloom sketch's word table
+        "q_sample_doremi",
+        "q_sample_doremi_lm",
+        "q_dedup_incremental_bloom",
     }
 )
 
