@@ -1,0 +1,258 @@
+"""Stored frozen-index builders + probe-only pipelines for the
+incremental dedup family (VERDICT r9 #2).
+
+The REGISTERED incremental queries (q_dedup_setsim_inc,
+q_dedup_containment_inc, q_dedup_minhash_inc) rebuild their frozen
+index in-query — exact and oracle-checked, but their decade rows then
+measure index-rebuild + probe, not the per-ingest cost the operators
+are designed around (q_dedup_setsim_inc's sf100 row was ~dominated by
+a 258 M-row prefix rebuild). These helpers persist the SAME indexes
+once as BUCKETED tables — bucketed by the probe join key, so the
+stored side enters the probe join with NO exchange
+(tests/test_frozen_probe.py pins it; the q_dedup_incremental /
+tests/test_bucketed_join.py posture) — and run the IDENTICAL
+candidate/verify/classify pipeline against the stored form: the
+probe paths import the registered queries' own candidate generators,
+they do not re-implement them, so probe-equals-registered is a code
+identity plus a pinned test, not a parallel implementation.
+
+Index contents per family:
+- setsim (Jaccard >= 1/2, word-5-gram): frozen token df stats
+  (__sid, __df) + corpus rarity-prefix postings (__sid, doc_id),
+  both bucketed by __sid
+- containment (>= 4/5, directed): the same stats (df is
+  threshold-free — one stats table serves both prefix families) +
+  corpus FULL postings (__sid, doc_id): containment cannot
+  prefix-prune the container side (JOSIE)
+- minhash (portable md5 construction): the stop-bucket-capped
+  (band, bkey, doc_id) band postings, bucketed by (band, bkey)
+
+tools/measure_probe.py times build and probe separately and SCALE.md
+carries the probe-only decade rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from fhir2sql_spark.operators import dedup
+
+
+def _sid_postings(docs: DataFrame, n: int = 5) -> DataFrame:
+    """Distinct (doc_id, __sid) token postings — the shared shingle →
+    xxhash64 → per-doc distinct prologue, deduped AFTER hashing so
+    the exchange carries 8-byte keys (the q_dedup_near discipline)."""
+    return (
+        dedup.shingles(docs, n=n, distinct=False)
+        .select("doc_id", F.xxhash64("lang", "shingle").alias("__sid"))
+        .repartition(F.col("__sid"))
+        .groupBy("__sid", "doc_id")
+        .agg(F.lit(1))
+        .select("doc_id", "__sid")
+    )
+
+
+def corpus_token_stats(corpus_docs: DataFrame, n: int = 5) -> DataFrame:
+    """The frozen rarity statistic: (__sid, __df) document frequency
+    over the corpus shard. Threshold-free, so ONE stats table serves
+    every prefix family (setsim t=1/2 and containment t=4/5 read the
+    same rows). Both aggregates ride the single explicit sid exchange
+    (grouping keys ⊇ partition key)."""
+    return (
+        _sid_postings(corpus_docs, n=n)
+        .groupBy("__sid")
+        .agg(F.count(F.lit(1)).alias("__df"))
+    )
+
+
+def batch_prefixes(
+    batch_docs: DataFrame,
+    stats: DataFrame,
+    threshold_num: int,
+    threshold_den: int,
+    n: int = 5,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Batch-side rarity prefixes under the FROZEN order read from
+    the STORED stats table — the probe-time counterpart of
+    queries/llm._inc_prefix_postings (which derives the same __df
+    with an in-query window over the combined stream): tokens the
+    index has never seen rank __df = 0 (rarest; they cannot hit the
+    corpus index anyway but order batch-batch prefixes), and prefix
+    completeness holds under any consistent total order, so the two
+    derivations emit IDENTICAL prefixes
+    (tests/test_frozen_probe.py::test_batch_prefixes_match_inquery).
+
+    Plan: one sid exchange (postings dedup + the stats equi-join ride
+    it; the stored stats side is bucketed by __sid and needs none),
+    one doc_id exchange for the size/rank windows."""
+    sh = _sid_postings(batch_docs, n=n)
+    toks = sh.join(stats, "__sid", "left").withColumn(
+        "__df", F.coalesce(F.col("__df"), F.lit(0))
+    )
+    w = Window.partitionBy("doc_id").orderBy("__df", "__sid")
+    w_size = Window.partitionBy("doc_id")
+    prefix_len = (
+        F.col("__s")
+        - F.expr(
+            f"(__s * {threshold_num} + {threshold_den} - 1) "
+            f"div {threshold_den}"
+        )
+        + 1
+    )
+    pref = (
+        toks.withColumn("__s", F.count(F.lit(1)).over(w_size))
+        .withColumn("__pos", F.row_number().over(w))
+        .where(F.col("__pos") <= prefix_len)
+        .select("doc_id", "__sid")
+    )
+    return pref.localCheckpoint(eager=True) if checkpoint else pref
+
+
+# ---------------------------------------------------------------- build
+
+
+def build_setsim_prefix_index(
+    corpus_docs: DataFrame,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+    n: int = 5,
+) -> DataFrame:
+    """Corpus rarity-prefix postings (__sid, doc_id) under the frozen
+    (corpus-df, sid) order — EXACTLY the registered query's corpus
+    slice: on a corpus-only input _inc_prefix_postings' conditional
+    df window counts every row, so this IS the same code path."""
+    from fhir2sql_spark.queries.llm import _inc_prefix_postings
+
+    return _inc_prefix_postings(
+        corpus_docs,
+        threshold_num=threshold_num,
+        threshold_den=threshold_den,
+        n=n,
+        checkpoint=False,
+    )
+
+
+def build_containment_posting_index(
+    corpus_docs: DataFrame, n: int = 5
+) -> DataFrame:
+    """Corpus FULL posting index (__sid, doc_id), deduped — per-doc
+    duplicate sids only duplicate candidates (absorbed by the pair
+    distinct), so storing the distinct form is equivalent and
+    smaller."""
+    return _sid_postings(corpus_docs, n=n)
+
+
+def build_minhash_band_index(corpus_docs: DataFrame) -> DataFrame:
+    """Capped (band, bkey, doc_id) postings of the portable MinHash
+    construction — the registered query's own band/cap code."""
+    from fhir2sql_spark.queries.llm import (
+        _cap_bucket_postings,
+        _portable_band_postings,
+    )
+
+    return _cap_bucket_postings(
+        _portable_band_postings(corpus_docs), "band", "bkey"
+    )
+
+
+def persist_index(
+    df: DataFrame,
+    name: str,
+    path: str,
+    bucket_cols: tuple[str, ...],
+    buckets: int = 32,
+) -> DataFrame:
+    """Write an index bucketed+sorted by its probe join key and return
+    the catalog-backed read — the layout under which the probe join
+    consumes the stored side with no exchange and no sort."""
+    (
+        df.write.mode("overwrite")
+        .bucketBy(buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
+        .option("path", path)  # external: warehouse.dir is static
+        .saveAsTable(name)
+    )
+    return df.sparkSession.table(name)
+
+
+# ---------------------------------------------------------------- probe
+
+
+def setsim_probe(
+    docs: DataFrame,
+    stats: DataFrame,
+    corpus_prefix: DataFrame,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+    n: int = 5,
+) -> DataFrame:
+    """Probe-only q_dedup_setsim_inc: batch prefixes under the stored
+    frozen order, the registered query's own candidate joins against
+    the stored prefix index, exact verify + classify. ``docs`` is the
+    full lake table (verification re-reads candidate texts)."""
+    from fhir2sql_spark.queries.llm import (
+        _classify_new_batch,
+        _setsim_inc_candidates,
+    )
+
+    batch = docs.where(F.col("doc_id") % 3 == 0)
+    bp = batch_prefixes(batch, stats, threshold_num, threshold_den, n)
+    cand_corpus, cand_batch = _setsim_inc_candidates(bp, corpus_prefix)
+    return _classify_new_batch(
+        docs, cand_corpus, cand_batch, threshold_num, threshold_den, n
+    )
+
+
+def containment_probe(
+    docs: DataFrame,
+    stats: DataFrame,
+    corpus_full: DataFrame,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+    n: int = 5,
+) -> DataFrame:
+    """Probe-only q_dedup_containment_inc against the stored full
+    posting index."""
+    from fhir2sql_spark.queries.llm import (
+        _classify_new_batch,
+        _containment_inc_candidates,
+    )
+
+    batch = docs.where(F.col("doc_id") % 3 == 0)
+    bp = batch_prefixes(batch, stats, threshold_num, threshold_den, n)
+    batch_full = _sid_postings(batch, n=n).select(
+        F.col("__sid").alias("__sid_b"), F.col("doc_id").alias("doc_b")
+    )
+    cand_corpus, cand_batch = _containment_inc_candidates(
+        bp,
+        corpus_full.select(
+            F.col("__sid").alias("__sid_b"), F.col("doc_id").alias("doc_b")
+        ),
+        batch_full,
+    )
+    return _classify_new_batch(
+        docs,
+        cand_corpus,
+        cand_batch,
+        threshold_num,
+        threshold_den,
+        n,
+        containment=True,
+    )
+
+
+def minhash_probe(docs: DataFrame, band_index: DataFrame) -> DataFrame:
+    """Probe-only q_dedup_minhash_inc against the stored capped band
+    index: batch signatures + the registered query's candidate joins
+    + exact verify/classify."""
+    from fhir2sql_spark.queries.llm import (
+        _classify_new_batch,
+        _minhash_inc_candidates,
+        _portable_band_postings,
+    )
+
+    nb = _portable_band_postings(docs.where(F.col("doc_id") % 3 == 0))
+    cand_corpus, cand_batch = _minhash_inc_candidates(nb, band_index)
+    return _classify_new_batch(docs, cand_corpus, cand_batch)

@@ -302,11 +302,28 @@ def q_dedup_setsim_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     pref = _inc_prefix_postings(docs, threshold_num=1, threshold_den=2, n=5)
     is_new = F.col("doc_id") % 3 == 0
-    pb = pref.where(is_new).select("__sid", F.col("doc_id").alias("doc_a"))
-    pc = pref.where(~is_new).select(
+    cand_corpus, cand_batch = _setsim_inc_candidates(
+        pref.where(is_new), pref.where(~is_new)
+    )
+    return _classify_new_batch(
+        docs, cand_corpus, cand_batch, threshold_num=1, threshold_den=2, n=5
+    )
+
+
+def _setsim_inc_candidates(
+    batch_pref: DataFrame, corpus_pref: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Candidate generation of the incremental set-similarity dedup,
+    factored so the registered query (in-query index rebuild) and the
+    STORED-index probe path (operators/frozen_index.py, VERDICT r9
+    #2) run the identical joins: batch prefixes vs corpus prefix
+    postings on the token sid, plus the within-batch prefix
+    self-join under the min-id order."""
+    pb = batch_pref.select("__sid", F.col("doc_id").alias("doc_a"))
+    pc = corpus_pref.select(
         F.col("__sid").alias("__sid_b"), F.col("doc_id").alias("doc_b")
     )
-    bb = pref.where(is_new).select(
+    bb = batch_pref.select(
         F.col("__sid").alias("__sid_b"), F.col("doc_id").alias("doc_b")
     )
     cand_corpus = (
@@ -323,9 +340,7 @@ def q_dedup_setsim_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    return _classify_new_batch(
-        docs, cand_corpus, cand_batch, threshold_num=1, threshold_den=2, n=5
-    )
+    return cand_corpus, cand_batch
 
 
 @query(
@@ -365,28 +380,15 @@ def q_dedup_containment_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     is_new = F.col("doc_id") % 3 == 0
     pref = _inc_prefix_postings(docs, threshold_num=4, threshold_den=5, n=5)
-    pb = pref.where(is_new).select("__sid", F.col("doc_id").alias("doc_a"))
     # frozen FULL posting index (corpus side, no prefix prune)
     full = dedup.shingles(docs, n=5, distinct=False).select(
         F.xxhash64("lang", "shingle").alias("__sid_b"),
         F.col("doc_id").alias("doc_b"),
     )
-    cand_corpus = (
-        pb.join(
-            full.where(F.col("doc_b") % 3 != 0),
-            F.col("__sid") == F.col("__sid_b"),
-        )
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
-    cand_batch = (
-        pb.join(
-            full.where(F.col("doc_b") % 3 == 0),
-            (F.col("__sid") == F.col("__sid_b"))
-            & (F.col("doc_b") < F.col("doc_a")),
-        )
-        .select("doc_a", "doc_b")
-        .distinct()
+    cand_corpus, cand_batch = _containment_inc_candidates(
+        pref.where(is_new),
+        full.where(F.col("doc_b") % 3 != 0),
+        full.where(F.col("doc_b") % 3 == 0),
     )
     return _classify_new_batch(
         docs,
@@ -397,6 +399,34 @@ def q_dedup_containment_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
         n=5,
         containment=True,
     )
+
+
+def _containment_inc_candidates(
+    batch_pref: DataFrame,
+    corpus_full: DataFrame,
+    batch_full: DataFrame,
+) -> tuple[DataFrame, DataFrame]:
+    """Candidate generation of the incremental containment dedup,
+    factored for the stored-index probe path (VERDICT r9 #2): the
+    prefix-pruned batch side probes the corpus FULL posting index and
+    the batch's own full postings (min-id order). ``corpus_full`` /
+    ``batch_full`` carry (__sid_b, doc_b)."""
+    pb = batch_pref.select("__sid", F.col("doc_id").alias("doc_a"))
+    cand_corpus = (
+        pb.join(corpus_full, F.col("__sid") == F.col("__sid_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    cand_batch = (
+        pb.join(
+            batch_full,
+            (F.col("__sid") == F.col("__sid_b"))
+            & (F.col("doc_b") < F.col("doc_a")),
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return cand_corpus, cand_batch
 
 
 @query("q_dedup_minhash")  # probabilistic: rows-only; recall vs exact in tests
@@ -2409,9 +2439,27 @@ def q_dedup_minhash_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
     _INC_BUCKET_CAP note). The scale variant swaps md5 for
     xxhash64 exactly as q_dedup_minhash does vs its portable twin;
     recall equivalence is pinned in tests/test_llm_ops.py."""
+    docs = load(spark, sf_dir, "documents")
+    banded = _portable_band_postings(docs)
+    nb = banded.where(F.col("doc_id") % 3 == 0)  # new-batch probe side
+    # frozen band index, stop-bucket-capped (VERDICT r8 #2): at most
+    # _INC_BUCKET_CAP postings per (band, bkey) per side survive —
+    # the index stores min-id postings, the batch probe side is
+    # capped the same way before it plays doc_b
+    idx = _cap_bucket_postings(
+        banded.where(F.col("doc_id") % 3 != 0), "band", "bkey"
+    )
+    cand_corpus, cand_batch = _minhash_inc_candidates(nb, idx)
+    return _classify_new_batch(docs, cand_corpus, cand_batch)
+
+
+def _portable_band_postings(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, bkey) LSH band postings under the PORTABLE
+    construction (md5 hex-parse sid + the shared affine family, 8x4
+    banding) — the exact band index q_dedup_minhash_inc stores;
+    factored for the stored-index probe path (VERDICT r9 #2)."""
     from fhir2sql_spark.operators.dedup import _minhash_params
 
-    docs = load(spark, sf_dir, "documents")
     sh = dedup.shingles(docs, n=3, distinct=True).withColumn(
         "__sid", _portable_sid()
     )
@@ -2422,7 +2470,7 @@ def q_dedup_minhash_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i, (a, b) in enumerate(_minhash_params(32, 42))
     ]
     sig = sh.groupBy("doc_id").agg(*mins)
-    banded = sig.select(
+    return sig.select(
         "doc_id",
         F.explode(
             F.array(
@@ -2442,14 +2490,15 @@ def q_dedup_minhash_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("s"),
     ).select("doc_id", "s.band", "s.bkey")
-    nb = banded.where(F.col("doc_id") % 3 == 0)  # new-batch probe side
-    # frozen band index, stop-bucket-capped (VERDICT r8 #2): at most
-    # _INC_BUCKET_CAP postings per (band, bkey) per side survive —
-    # the index stores min-id postings, the batch probe side is
-    # capped the same way before it plays doc_b
-    idx = _cap_bucket_postings(
-        banded.where(F.col("doc_id") % 3 != 0), "band", "bkey"
-    )
+
+
+def _minhash_inc_candidates(
+    nb: DataFrame, idx: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Band-collision candidates of the incremental MinHash dedup:
+    the UNCAPPED batch side probes the (already capped) stored index
+    plus its own capped postings. Factored for the stored-index probe
+    path (VERDICT r9 #2)."""
     nb_post = _cap_bucket_postings(nb, "band", "bkey")
     a = nb.select("band", "bkey", F.col("doc_id").alias("doc_a"))
     cand_corpus = (
@@ -2479,7 +2528,7 @@ def q_dedup_minhash_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    return _classify_new_batch(docs, cand_corpus, cand_batch)
+    return cand_corpus, cand_batch
 
 
 #: Per-(band-bucket, side) posting cap for the incremental LSH probes

@@ -1,0 +1,159 @@
+"""Frozen-index probe path (VERDICT r9 #2): the stored-index form of
+the incremental dedups must be (a) prefix-identical to the in-query
+rebuild, (b) status-identical to the registered queries, and (c) read
+its stored side with NO exchange (the bucketed layout the 100 TB
+per-ingest posture is argued on)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fhir2sql_spark import registry
+from fhir2sql_spark.operators import frozen_index as fz
+from fhir2sql_spark.queries.llm import _inc_prefix_postings
+from fhir2sql_spark.tables import load
+
+registry.load_all()
+
+
+def _docs(spark, sf_dir):
+    return load(spark, sf_dir, "documents")
+
+
+def test_batch_prefixes_match_inquery(spark, sf_dir):
+    """The stored-stats derivation of the frozen order must emit the
+    IDENTICAL prefixes the registered query's combined-stream window
+    derives — for the batch side (stats join, unseen tokens df=0)
+    and the corpus side (code identity, but pin it anyway)."""
+    docs = _docs(spark, sf_dir)
+    is_new = F.col("doc_id") % 3 == 0
+    combined = _inc_prefix_postings(docs, 1, 2, n=5, checkpoint=False)
+    stats = fz.corpus_token_stats(docs.where(~is_new))
+    got_batch = sorted(
+        (r["doc_id"], r["__sid"])
+        for r in fz.batch_prefixes(
+            docs.where(is_new), stats, 1, 2, n=5, checkpoint=False
+        ).collect()
+    )
+    want_batch = sorted(
+        (r["doc_id"], r["__sid"])
+        for r in combined.where(is_new).collect()
+    )
+    assert got_batch == want_batch
+    got_corpus = sorted(
+        (r["doc_id"], r["__sid"])
+        for r in fz.build_setsim_prefix_index(
+            docs.where(~is_new)
+        ).collect()
+    )
+    want_corpus = sorted(
+        (r["doc_id"], r["__sid"])
+        for r in combined.where(~is_new).collect()
+    )
+    assert got_corpus == want_corpus
+
+
+@pytest.mark.parametrize(
+    "qname,probe_fn",
+    [
+        (
+            "q_dedup_setsim_inc",
+            lambda docs: fz.setsim_probe(
+                docs,
+                fz.corpus_token_stats(docs.where(F.col("doc_id") % 3 != 0)),
+                fz.build_setsim_prefix_index(
+                    docs.where(F.col("doc_id") % 3 != 0)
+                ),
+            ),
+        ),
+        (
+            "q_dedup_containment_inc",
+            lambda docs: fz.containment_probe(
+                docs,
+                fz.corpus_token_stats(docs.where(F.col("doc_id") % 3 != 0)),
+                fz.build_containment_posting_index(
+                    docs.where(F.col("doc_id") % 3 != 0)
+                ),
+            ),
+        ),
+        (
+            "q_dedup_minhash_inc",
+            lambda docs: fz.minhash_probe(
+                docs,
+                fz.build_minhash_band_index(
+                    docs.where(F.col("doc_id") % 3 != 0)
+                ),
+            ),
+        ),
+    ],
+)
+def test_probe_statuses_equal_registered(spark, sf_dir, qname, probe_fn):
+    docs = _docs(spark, sf_dir)
+    got = {
+        r["doc_id"]: r["status"] for r in probe_fn(docs).collect()
+    }
+    want = {
+        r["doc_id"]: r["status"]
+        for r in registry.QUERIES[qname](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+@pytest.fixture(scope="module")
+def stored_indexes(spark, sf_dir, tmp_path_factory):
+    wh = str(tmp_path_factory.mktemp("fzwh"))
+    docs = _docs(spark, sf_dir)
+    corpus = docs.where(F.col("doc_id") % 3 != 0)
+    fz.persist_index(
+        fz.corpus_token_stats(corpus),
+        "t_fz_stats", f"{wh}/stats", ("__sid",), buckets=8,
+    )
+    fz.persist_index(
+        fz.build_setsim_prefix_index(corpus),
+        "t_fz_prefix", f"{wh}/prefix", ("__sid",), buckets=8,
+    )
+    fz.persist_index(
+        fz.build_minhash_band_index(corpus),
+        "t_fz_bands", f"{wh}/bands", ("band", "bkey"), buckets=8,
+    )
+    # plain-parquet twin of the prefix index for the exchange A/B
+    fz.build_setsim_prefix_index(corpus).write.mode("overwrite").parquet(
+        f"{wh}/prefix_plain"
+    )
+    return wh
+
+
+def test_stored_index_read_exchange_free(spark, sf_dir, stored_indexes):
+    """The candidate join must consume the BUCKETED prefix index with
+    no exchange on the stored side: with elective broadcasts off, the
+    bucketed plan carries strictly fewer hash exchanges than the
+    identical plan over a plain-parquet index, and the scan reports
+    its bucketing. Same for the (band, bkey)-bucketed LSH index."""
+    wh = stored_indexes
+    docs = _docs(spark, sf_dir)
+    bp = fz.batch_prefixes(
+        docs.where(F.col("doc_id") % 3 == 0), spark.table("t_fz_stats"),
+        1, 2, n=5,
+    )
+    from fhir2sql_spark.queries.llm import _setsim_inc_candidates
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        def cand_plan(corpus_prefix):
+            cand, _ = _setsim_inc_candidates(bp, corpus_prefix)
+            return (
+                cand._jdf.queryExecution().executedPlan().toString()
+            )
+
+        plan_bucketed = cand_plan(spark.table("t_fz_prefix"))
+        plan_plain = cand_plan(spark.read.parquet(f"{wh}/prefix_plain"))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    nx_b = plan_bucketed.count("Exchange hashpartitioning")
+    nx_p = plan_plain.count("Exchange hashpartitioning")
+    assert nx_b < nx_p, (nx_b, nx_p)
+    assert "SelectedBucketsCount" in plan_bucketed or (
+        "Bucketed: true" in plan_bucketed
+    )
