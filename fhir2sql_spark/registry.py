@@ -115,28 +115,47 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 #      already sit in the stale cohort below.
 #   3. Oldest re-confirms: the full 38-query round-4 cohort, then
 #      the alphabetical prefix of the round-5 cohort to fill 50.
+# Round-10 window (VERDICT r9 #6: rotate to the stalest cohort — the
+# 38 queries whose last driver check ran on round-5 code — led by the
+# round-10 additions and everything whose code changed after the r9
+# gate). Priority order:
+#   1. Never-driver-checked: the round-10 additions —
+#      q_dedup_incremental_bloom (Bloom membership tier in front of
+#      the stored exact index, VERDICT r9 #5), q_sample_doremi_lm
+#      (DoReMi composed with the bigram-LM excess-loss signal,
+#      VERDICT r9 #4).
+#   2. Changed since the r9 gate: the three incremental dedups whose
+#      candidate pipelines were factored for the stored-index probe
+#      path (q_dedup_setsim_inc / q_dedup_containment_inc /
+#      q_dedup_minhash_inc — plans pinned unchanged, but the code
+#      moved), q_dedup_minhash_inc_fast (same module/shared tail),
+#      and q_sample_doremi (update tail factored into
+#      _doremi_mw_update).
+#   3. Oldest re-confirms: the full 38-query round-5 cohort, then
+#      the alphabetical prefix of the round-6 cohort to fill 50.
 SHOWCASE = (
-    # 1. never driver-checked (round-9 additions)
-    "q_dedup_setsim_inc", "q_dedup_containment_inc", "q_sample_doremi",
-    # 2. changed since the r8 driver gate
-    "q_dedup_minhash_inc", "q_dedup_minhash_inc_fast", "q_diag_skew",
-    "q_dedup_minhash_portable", "q_dedup_winnow_pairs",
-    "q_dedup_winnow_inc",
-    # 3a. last driver-checked in round 4 (all 38)
-    "q_cohort_retention", "q_corpus_carve", "q_dedup_minhash",
-    "q_dedup_simhash", "q_event_funnel", "q_join_asof_fwd",
-    "q_join_cross", "q_join_right", "q_join_salted",
-    "q_multimodal_embed", "q_multimodal_resize", "q_sample_hash",
-    "q_sample_stratified", "q_string_agg", "q_subquery_scalar",
-    "q_text_chunks", "q_text_fingerprint", "q_text_redact",
-    "q_text_repetition", "q_tpch_q4", "q_tpch_q5", "q_tpch_q6",
-    "q_tpch_q7", "q_tpch_q8", "q_tpch_q9", "q_tpch_q10", "q_tpch_q12",
-    "q_tpch_q13", "q_tpch_q14", "q_tpch_q15", "q_tpch_q16",
-    "q_tpch_q17", "q_tpch_q18", "q_tpch_q19", "q_tpch_q20",
-    "q_tpch_q22", "q_window_firstlast", "q_window_ntile",
-    # 3b. last driver-checked in round 5 (alphabetical prefix;
-    # q_dedup_minhash_portable already occupies a slot above)
-    "q_agg_bool", "q_agg_regr", "q_attribution",
+    # 1. never driver-checked (round-10 additions)
+    "q_dedup_incremental_bloom", "q_sample_doremi_lm",
+    # 2. changed since the r9 driver gate
+    "q_dedup_setsim_inc", "q_dedup_containment_inc",
+    "q_dedup_minhash_inc", "q_dedup_minhash_inc_fast",
+    "q_sample_doremi",
+    # 3a. last driver-checked in round 5 (all 38)
+    "q_bpe_pairs", "q_dedup_embed_bulk", "q_dedup_incremental",
+    "q_dedup_semantic", "q_dedup_simhash_portable", "q_dedup_substring",
+    "q_dedup_substring_cut", "q_dedup_substring_hashed", "q_embed_ann",
+    "q_embed_hard_negatives", "q_embed_ivf", "q_embed_ivfpq",
+    "q_embed_pq", "q_filter_pred", "q_graph_jaccard",
+    "q_graph_pagerank", "q_graph_triangles", "q_interval_coverage",
+    "q_join_asof_nearest", "q_join_fuzzy", "q_join_inner",
+    "q_join_left", "q_join_spatial", "q_project_json",
+    "q_quality_winsorize", "q_rolling_active", "q_rolling_median",
+    "q_text_entropy", "q_text_llr", "q_text_ngram_novelty",
+    "q_text_pmi", "q_tokens_zipf", "q_tpch_q1", "q_tpch_q11",
+    "q_tpch_q2", "q_tpch_q21", "q_vocab_growth", "q_window_cume",
+    # 3b. last driver-checked in round 6 (alphabetical prefix)
+    "q_agg_approx", "q_agg_approx_percentile", "q_agg_basic",
+    "q_agg_distinct", "q_agg_grouping_sets",
 )
 
 # Green in CORRECTNESS_r02.json (round-2 driver gate) — kept here so
