@@ -182,6 +182,71 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_pack_sequences_bfd",
+    oracle="""
+    WITH RECURSIVE t AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY len(string_split(text, ' ')) DESC,
+                                           doc_id) AS rn
+        FROM documents
+    ),
+    pack(lang, rn, doc_id, n_tokens, loads, bin) AS (
+        SELECT lang, rn, doc_id, n_tokens, [n_tokens], 0
+        FROM t WHERE rn = 1
+        UNION ALL
+        SELECT t.lang, t.rn, t.doc_id, t.n_tokens,
+            CASE WHEN list_max(list_filter(p.loads,
+                                           x -> x + t.n_tokens <= 256))
+                      IS NULL
+                 THEN list_append(p.loads, t.n_tokens)
+                 ELSE list_concat(list_concat(
+                        p.loads[1:list_position(p.loads,
+                            list_max(list_filter(p.loads,
+                                x -> x + t.n_tokens <= 256))) - 1],
+                        [list_max(list_filter(p.loads,
+                            x -> x + t.n_tokens <= 256)) + t.n_tokens]),
+                        p.loads[list_position(p.loads,
+                            list_max(list_filter(p.loads,
+                                x -> x + t.n_tokens <= 256))) + 1:])
+            END,
+            CASE WHEN list_max(list_filter(p.loads,
+                                           x -> x + t.n_tokens <= 256))
+                      IS NULL
+                 THEN len(p.loads)
+                 ELSE list_position(p.loads,
+                        list_max(list_filter(p.loads,
+                            x -> x + t.n_tokens <= 256))) - 1
+            END
+        FROM pack p JOIN t ON t.lang = p.lang AND t.rn = p.rn + 1
+    )
+    SELECT doc_id, lang, n_tokens, CAST(bin AS INT) AS bin_id FROM pack
+    """,
+)
+def q_pack_sequences_bfd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-fit-decreasing packing — the quality twin of
+    q_pack_sequences (SURVEY §8 r9 candidate): docs per lang stream
+    sorted by (n_tokens DESC, doc_id), each placed into the FULLEST
+    bin it still fits (tie: lowest bin id), else a new bin. BFD is
+    the classical 11/9·OPT + 6/9 bin-packing bound vs greedy
+    next-fit's 2·OPT — on this fixture it packs the same corpus into
+    measurably fewer bins (pinned in tests/test_round10_ops.py
+    alongside capacity-respect and same-corpus coverage).
+
+    Exactness: the fold carries LIST state (per-bin loads), replayed
+    in the oracle as a DuckDB recursive CTE over a list column —
+    list_position picks the FIRST occurrence of the max fitting load,
+    the same tie-break the pandas fold uses; all-integer arithmetic.
+    Scale shape: identical to q_pack_sequences (applyInPandas per
+    stream key; composite lang x shard keys bound group size at
+    100 TB — bins never cross stream keys)."""
+    return packing.pack_bfd(
+        load(spark, sf_dir, "documents"), capacity=256, stream_col="lang"
+    )
+
+
+@query(
     "q_shard_balance",
     oracle="""
     WITH sized AS (

@@ -136,6 +136,7 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 SHOWCASE = (
     # 1. never driver-checked (round-10 additions)
     "q_dedup_incremental_bloom", "q_sample_doremi_lm",
+    "q_pack_sequences_bfd",
     # 2. changed since the r9 driver gate
     "q_dedup_setsim_inc", "q_dedup_containment_inc",
     "q_dedup_minhash_inc", "q_dedup_minhash_inc_fast",
@@ -155,7 +156,7 @@ SHOWCASE = (
     "q_tpch_q2", "q_tpch_q21", "q_vocab_growth", "q_window_cume",
     # 3b. last driver-checked in round 6 (alphabetical prefix)
     "q_agg_approx", "q_agg_approx_percentile", "q_agg_basic",
-    "q_agg_distinct", "q_agg_grouping_sets",
+    "q_agg_distinct",
 )
 
 # Green in CORRECTNESS_r02.json (round-2 driver gate) — kept here so

@@ -191,3 +191,32 @@ def test_bench_host_factor_plumbing():
     assert all(v > 0 for v in meas.values())
     factor = sum(meas.values()) / sum(bench.DUCKDB_PINNED_S.values())
     assert factor > 0.05  # sanity: the ratio is a real number of ~unit scale
+
+
+def test_pack_bfd_quality_and_capacity(spark):
+    """BFD packing: every bin holds <= capacity (except unavoidable
+    single-oversized-doc bins), the packed doc set equals greedy's,
+    and BFD uses no more bins than greedy next-fit per stream (the
+    point of the variant)."""
+    from fhir2sql_spark.operators.packing import pack_bfd, pack_greedy
+    from fhir2sql_spark.tables import load
+
+    docs = load(spark, SF_SMALL, "documents")
+    bfd = pack_bfd(docs, capacity=256).collect()
+    greedy = pack_greedy(docs, capacity=256).collect()
+    assert {r["doc_id"] for r in bfd} == {r["doc_id"] for r in greedy}
+    loads: dict = {}
+    members: dict = {}
+    for r in bfd:
+        k = (r["lang"], r["bin_id"])
+        loads[k] = loads.get(k, 0) + r["n_tokens"]
+        members[k] = members.get(k, 0) + 1
+    for k, ld in loads.items():
+        assert ld <= 256 or members[k] == 1, (k, ld, members[k])
+
+    def nbins(rows):
+        return len({(r["lang"], r["bin_id"]) for r in rows})
+
+    assert nbins(bfd) <= nbins(greedy)
+    # BFD must actually beat next-fit somewhere on this fixture
+    assert nbins(bfd) < nbins(greedy)
