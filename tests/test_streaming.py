@@ -1284,3 +1284,233 @@ def test_containment_inc_dedup_foreachbatch(spark, tmp_path):
     )
     assert {r["doc_id"]: r["status"] for r in after_rows} == expect
     assert read_postings() == before
+
+
+def test_incremental_bloom_dedup_foreachbatch(spark, tmp_path):
+    """q_dedup_incremental_bloom as a CONTINUOUS ingest: the stored
+    state is TWO watermarked logs — the exact key index (th,
+    src_batch) and the Bloom sketch's PARTIAL WORD tables (w, word,
+    src_batch), merged per batch by bit_or exactly as executor
+    partials merge (the sketch is mergeable by OR, so each ingest
+    appends only its admitted keys' partial). Per micro-batch: merge
+    the visible sketch, probe batch keys map-side, consult the exact
+    key index ONLY on positives, classify, append admitted keys +
+    their partial sketch. Ground truth is a sequential pure-Python
+    replay over exact normalized-prefix keys (the bloom must be
+    INVISIBLE in statuses — no false negatives); the natural fixture
+    provides the cross-batch case (keys shared only among new-batch
+    docs: 420 admitted in batch 1, 393 hits the GROWN index in batch
+    2). Replay-noop via the src_batch watermark as in the other
+    foreachBatch twins."""
+    import re as _re
+
+    from pyspark.sql import Window
+
+    from fhir2sql_spark.operators.dedup import normalize_text
+    from fhir2sql_spark.queries.llm import _bloom_positions
+
+    from tests.conftest import SF_MED
+
+    docs = load(spark, SF_MED, "documents").select("doc_id", "text")
+    prefix_key = F.sha2(
+        F.concat_ws(
+            " ", F.slice(F.split(normalize_text(F.col("text")), " "), 1, 8)
+        ),
+        256,
+    )
+    keyed = docs.select("doc_id", prefix_key.alias("th"))
+    index_dir = str(tmp_path / "index")
+    out_dir = str(tmp_path / "classified")
+    in_dir = str(tmp_path / "ingest")
+    ckpt = str(tmp_path / "ckpt")
+
+    def sketch_words(keys: DataFrame) -> DataFrame:
+        return (
+            keys.select(
+                F.explode(_bloom_positions(F.col("th"))).alias("pos")
+            )
+            .select(
+                F.expr("pos div 64").alias("w"),
+                F.expr("shiftleft(1L, cast(pos % 64 AS int))").alias("b"),
+            )
+            .groupBy("w")
+            .agg(F.bit_or("b").alias("word"))
+        )
+
+    corpus_keys = keyed.where(F.col("doc_id") % 3 != 0).select("th").distinct()
+    corpus_keys.withColumn("src_batch", F.lit(-1)).write.parquet(
+        index_dir + "/keys/base"
+    )
+    sketch_words(corpus_keys).withColumn("src_batch", F.lit(-1)).write.parquet(
+        index_dir + "/sketch/base"
+    )
+    new_docs = docs.where(F.col("doc_id") % 3 == 0)
+
+    def classify(bdf: DataFrame, batch_id: int) -> None:
+        s = bdf.sparkSession
+        bdf = bdf.localCheckpoint()
+        idx_keys = (
+            s.read.option("recursiveFileLookup", "true")
+            .parquet(index_dir + "/keys")
+            .where(F.col("src_batch") < batch_id)
+            .drop("src_batch")
+        )
+        merged = (
+            s.read.option("recursiveFileLookup", "true")
+            .parquet(index_dir + "/sketch")
+            .where(F.col("src_batch") < batch_id)
+            .groupBy("w")
+            .agg(F.bit_or("word").alias("word"))
+            .localCheckpoint()  # <= 2^25/64 rows regardless of corpus
+        )
+        nb = bdf.select(
+            "doc_id",
+            F.sha2(
+                F.concat_ws(
+                    " ",
+                    F.slice(
+                        F.split(normalize_text(F.col("text")), " "), 1, 8
+                    ),
+                ),
+                256,
+            ).alias("th"),
+        ).withColumn("keeper", F.min("doc_id").over(Window.partitionBy("th")))
+        posed = nb.select(
+            "doc_id",
+            "th",
+            "keeper",
+            F.explode(_bloom_positions(F.col("th"))).alias("pos"),
+        )
+        probed = (
+            posed.select(
+                "doc_id",
+                "th",
+                "keeper",
+                F.expr("pos div 64").alias("w"),
+                F.expr("shiftleft(1L, cast(pos % 64 AS int))").alias("b"),
+            )
+            .join(F.broadcast(merged), "w", "left")
+            .withColumn(
+                "__hit",
+                F.coalesce(
+                    F.col("word").bitwiseAND(F.col("b")) != 0, F.lit(False)
+                ),
+            )
+            .groupBy("doc_id", "th", "keeper")
+            .agg((F.min(F.col("__hit").cast("int")) == 1).alias("bloom_hit"))
+            .localCheckpoint()
+        )
+        pos = probed.where(F.col("bloom_hit")).join(
+            idx_keys.withColumn("in_corp", F.lit(True)), "th", "left"
+        )
+        neg = probed.where(~F.col("bloom_hit")).withColumn(
+            "in_corp", F.lit(None).cast("boolean")
+        )
+        tagged = (
+            pos.unionByName(neg)
+            .select(
+                "doc_id",
+                "th",
+                "bloom_hit",
+                F.when(F.col("in_corp").isNotNull(), F.lit("dup_corpus"))
+                .when(F.col("doc_id") != F.col("keeper"), F.lit("dup_batch"))
+                .otherwise(F.lit("new"))
+                .alias("status"),
+            )
+            .localCheckpoint()
+        )
+        tagged.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+        admitted_keys = (
+            tagged.where(F.col("status") == "new").select("th").distinct()
+        ).localCheckpoint()
+        admitted_keys.withColumn("src_batch", F.lit(batch_id)).write.mode(
+            "overwrite"
+        ).parquet(f"{index_dir}/keys/batch={batch_id}")
+        sketch_words(admitted_keys).withColumn(
+            "src_batch", F.lit(batch_id)
+        ).write.mode("overwrite").parquet(
+            f"{index_dir}/sketch/batch={batch_id}"
+        )
+
+    def drain() -> None:
+        stream = spark.readStream.schema("doc_id long, text string").parquet(
+            in_dir
+        )
+        q = (
+            stream.writeStream.foreachBatch(classify)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        q.stop()
+
+    b1 = new_docs.where(F.col("doc_id") % 2 == 0)
+    b2 = new_docs.where(F.col("doc_id") % 2 == 1)
+    b1.write.mode("append").parquet(in_dir)
+    drain()
+    b2.write.mode("append").parquet(in_dir)
+    drain()
+
+    out_rows = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(out_dir)
+        .collect()
+    )
+    got = {r["doc_id"]: r["status"] for r in out_rows}
+    hits = {r["doc_id"]: r["bloom_hit"] for r in out_rows}
+    assert len(out_rows) == len(got)
+
+    # sequential replay over exact keys — the bloom must be invisible
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+
+    def key_of(t: str) -> str:
+        return " ".join(
+            _re.sub(r"\s+", " ", t.lower()).strip().split(" ")[:8]
+        )
+
+    keys_py = {d: key_of(t) for d, t in texts.items()}
+    corpus = {keys_py[d] for d in keys_py if d % 3 != 0}
+    expect = {}
+    for parity in (0, 1):
+        batch = sorted(d for d in keys_py if d % 3 == 0 and d % 2 == parity)
+        keeper: dict = {}
+        for d in batch:
+            keeper.setdefault(keys_py[d], d)
+        for d in batch:
+            if keys_py[d] in corpus:
+                expect[d] = "dup_corpus"
+            elif keeper[keys_py[d]] != d:
+                expect[d] = "dup_batch"
+            else:
+                expect[d] = "new"
+        corpus |= {keys_py[d] for d in batch if expect[d] == "new"}
+    assert got == expect
+    # the cross-batch case occurs naturally: 420 (batch 1, key shared
+    # with no corpus doc) is admitted; its key-twin 393 (batch 2)
+    # hits the GROWN index
+    assert got[420] == "new" and got[393] == "dup_corpus"
+    # bloom soundness live: every dup_corpus row passed the filter,
+    # and the tier actually pruned something (some row missed)
+    assert all(hits[d] for d, st in got.items() if st == "dup_corpus")
+    assert any(not h for h in hits.values())
+
+    # replay-noop (src_batch watermark)
+    def read_log(sub):
+        return sorted(
+            tuple(r)
+            for r in spark.read.option("recursiveFileLookup", "true")
+            .parquet(index_dir + sub)
+            .collect()
+        )
+
+    keys_before, sketch_before = read_log("/keys"), read_log("/sketch")
+    classify(b2, 1)
+    replay_rows = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(out_dir)
+        .collect()
+    )
+    assert {r["doc_id"]: r["status"] for r in replay_rows} == expect
+    assert read_log("/keys") == keys_before
+    assert read_log("/sketch") == sketch_before
