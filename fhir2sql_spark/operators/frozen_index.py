@@ -53,6 +53,28 @@ def _sid_postings(docs: DataFrame, n: int = 5) -> DataFrame:
     )
 
 
+def ranked_postings(
+    docs_side: DataFrame, stats: DataFrame, n: int = 5
+) -> DataFrame:
+    """FULL postings with positional metadata under the frozen order:
+    (doc_id, __sid, __pos, __s) where __pos is the token's 1-based
+    rank in its doc under (frozen df, sid) and __s the doc's distinct
+    sid count — the JOSIE-style positional columns the containment
+    probe's suffix-budget filter needs. Same two-exchange shape as
+    batch_prefixes, no prefix slice."""
+    sh = _sid_postings(docs_side, n=n)
+    toks = sh.join(stats, "__sid", "left").withColumn(
+        "__df", F.coalesce(F.col("__df"), F.lit(0))
+    )
+    w = Window.partitionBy("doc_id").orderBy("__df", "__sid")
+    w_size = Window.partitionBy("doc_id")
+    return (
+        toks.withColumn("__s", F.count(F.lit(1)).over(w_size))
+        .withColumn("__pos", F.row_number().over(w))
+        .select("doc_id", "__sid", "__pos", "__s")
+    )
+
+
 def corpus_token_stats(corpus_docs: DataFrame, n: int = 5) -> DataFrame:
     """The frozen rarity statistic: (__sid, __df) document frequency
     over the corpus shard. Threshold-free, so ONE stats table serves
@@ -73,6 +95,7 @@ def batch_prefixes(
     threshold_den: int,
     n: int = 5,
     checkpoint: bool = True,
+    positions: bool = False,
 ) -> DataFrame:
     """Batch-side rarity prefixes under the FROZEN order read from
     the STORED stats table — the probe-time counterpart of
@@ -101,11 +124,16 @@ def batch_prefixes(
         )
         + 1
     )
+    cols = (
+        ["doc_id", "__sid", "__pos", "__s"]
+        if positions
+        else ["doc_id", "__sid"]
+    )
     pref = (
         toks.withColumn("__s", F.count(F.lit(1)).over(w_size))
         .withColumn("__pos", F.row_number().over(w))
         .where(F.col("__pos") <= prefix_len)
-        .select("doc_id", "__sid")
+        .select(*cols)
     )
     return pref.localCheckpoint(eager=True) if checkpoint else pref
 
@@ -231,6 +259,90 @@ def containment_probe(
             F.col("__sid").alias("__sid_b"), F.col("doc_id").alias("doc_b")
         ),
         batch_full,
+    )
+    return _classify_new_batch(
+        docs,
+        cand_corpus,
+        cand_batch,
+        threshold_num,
+        threshold_den,
+        n,
+        containment=True,
+    )
+
+
+def containment_probe_positional(
+    docs: DataFrame,
+    stats: DataFrame,
+    corpus_ranked: DataFrame,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+    n: int = 5,
+) -> DataFrame:
+    """Probe-only q_dedup_containment_inc with the JOSIE-style
+    POSITIONAL suffix-budget filter (SURVEY §8 r10 watch-list lever,
+    taken early): the stored index carries each posting's 1-based
+    rank __pos and its doc's size __s under the frozen global order,
+    and a candidate token row survives only if the container's
+    remaining suffix can still reach the bound —
+    (sb - pb + 1) * td >= sa * tn, i.e. |B|-suffix >= ceil(t*|A|).
+
+    COMPLETENESS (no recall loss): both sides rank under the SAME
+    global total order (frozen df, sid). If the pair truly satisfies
+    common >= ceil(t*|A|), take x = the shared token MINIMAL in that
+    global order; every shared token lies in x's suffix on BOTH
+    sides, so |A| - pA(x) + 1 >= common and |B| - pB(x) + 1 >= common
+    >= ceil(t*|A|) — and pA(x) <= |A| - common + 1 <= the prefix
+    bound, so x's row passes the prefix slice AND the positional
+    filter. The probe-side bound is implied by the prefix slice
+    itself (pA <= LA ⟺ |A| - pA + 1 >= ceil(t*|A|)), so only the
+    container side is tested. Statuses therefore remain
+    order-independent and equal the plain probe's (pinned in
+    tests/test_frozen_probe.py).
+
+    Cost: the filter is two ints already in the join inputs — it cuts
+    candidate fan-out BEFORE the pair distinct (tokens matched deep
+    in a large container's tail can no longer certify containment);
+    the index grows by 2 ints/posting."""
+    from fhir2sql_spark.queries.llm import _classify_new_batch
+
+    batch = docs.where(F.col("doc_id") % 3 == 0)
+    bp = batch_prefixes(
+        batch, stats, threshold_num, threshold_den, n, positions=True
+    )
+    pb = bp.select(
+        "__sid", F.col("doc_id").alias("doc_a"), F.col("__s").alias("__sa")
+    )
+    b_side = ranked_postings(batch, stats, n=n).select(
+        F.col("__sid").alias("__sid_b"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("__pos").alias("__pb"),
+        F.col("__s").alias("__sb"),
+    )
+    c_side = corpus_ranked.select(
+        F.col("__sid").alias("__sid_b"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("__pos").alias("__pb"),
+        F.col("__s").alias("__sb"),
+    )
+    budget = (
+        (F.col("__sb") - F.col("__pb") + 1) * threshold_den
+        >= F.col("__sa") * threshold_num
+    )
+    cand_corpus = (
+        pb.join(c_side, (F.col("__sid") == F.col("__sid_b")) & budget)
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    cand_batch = (
+        pb.join(
+            b_side,
+            (F.col("__sid") == F.col("__sid_b"))
+            & (F.col("doc_b") < F.col("doc_a"))
+            & budget,
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
     )
     return _classify_new_batch(
         docs,

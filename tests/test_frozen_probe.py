@@ -157,3 +157,58 @@ def test_stored_index_read_exchange_free(spark, sf_dir, stored_indexes):
     assert "SelectedBucketsCount" in plan_bucketed or (
         "Bucketed: true" in plan_bucketed
     )
+
+
+def test_containment_positional_probe(spark):
+    """JOSIE positional suffix-budget filter (SURVEY §8 watch-list
+    lever, taken round 10): statuses must equal the registered
+    query's EXACTLY (completeness: the globally-first shared token
+    always survives both the prefix slice and the budget filter —
+    proof in the docstring), and the filter must actually prune
+    candidate token rows on the fixture."""
+    from tests.conftest import SF_MED
+
+    docs = _docs(spark, SF_MED)
+    corpus = docs.where(F.col("doc_id") % 3 != 0)
+    stats = fz.corpus_token_stats(corpus).localCheckpoint()
+    ranked = fz.ranked_postings(corpus, stats).localCheckpoint()
+    got = {
+        r["doc_id"]: r["status"]
+        for r in fz.containment_probe_positional(
+            docs, stats, ranked
+        ).collect()
+    }
+    want = {
+        r["doc_id"]: r["status"]
+        for r in registry.QUERIES["q_dedup_containment_inc"](
+            spark, SF_MED
+        ).collect()
+    }
+    assert got == want
+    assert "dup_corpus" in set(got.values())
+
+    # effectiveness is df-profile-dependent (SCALE.md round-10
+    # follow-up): at sf0.01 the rarity prefixes already cut the
+    # candidate token rows to a few dozen (all true dups with ample
+    # suffix budget) and the filter prunes NOTHING; at sf100 the
+    # same-window A/B measured 147.3 -> 107.1 s (27% faster) because
+    # 5 M docs give the prefixes real multi-doc tokens to prune.
+    # Here pin the subset relation (the filter must never ADD rows).
+    bp = fz.batch_prefixes(
+        docs.where(F.col("doc_id") % 3 == 0), stats, 4, 5, positions=True
+    )
+    pb = bp.select(
+        "__sid", F.col("doc_id").alias("doc_a"), F.col("__s").alias("__sa")
+    )
+    c_side = ranked.select(
+        F.col("__sid").alias("__sid_b"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("__pos").alias("__pb"),
+        F.col("__s").alias("__sb"),
+    )
+    budget = (F.col("__sb") - F.col("__pb") + 1) * 5 >= F.col("__sa") * 4
+    plain = pb.join(c_side, F.col("__sid") == F.col("__sid_b")).count()
+    pruned = pb.join(
+        c_side, (F.col("__sid") == F.col("__sid_b")) & budget
+    ).count()
+    assert pruned <= plain, (pruned, plain)

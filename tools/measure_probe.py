@@ -74,7 +74,7 @@ def main() -> int:
             best = min(best, time.monotonic() - t0)
         print(f">>PROBE probe {qname} {tag} {best:.2f}s", flush=True)
 
-    needs_stats = fams & {"setsim", "containment"}
+    needs_stats = fams & {"setsim", "containment", "containment_pos"}
     if needs_stats:
         build("stats", fz.corpus_token_stats(corpus), ("__sid",))
     if "setsim" in fams:
@@ -99,6 +99,18 @@ def main() -> int:
             "q_dedup_containment_inc",
             lambda: fz.containment_probe(
                 docs, tbl("stats"), tbl("contain_full")
+            ),
+        )
+    if "containment_pos" in fams:
+        build(
+            "contain_ranked",
+            fz.ranked_postings(corpus, tbl("stats")),
+            ("__sid",),
+        )
+        probe(
+            "q_dedup_containment_inc[positional]",
+            lambda: fz.containment_probe_positional(
+                docs, tbl("stats"), tbl("contain_ranked")
             ),
         )
     if "minhash" in fams:
