@@ -376,7 +376,14 @@ def q_dedup_containment_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair distinct, so the stored index needs no aggregate at all.
     Statuses are order-independent (complete candidates + exact
     verify), so the oracle is the brute-force directed join, no
-    hash replay."""
+    hash replay.
+
+    r10: the stored-index probe path has a JOSIE positional variant
+    (operators/frozen_index.py::containment_probe_positional — the
+    index carries (pos, size) and the probe prunes container rows
+    whose remaining suffix cannot reach ceil(t*|A|); completeness
+    proved there, statuses pinned equal, same-window sf100 A/B
+    147.3 -> 107.1 s in SCALE.md)."""
     docs = load(spark, sf_dir, "documents")
     is_new = F.col("doc_id") % 3 == 0
     pref = _inc_prefix_postings(docs, threshold_num=4, threshold_den=5, n=5)
