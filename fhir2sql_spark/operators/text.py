@@ -847,3 +847,226 @@ def dsir_logweights(
     return scored.select(
         id_col, "dsir_logw", (F.col("dsir_logw") > 0).alias("selected")
     )
+
+
+def _word_positions(words: DataFrame) -> DataFrame:
+    """One row per character position of every distinct word:
+    (w, i) with i = 1..length(w)."""
+    return words.select(
+        "w", F.explode(F.sequence(F.lit(1), F.length("w"))).alias("i")
+    )
+
+
+def piece_matches(
+    words: DataFrame,
+    pieces: DataFrame,
+    piece_lens: tuple[int, ...] = (2, 3, 4),
+) -> DataFrame:
+    """Every (word, position, length) at which a vocabulary piece
+    matches: (w, i, L, piece) — the shared lattice-edge derivation
+    under greedy_segment_cuts and viterbi_best_bits. The piece set is
+    bounded by contract, so the match is a broadcast equi-join on the
+    substring; input is vocabulary-chars-sized (one row per char per
+    candidate length)."""
+    lens = F.explode(
+        F.array(*[F.lit(int(x)) for x in piece_lens])
+    ).alias("L")
+    return (
+        _word_positions(words)
+        .select("w", "i", lens)
+        .where(F.col("i") + F.col("L") - 1 <= F.length("w"))
+        .select(
+            "w",
+            "i",
+            "L",
+            F.col("w")
+            .substr(F.col("i").cast("int"), F.col("L").cast("int"))
+            .alias("piece"),
+        )
+        .join(F.broadcast(pieces.select("piece")), "piece")
+    )
+
+
+def greedy_segment_cuts(
+    words: DataFrame,
+    pieces: DataFrame,
+    piece_lens: tuple[int, ...] = (2, 3, 4),
+) -> DataFrame:
+    """Deterministic leftmost-longest subword segmentation of every
+    distinct word against a bounded piece vocabulary — the WordPiece
+    inference rule — fully JVM-side via pointer doubling.
+
+    ``words``: one row per DISTINCT word (column ``w``, non-empty) —
+    vocabulary-sized by contract (the caller collapses the corpus to
+    its word-frequency dictionary first, the q_bpe_pairs argument).
+    ``pieces``: the bounded seed vocabulary (column ``piece``; lengths
+    drawn from ``piece_lens``). Single characters are the implicit
+    fallback alphabet.
+
+    Segmentation is a sequential chain per word (each cut determines
+    the next), which a naive rendering would follow with len(w)
+    dependent joins. The distributed form used here:
+
+      1. ``step`` table: for every (w, i) the longest vocab piece
+         starting at i (broadcast join against the bounded piece set,
+         max-length per position), falling back to 1 char — one row
+         per character of the distinct-word vocabulary.
+      2. Pointer doubling over ``step``: J_{2k} = J_k composed with
+         itself (tropical-free — plain reachability); the cut set is
+         the positions reachable from 1, grown in ceil(log2(maxlen))
+         rounds of small equi-joins instead of maxlen sequential ones
+         (the distributed_rank / prefix-sum family trick).
+
+    Every join is (w, i)-keyed and vocabulary-chars-sized; per-round
+    frames are localCheckpointed because each feeds two consumers
+    (the round-8 double-reference lesson). Returns (w, i, piece,
+    plen): one row per cut, piece = the consumed substring.
+
+    Determinism: leftmost-longest has a unique answer — no float, no
+    tie-break — so a SQL oracle can replay it exactly with a
+    precomputed step table and a recursive chain-follow CTE.
+    """
+    import math
+
+    pos = _word_positions(words)
+    matched = (
+        piece_matches(words, pieces, piece_lens)
+        .groupBy("w", "i")
+        .agg(F.max("L").alias("ml"))
+    )
+    step = pos.join(matched, ["w", "i"], "left").select(
+        "w",
+        "i",
+        (F.col("i") + F.coalesce(F.col("ml"), F.lit(1))).alias("j"),
+    )
+    # Totalize the jump relation with an end-sentinel self-loop so
+    # J composed with itself saturates instead of losing finished
+    # chains; referenced by both the reach join and the squaring.
+    jump = (
+        step.unionByName(
+            words.select(
+                "w",
+                (F.length("w") + 1).alias("i"),
+                (F.length("w") + 1).alias("j"),
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    n_max = words.agg(F.max(F.length("w"))).collect()[0][0] or 1
+    rounds = max(1, math.ceil(math.log2(n_max + 1)))
+    reach = words.select("w", F.lit(1).alias("i"))
+    jk = jump
+    for r in range(rounds):
+        reach = (
+            reach.unionByName(
+                reach.join(jk, ["w", "i"]).select(
+                    "w", F.col("j").alias("i")
+                )
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        if r + 1 < rounds:
+            jk = (
+                jk.select("w", "i", F.col("j").alias("m"))
+                .join(
+                    jk.select("w", F.col("i").alias("m"), "j"),
+                    ["w", "m"],
+                )
+                .select("w", "i", "j")
+                .localCheckpoint(eager=True)
+            )
+    # Sentinel rows (i = len+1) drop in the inner join with step.
+    return reach.join(step, ["w", "i"]).select(
+        "w",
+        "i",
+        F.col("w")
+        .substr(
+            F.col("i").cast("int"), (F.col("j") - F.col("i")).cast("int")
+        )
+        .alias("piece"),
+        (F.col("j") - F.col("i")).alias("plen"),
+    )
+
+
+def viterbi_best_bits(
+    words: DataFrame,
+    scored_pieces: DataFrame,
+    piece_lens: tuple[int, ...] = (2, 3, 4),
+) -> DataFrame:
+    """Viterbi-optimal segmentation score per distinct word: the MAX
+    total piece weight over ALL segmentations (unigram-LM E-step at
+    score level), fully JVM-side via max-plus pointer doubling.
+
+    ``scored_pieces``: (piece, wgt) with integer weights — bit-
+    quantized log counts in the unigram queries, so path sums are
+    exact BIGINTs and the maximum is engine-replicable (the VALUE of
+    the max is unique even when multiple argmax paths tie — which is
+    exactly why this emits the score, not a segmentation).
+
+    Construction: the word is a position lattice 1..len+1; matched
+    pieces are weighted forward edges, every position has a weight-0
+    single-char fallback edge, and every position a weight-0 self
+    loop. D_0 = that edge relation; squaring in the (max, +) tropical
+    semiring — join on the middle position + groupBy max — doubles
+    the covered path length per round, so the 1 → len+1 best path
+    lands in ceil(log2(maxlen)) rounds of (w, pos)-keyed joins
+    instead of a per-word sequential DP. Per-round frames are
+    localCheckpointed (each feeds both sides of its own squaring).
+
+    Size posture: D_k holds at most len²/2 (i ≤ j) pairs per word and
+    each squaring enumerates (i, m, j) triples — cubic in WORD length,
+    linear in vocabulary size. Whitespace words are length-bounded by
+    contract (fixture max 8); a corpus with pathological unbroken
+    tokens would swap in a blocked DP, trading rounds for width.
+
+    Returns (w, vbits). The SQL oracle replays the same lattice with
+    a list-state recursive CTE (the q_pack_sequences_bfd pattern):
+    sequential in word length, identical integer algebra.
+    """
+    import math
+
+    pos = _word_positions(words)
+    matched = piece_matches(words, pieces=scored_pieces, piece_lens=piece_lens)
+    edges = (
+        matched.join(F.broadcast(scored_pieces), "piece")
+        .select("w", "i", (F.col("i") + F.col("L")).alias("j"), "wgt")
+    )
+    fallback = pos.select(
+        "w", "i", (F.col("i") + 1).alias("j"), F.lit(0).cast("long").alias("wgt")
+    )
+    loops = (
+        pos.unionByName(
+            words.select("w", (F.length("w") + 1).alias("i"))
+        )
+        .select("w", "i", F.col("i").alias("j"), F.lit(0).cast("long").alias("wgt"))
+    )
+    d = (
+        edges.select("w", "i", "j", F.col("wgt").cast("long"))
+        .unionByName(fallback)
+        .unionByName(loops)
+        .groupBy("w", "i", "j")
+        .agg(F.max("wgt").alias("wgt"))
+        .localCheckpoint(eager=True)
+    )
+    n_max = words.agg(F.max(F.length("w"))).collect()[0][0] or 1
+    rounds = max(1, math.ceil(math.log2(n_max + 1)))
+    for _ in range(rounds):
+        d = (
+            d.select("w", "i", F.col("j").alias("m"), F.col("wgt").alias("w1"))
+            .join(
+                d.select("w", F.col("i").alias("m"), "j", F.col("wgt").alias("w2")),
+                ["w", "m"],
+            )
+            .groupBy("w", "i", "j")
+            .agg(F.max(F.col("w1") + F.col("w2")).alias("wgt"))
+            .localCheckpoint(eager=True)
+        )
+    return (
+        d.join(
+            words.select("w", (F.length("w") + 1).alias("__end")),
+            ["w"],
+        )
+        .where((F.col("i") == 1) & (F.col("j") == F.col("__end")))
+        .select("w", F.col("wgt").alias("vbits"))
+    )

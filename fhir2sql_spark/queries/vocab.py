@@ -912,3 +912,350 @@ def q_tokens_fertility_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fertility"),
         )
     )
+
+
+_UNIGRAM_SEED_K = 256
+_UNIGRAM_PIECE_LENS = (2, 3, 4)
+
+
+def _unigram_pieces(wc: DataFrame) -> DataFrame:
+    """Seed vocabulary for the unigram-LM queries: the top-256
+    weighted substrings (lengths 2-4) of the word-frequency dict —
+    bounded (256 rows, eagerly checkpointed: the matcher broadcast
+    and the final seed_cnt join both consume it), total-ordered
+    (seed_cnt DESC, piece) so the K boundary is deterministic under
+    ties. Input and output are vocabulary-sized."""
+    subs = (
+        wc.select(
+            "w",
+            "cnt",
+            F.explode(
+                F.array(*[F.lit(x) for x in _UNIGRAM_PIECE_LENS])
+            ).alias("L"),
+        )
+        .where(F.length("w") >= F.col("L"))
+        .select(
+            "w",
+            "cnt",
+            "L",
+            F.explode(
+                F.sequence(F.lit(1), F.length("w") - F.col("L") + 1)
+            ).alias("i"),
+        )
+        .select(
+            F.col("w")
+            .substr(F.col("i").cast("int"), F.col("L").cast("int"))
+            .alias("piece"),
+            "cnt",
+        )
+        .groupBy("piece")
+        .agg(F.sum("cnt").cast("long").alias("seed_cnt"))
+    )
+    return (
+        subs.orderBy(F.desc("seed_cnt"), "piece")
+        .limit(_UNIGRAM_SEED_K)
+        .localCheckpoint(eager=True)
+    )
+
+
+# Shared oracle CTE block for the unigram-LM pair: word-frequency
+# dict, seed-piece mining (top-256, total-ordered K boundary), the
+# leftmost-longest step table, and the greedy cut chain (recursive
+# chain-follow — the q_pack_sequences_bfd precedent). Verbatim-shared
+# so both queries provably score/segment against the identical seed
+# vocabulary (the _BPE_ENCODE_CTES / _LM_CTES discipline).
+_UNIGRAM_CTES = """wc AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+      WHERE w <> '' GROUP BY w
+    ),
+    subs AS (
+      SELECT substr(w, CAST(i AS INT), CAST(L AS INT)) AS piece,
+             CAST(SUM(cnt) AS BIGINT) AS seed_cnt
+      FROM wc,
+           (VALUES (2), (3), (4)) ls(L),
+           unnest(generate_series(1, length(w) - L + 1)) AS g(i)
+      GROUP BY piece
+    ),
+    pieces AS MATERIALIZED (
+      SELECT piece, seed_cnt, length(piece) AS plen
+      FROM subs ORDER BY seed_cnt DESC, piece LIMIT 256
+    ),
+    pos AS (
+      SELECT w, CAST(i AS BIGINT) AS i
+      FROM wc, unnest(generate_series(1, length(w))) AS g(i)
+    ),
+    ml AS (
+      SELECT p.w, p.i, MAX(pc.plen) AS ml
+      FROM pos p JOIN pieces pc
+        ON p.i + pc.plen - 1 <= length(p.w)
+       AND substr(p.w, CAST(p.i AS INT), CAST(pc.plen AS INT)) = pc.piece
+      GROUP BY p.w, p.i
+    ),
+    step AS MATERIALIZED (
+      SELECT p.w, p.i, p.i + COALESCE(m.ml, 1) AS j
+      FROM pos p LEFT JOIN ml m ON p.w = m.w AND p.i = m.i
+    ),
+    cuts AS (
+      SELECT w, CAST(1 AS BIGINT) AS i FROM wc
+      UNION ALL
+      SELECT s.w, CAST(s.j AS BIGINT)
+      FROM cuts c JOIN step s ON s.w = c.w AND s.i = c.i
+      WHERE s.j <= length(s.w)
+    ),
+    seg AS (
+      SELECT c.w,
+             substr(c.w, CAST(c.i AS INT), CAST(s.j - c.i AS INT)) AS piece,
+             s.j - c.i AS plen
+      FROM cuts c JOIN step s ON s.w = c.w AND s.i = c.i
+    )"""
+
+
+@query(
+    "q_vocab_unigram_em",
+    oracle=f"""
+    WITH RECURSIVE {_UNIGRAM_CTES},
+    m AS (
+      SELECT piece, CAST(SUM(cnt) AS BIGINT) AS em_cnt
+      FROM seg JOIN wc USING (w)
+      WHERE plen >= 2
+      GROUP BY piece
+    ),
+    tot AS (SELECT CAST(SUM(em_cnt) AS BIGINT) AS tot FROM m)
+    SELECT m.piece, p.seed_cnt, m.em_cnt,
+           CAST(length(bin(m.em_cnt)) AS BIGINT) AS score_bits,
+           ROUND(CAST(m.em_cnt AS DOUBLE) / CAST(t.tot AS DOUBLE), 6)
+               AS em_share
+    FROM m JOIN pieces p USING (piece), tot t
+    ORDER BY m.em_cnt DESC, m.piece
+    LIMIT 30
+    """,
+)
+def q_vocab_unigram_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One hard-EM step of a SentencePiece-style unigram subword LM
+    (Kudo 2018): seed a bounded candidate vocabulary from weighted
+    substring counts, E-step-segment every word, M-step-recount the
+    pieces — the new counts ARE the next iteration's scores (emitted
+    bit-quantized plus as an exact share).
+
+    Deterministic E-step: leftmost-longest match (the WordPiece
+    inference rule) stands in for Viterbi — the greedy path is unique
+    (no float scores, no tie-break), so the whole step is
+    engine-replicable bit-exactly, where a true Viterbi argmax would
+    need a tie-break contract on equal path scores. The M-step
+    algebra (count → normalize) is identical either way.
+
+    Scale shape: the corpus collapses to its word-frequency
+    VOCABULARY in the first aggregate (the only corpus-sized
+    exchange, map-side combined — the q_bpe_pairs argument); seed
+    mining explodes vocabulary-sized input; the segmentation is
+    operators/text.py::greedy_segment_cuts — a per-character step
+    table against the broadcast 256-piece vocab, then pointer
+    doubling (ceil(log2(maxlen)) rounds of (w, i)-keyed small joins)
+    instead of a per-word sequential walk; the M-step is one
+    vocabulary-sized join + aggregate. Top-k never plans a global
+    sort (TakeOrderedAndProject).
+
+    The oracle replays the step table relationally and follows the
+    cut chain with a recursive CTE (the q_pack_sequences_bfd
+    precedent); leftmost-longest uniqueness is what makes the two
+    formulations provably identical.
+
+    Cites the reference only for contrast: samply/fhir2sql
+    (src/main.rs, a 4-table sync daemon) has no text surface."""
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(F.explode(F.split("text", " ")).alias("w")).where(
+        F.col("w") != ""
+    )
+    # three consumers (seed mining, segmentation, M-step weights):
+    # pin the vocabulary once (the q_text_llr lesson)
+    wc = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    pieces = _unigram_pieces(wc)
+    from fhir2sql_spark.operators.text import greedy_segment_cuts
+
+    cuts = greedy_segment_cuts(wc.select("w"), pieces, _UNIGRAM_PIECE_LENS)
+    m = (
+        cuts.where(F.col("plen") >= 2)
+        .join(wc, "w")
+        .groupBy("piece")
+        .agg(F.sum("cnt").cast("long").alias("em_cnt"))
+    )
+    tot = m.agg(F.sum("em_cnt").cast("long").alias("__tot"))
+    return (
+        m.join(F.broadcast(pieces.select("piece", "seed_cnt")), "piece")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "piece",
+            "seed_cnt",
+            "em_cnt",
+            F.length(F.bin(F.col("em_cnt"))).cast("long").alias(
+                "score_bits"
+            ),
+            F.round(
+                F.col("em_cnt").cast("double")
+                / F.col("__tot").cast("double"),
+                6,
+            ).alias("em_share"),
+        )
+        .orderBy(F.desc("em_cnt"), "piece")
+        .limit(30)
+    )
+
+
+@query(
+    "q_vocab_unigram_loss",
+    oracle=f"""
+    WITH RECURSIVE {_UNIGRAM_CTES},
+    edges AS (
+      SELECT p.w, p.i AS s, pc.plen AS L,
+             CAST(length(bin(pc.seed_cnt)) AS BIGINT) AS wgt
+      FROM pos p JOIN pieces pc
+        ON p.i + pc.plen - 1 <= length(p.w)
+       AND substr(p.w, CAST(p.i AS INT), CAST(pc.plen AS INT)) = pc.piece
+    ),
+    dp AS (
+      SELECT w, CAST(0 AS BIGINT) AS t,
+             [CAST(0 AS BIGINT)] AS best
+      FROM wc
+      UNION ALL
+      SELECT d.w, d.t + 1,
+             list_append(d.best, GREATEST(
+               list_extract(d.best, CAST(d.t + 1 AS INT)),
+               COALESCE(e2.wgt + list_extract(d.best, CAST(d.t AS INT)),
+                        CAST(-1 AS BIGINT)),
+               COALESCE(e3.wgt + list_extract(d.best, CAST(d.t - 1 AS INT)),
+                        CAST(-1 AS BIGINT)),
+               COALESCE(e4.wgt + list_extract(d.best, CAST(d.t - 2 AS INT)),
+                        CAST(-1 AS BIGINT))
+             ))
+      FROM dp d
+      LEFT JOIN edges e2 ON e2.w = d.w AND e2.L = 2 AND e2.s = d.t
+      LEFT JOIN edges e3 ON e3.w = d.w AND e3.L = 3 AND e3.s = d.t - 1
+      LEFT JOIN edges e4 ON e4.w = d.w AND e4.L = 4 AND e4.s = d.t - 2
+      WHERE d.t < length(d.w)
+    ),
+    vitb AS (
+      SELECT w, list_extract(best, CAST(length(w) + 1 AS INT)) AS vbits
+      FROM dp WHERE t = length(w)
+    ),
+    gb AS (
+      SELECT s.w,
+             CAST(SUM(CASE WHEN s.plen >= 2
+                      THEN length(bin(p.seed_cnt)) ELSE 0 END) AS BIGINT)
+                 AS gbits
+      FROM seg s LEFT JOIN pieces p USING (piece)
+      GROUP BY s.w
+    ),
+    lw AS (
+      SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT lang, unnest(string_split(text, ' ')) AS w
+            FROM documents) t
+      WHERE w <> '' GROUP BY lang, w
+    )
+    SELECT l.lang,
+           CAST(SUM(l.cnt) AS BIGINT) AS n_words,
+           CAST(SUM(l.cnt * v.vbits) AS BIGINT) AS viterbi_bits,
+           CAST(SUM(l.cnt * g.gbits) AS BIGINT) AS greedy_bits,
+           ROUND(CAST(SUM(l.cnt * g.gbits) AS DOUBLE)
+                 / CAST(SUM(l.cnt * v.vbits) AS DOUBLE), 6)
+               AS greedy_opt_ratio
+    FROM lw l JOIN vitb v USING (w) JOIN gb g USING (w)
+    GROUP BY l.lang
+    """,
+)
+def q_vocab_unigram_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM segmentation loss per language, scored BOTH ways:
+    the Viterbi-OPTIMAL total piece score (the true unigram E-step
+    objective, Kudo 2018) and the greedy leftmost-longest score that
+    q_vocab_unigram_em's hard-EM step actually uses — their ratio is
+    the segmenter's optimality gap, the diagnostic that says when the
+    cheap deterministic E-step is good enough and when a lattice
+    Viterbi pass would change the fit.
+
+    Determinism without a tie-break contract: piece scores are
+    bit-quantized log counts (exact BIGINTs), and only the max path
+    VALUE is emitted — the maximum is unique even when several argmax
+    segmentations tie, which is exactly what makes true Viterbi
+    engine-replicable here (emitting an argmax path would need an
+    order contract; q_vocab_unigram_em's greedy cut chain covers the
+    path-valued use).
+
+    Scale shape: one corpus-sized (lang, word) aggregate (map-side
+    combined; the word-frequency dict derives from it vocabulary-
+    sized); the Viterbi score is operators/text.py::viterbi_best_bits
+    — max-plus POINTER DOUBLING over the word's position lattice
+    (ceil(log2(maxlen)) rounds of (w, pos)-keyed joins + groupBy max,
+    the tropical-semiring analogue of greedy_segment_cuts' doubling)
+    instead of a per-word sequential DP; greedy bits reuse the greedy
+    cut chain. Everything after the first aggregate is
+    vocabulary-sized. The oracle replays the lattice with a
+    list-state recursive CTE (the q_pack_sequences_bfd pattern):
+    best[t] = max over piece lengths of best[t-L] + bits(piece),
+    sequential per word, identical integer algebra.
+
+    Cites the reference only for contrast: samply/fhir2sql
+    (src/main.rs, a 4-table sync daemon) has no text surface."""
+    from fhir2sql_spark.operators.text import (
+        greedy_segment_cuts,
+        viterbi_best_bits,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    # the one corpus-sized exchange: (lang, word) counts, map-side
+    # combined; two consumers (wc derivation + final rollup)
+    lw = (
+        docs.select(
+            "lang", F.explode(F.split("text", " ")).alias("w")
+        )
+        .where(F.col("w") != "")
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    # vocabulary-sized; three consumers (seed mining + two segmenters)
+    wc = (
+        lw.groupBy("w")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    pieces = _unigram_pieces(wc)
+    scored = pieces.select(
+        "piece",
+        F.length(F.bin(F.col("seed_cnt"))).cast("long").alias("wgt"),
+    )
+    vit = viterbi_best_bits(wc.select("w"), scored, _UNIGRAM_PIECE_LENS)
+    gb = (
+        greedy_segment_cuts(wc.select("w"), pieces, _UNIGRAM_PIECE_LENS)
+        .join(F.broadcast(scored), "piece", "left")
+        .groupBy("w")
+        .agg(
+            F.sum(
+                F.when(F.col("plen") >= 2, F.col("wgt")).otherwise(0)
+            )
+            .cast("long")
+            .alias("gbits")
+        )
+    )
+    return (
+        lw.join(vit, "w")
+        .join(gb, "w")
+        .groupBy("lang")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("vbits"))
+            .cast("long")
+            .alias("viterbi_bits"),
+            F.sum(F.col("cnt") * F.col("gbits"))
+            .cast("long")
+            .alias("greedy_bits"),
+            F.round(
+                F.sum(F.col("cnt") * F.col("gbits")).cast("double")
+                / F.sum(F.col("cnt") * F.col("vbits")).cast("double"),
+                6,
+            ).alias("greedy_opt_ratio"),
+        )
+    )

@@ -508,6 +508,28 @@ CHECKS: list[tuple[str, str, str]] = [
         "probes (batch positives/negatives + self-check); it never "
         "shuffles",
     ),
+    (
+        "q_vocab_unigram_em",
+        "TakeOrderedAndProject",
+        "unigram-EM top-30 must not global-sort",
+    ),
+    (
+        "q_vocab_unigram_em",
+        "!CartesianProduct",
+        "segmentation matcher joins the broadcast piece vocab, "
+        "never all-pairs",
+    ),
+    (
+        "q_vocab_unigram_loss",
+        "!CartesianProduct",
+        "max-plus closure is (w, pos)-keyed equi-joins, never "
+        "all-pairs",
+    ),
+    (
+        "q_vocab_unigram_loss",
+        "!BroadcastNestedLoopJoin",
+        "no unbounded BNLJ anywhere in the lattice pipeline",
+    ),
     ("q_cdc_scd2", "WindowGroupLimit", ""),  # placeholder replaced below
 ]
 # q_cdc_scd2's property is structural, not a substring: all three
@@ -630,6 +652,11 @@ BUILDER_ACTION_QUERIES = frozenset(
         "q_sample_doremi",
         "q_sample_doremi_lm",
         "q_dedup_incremental_bloom",
+        # round 10 (second block): the unigram-LM pair checkpoints
+        # word-frequency vocabularies, seed pieces, and the
+        # pointer-doubling rounds' reach/jump/closure frames
+        "q_vocab_unigram_em",
+        "q_vocab_unigram_loss",
     }
 )
 
