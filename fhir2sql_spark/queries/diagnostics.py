@@ -223,3 +223,131 @@ def q_diag_codebook_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("drifted"),
     )
+
+
+@query(
+    "q_diag_token_drift",
+    oracle="""
+    WITH c AS (
+        SELECT w,
+               CAST(SUM(CASE WHEN doc_id % 3 <> 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_base,
+               CAST(SUM(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_new
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents) t
+        WHERE w <> '' GROUP BY w
+    ),
+    t AS (
+        SELECT CAST(SUM(n_base) AS BIGINT) AS tb,
+               CAST(SUM(n_new) AS BIGINT) AS tn
+        FROM c
+    ),
+    top AS (
+        SELECT c.w, c.n_base, c.n_new,
+               abs(c.n_new * t.tb - c.n_base * t.tn) AS d
+        FROM c, t
+        ORDER BY d DESC, c.w LIMIT 10
+    )
+    SELECT top.w AS token, top.n_base, top.n_new,
+           round(CAST(top.n_base AS DOUBLE) / t.tb, 6) AS share_base,
+           round(CAST(top.n_new AS DOUBLE) / t.tn, 6) AS share_new,
+           round(abs(CAST(top.n_new AS DOUBLE) / t.tn
+                     - CAST(top.n_base AS DOUBLE) / t.tb) / 2, 6)
+               AS tvd_contrib,
+           (top.n_new * t.tb > 2 * top.n_base * t.tn
+            OR top.n_base * t.tn > 2 * top.n_new * t.tb) AS drifted
+    FROM top, t
+    """,
+)
+def q_diag_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution ingest drift: the TEXT-side staleness
+    monitor next to q_diag_codebook_drift's embedding-side one — is
+    the new batch (doc_id % 3 = 0, the incremental family's
+    convention) still the language the frozen artifacts were built
+    on? Emits the top-10 DRIFTING tokens: largest per-token
+    total-variation movers between the base and batch token
+    distributions, with each side's count and share, the TV
+    contribution |share_new − share_base| / 2, and the same
+    exact-integer 2×-share drift flag the codebook monitor uses
+    (n_new·tb > 2·n_base·tn, symmetrically). A token surging here is
+    new boilerplate (re-run the dedup tiers before it floods a band
+    bucket); a whole shifted head is domain drift (retrain the
+    frozen rarity order / bigram LM / BPE merges before the next
+    incremental pass trusts them).
+
+    Determinism: the mover ORDER is the integer
+    d = |n_new·tb − n_base·tn| (share difference cross-multiplied by
+    the constant tb·tn — same order, no float), ties broken by
+    token; shares and the TV contribution are one IEEE division each
+    over exact counts, 6-dp rounded. At 100 TB the d product needs
+    DECIMAL headroom (two ~10¹¹ counts multiply); at every fixture
+    decade it sits far inside int64.
+
+    Scale shape: ONE documents scan (both sides' counts are
+    conditional sums in the same map-side-combined aggregate — never
+    two scans), one vocabulary-sized exchange, the (token, n_base,
+    n_new) table eagerly checkpointed for its two consumers (totals
+    + movers — the q_diag_skew ADVICE r8 rule), totals a 1-row
+    broadcast, top-10 a TakeOrderedAndProject. Per ingest the base
+    side is a stored token-count table in production, so only the
+    batch is scanned and the counts MERGE by addition (the same
+    mergeability contract as the Bloom/CMS/HLL tiers).
+
+    The reference (samply/fhir2sql, src/main.rs:299-316) reconciles
+    row COUNTS between source and mirror; this extends that idea to
+    distribution drift over content."""
+    d = load(spark, sf_dir, "documents")
+    c = (
+        d.select(
+            (F.col("doc_id") % 3 == 0).alias("__new"),
+            F.explode(F.split("text", " ")).alias("token"),
+        )
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(
+            F.sum(F.when(~F.col("__new"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_base"),
+            F.sum(F.when(F.col("__new"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_new"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    t = c.agg(
+        F.sum("n_base").cast("long").alias("tb"),
+        F.sum("n_new").cast("long").alias("tn"),
+    )
+    top = (
+        c.crossJoin(F.broadcast(t))
+        .withColumn(
+            "__d",
+            F.abs(
+                F.col("n_new") * F.col("tb") - F.col("n_base") * F.col("tn")
+            ),
+        )
+        .orderBy(F.desc("__d"), "token")
+        .limit(10)
+    )
+    return top.select(
+        "token",
+        "n_base",
+        "n_new",
+        F.round(F.col("n_base") / F.col("tb"), 6).alias("share_base"),
+        F.round(F.col("n_new") / F.col("tn"), 6).alias("share_new"),
+        F.round(
+            F.abs(
+                F.col("n_new") / F.col("tn") - F.col("n_base") / F.col("tb")
+            )
+            / 2,
+            6,
+        ).alias("tvd_contrib"),
+        (
+            (F.col("n_new") * F.col("tb") > 2 * F.col("n_base") * F.col("tn"))
+            | (
+                F.col("n_base") * F.col("tn")
+                > 2 * F.col("n_new") * F.col("tb")
+            )
+        ).alias("drifted"),
+    )

@@ -807,34 +807,60 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Market-basket affinity (round 3): part pairs co-purchased in
-    >= 3 orders, with lift = P(a,b)/(P(a)P(b)) as an exact two-integer
-    ratio. The a-priori property prunes BEFORE the quadratic step: a
-    pair with support s needs both items at support >= s, so the
-    basket stream is semi-joined against the (broadcast) frequent-item
-    set first and the per-order self-join fans out only over surviving
-    items — the classic frequent-itemset shape (Agrawal & Srikant,
-    VLDB'94) as one Catalyst plan. Shuffles: basket distinct, item
-    counts, pair aggregate — all equi-keyed; item stats broadcast
-    back onto the pair table."""
+    """Market-basket affinity (round 3; round-10 second-block
+    rewrite): part pairs co-purchased in >= 3 orders, with
+    lift = P(a,b)/(P(a)P(b)) as an exact two-integer ratio
+    (Agrawal & Srikant, VLDB'94 workload).
+
+    Round-10 rewrite, driven by the query's FIRST decade
+    measurement: the round-3 form held a per-order SELF-JOIN plus
+    three references to the distinct basket, and Spark reuses none
+    of them (7 lineitem scans in the executed plan — ReuseExchange
+    needs identical exchange subtrees and every consumer re-keys).
+    An eager localCheckpoint fixed the re-reads at sf0.1 (2.2 →
+    1.6 s) and then OOMed the 24 g heap at sf100 — a 600 M-row
+    deserialized block pin is a SCALE-KILLER, the exact failure mode
+    the decade discipline exists to catch. The shipped form applies
+    the round-7 winnow_pairs lesson instead: ONE l_orderkey exchange
+    builds per-order sorted part sets (collect_set dedupes — the
+    distinct pre-pass is gone), pairs come from two chained
+    posexplodes over the array (i < j; baskets are <= 7 lines, so
+    the fan-out is trivially bounded and the a-priori semi-join
+    prune bought nothing), and the one fact-sized shared frame is
+    persisted StorageLevel.DISK_ONLY for its three consumers
+    (item counts, order total, pair explode) — serialized blocks
+    spill instead of pinning the heap, so the reuse survives the
+    decade where the checkpoint died. Item stats broadcast back
+    onto the vocabulary-sized pair table; blocks are freed by the
+    ContextCleaner when the plan is collected (the localCheckpoint
+    lifecycle)."""
+    from pyspark.storagelevel import StorageLevel
+
     l = load(spark, sf_dir, "lineitem")
-    b = l.select("l_orderkey", "l_partkey").distinct()
-    ic = b.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("ni"))
-    frequent = ic.where(F.col("ni") >= 3)
-    bf = b.join(F.broadcast(frequent.select("l_partkey")), "l_partkey", "left_semi")
-    pa = bf.select("l_orderkey", F.col("l_partkey").alias("part_a"))
-    pb = bf.select(
-        F.col("l_orderkey").alias("ok_b"), F.col("l_partkey").alias("part_b")
+    g = (
+        l.select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("__ps"))
+        .persist(StorageLevel.DISK_ONLY)
     )
+    ic = g.select(
+        F.explode("__ps").alias("l_partkey")
+    ).groupBy("l_partkey").agg(F.count(F.lit(1)).alias("ni"))
     pairs = (
-        pa.join(pb, (pa.l_orderkey == pb.ok_b) & (pa.part_a < pb.part_b))
+        g.select(F.posexplode("__ps").alias("__i", "part_a"), "__ps")
+        .select(
+            "part_a",
+            F.explode(
+                F.slice(
+                    "__ps", F.col("__i") + 2, F.size("__ps") - F.col("__i") - 1
+                )
+            ).alias("part_b"),
+        )
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .where(F.col("n_orders") >= 3)
     )
-    total = b.select("l_orderkey").distinct().agg(
-        F.count(F.lit(1)).alias("total")
-    )
+    total = g.agg(F.count(F.lit(1)).alias("total"))
     ia = ic.select(F.col("l_partkey").alias("part_a"), F.col("ni").alias("ni_a"))
     ib = ic.select(F.col("l_partkey").alias("part_b"), F.col("ni").alias("ni_b"))
     return (

@@ -137,7 +137,7 @@ SHOWCASE = (
     # 1. never driver-checked (round-10 additions; the unigram-LM
     # pair is the round-10 second block — added after the first r10
     # gate had run, so they lead until a driver window confirms them)
-    "q_vocab_unigram_em", "q_vocab_unigram_loss",
+    "q_vocab_unigram_em", "q_vocab_unigram_loss", "q_diag_token_drift",
     "q_dedup_incremental_bloom", "q_sample_doremi_lm",
     "q_pack_sequences_bfd",
     # 2. changed since the r9 driver gate
@@ -158,7 +158,7 @@ SHOWCASE = (
     "q_text_pmi", "q_tokens_zipf", "q_tpch_q1", "q_tpch_q11",
     "q_tpch_q2", "q_tpch_q21", "q_vocab_growth", "q_window_cume",
     # 3b. last driver-checked in round 6 (alphabetical prefix)
-    "q_agg_approx", "q_agg_approx_percentile",
+    "q_agg_approx",
 )
 
 # Green in CORRECTNESS_r02.json (round-2 driver gate) — kept here so

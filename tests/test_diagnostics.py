@@ -93,3 +93,63 @@ def test_codebook_drift_conserves_counts(spark, sf_dir):
             or r["n_base"] * tn > 2 * r["n_new"] * tb
         )
         assert r["drifted"] == expect
+
+
+def test_token_drift_planted_fixture(spark, tmp_path):
+    """Planted drift: base docs speak 'aaa', the batch introduces
+    'zzz' — the new token must surface as a drifted mover with
+    n_base = 0, and shares/flags must satisfy the exact-integer
+    rules recomputed from raw counts."""
+    rows = []
+    for i in range(1, 13):
+        if i % 3 == 0:
+            rows.append((i, "zzz bbb", "en"))
+        else:
+            rows.append((i, "aaa bbb", "en"))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = registry.QUERIES["q_diag_token_drift"](
+        spark, str(tmp_path)
+    ).collect()
+    by_tok = {r["token"]: r for r in out}
+    # base: 8 docs x (aaa, bbb) -> tb=16; batch: 4 x (zzz, bbb) -> tn=8
+    assert by_tok["zzz"]["n_base"] == 0
+    assert by_tok["zzz"]["n_new"] == 4
+    assert by_tok["zzz"]["drifted"] is True
+    assert by_tok["aaa"]["n_new"] == 0
+    assert by_tok["aaa"]["drifted"] is True
+    assert by_tok["bbb"]["drifted"] is False  # share 1/2 both sides
+    assert abs(by_tok["bbb"]["tvd_contrib"]) < 1e-9
+    # movers ordered by |n_new*tb - n_base*tn| desc, token asc:
+    # aaa d=8*8=64, zzz d=4*16=64 -> tie broken by token
+    assert [r["token"] for r in out[:3]] == ["aaa", "zzz", "bbb"]
+
+
+def test_token_drift_invariants(spark, sf_dir):
+    out = registry.QUERIES["q_diag_token_drift"](spark, sf_dir).collect()
+    assert 0 < len(out) <= 10
+    d = load(spark, sf_dir, "documents")
+    from fhir2sql_spark.operators.text import tokens_portable
+
+    toks = d.select(
+        (F.col("doc_id") % 3 == 0).alias("nw"),
+        F.explode(tokens_portable(F.col("text"))).alias("w"),
+    ).where(F.col("w") != "")
+    tb = toks.where(~F.col("nw")).count()
+    tn = toks.where(F.col("nw")).count()
+    for r in out:
+        assert 0.0 <= r["share_base"] <= 1.0
+        assert 0.0 <= r["share_new"] <= 1.0
+        expect_flag = (
+            r["n_new"] * tb > 2 * r["n_base"] * tn
+            or r["n_base"] * tn > 2 * r["n_new"] * tb
+        )
+        assert r["drifted"] == expect_flag
+        assert (
+            abs(
+                r["tvd_contrib"]
+                - abs(r["n_new"] / tn - r["n_base"] / tb) / 2
+            )
+            < 1e-6
+        )

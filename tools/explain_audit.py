@@ -119,7 +119,14 @@ CHECKS: list[tuple[str, str, str]] = [
     (
         "q_basket_pairs",
         "BroadcastHashJoin",
-        "frequent-item prune + item stats broadcast onto the pair table",
+        "item stats broadcast onto the vocabulary-sized pair table",
+    ),
+    (
+        "q_basket_pairs",
+        "!SortMergeJoin",
+        "pairs come from chained posexplodes over per-order arrays, "
+        "never a basket self-join (r10 rewrite: 412 -> 222 s "
+        "best-of-2 at sf100)",
     ),
     ("q_skyline", "!CartesianProduct", "skyline has no cross join"),
     ("q_join_fuzzy", "!CartesianProduct", "fuzzy join has no cross join"),
@@ -530,6 +537,11 @@ CHECKS: list[tuple[str, str, str]] = [
         "!BroadcastNestedLoopJoin",
         "no unbounded BNLJ anywhere in the lattice pipeline",
     ),
+    (
+        "q_diag_token_drift",
+        "TakeOrderedAndProject",
+        "top-10 token movers must not global-sort",
+    ),
     ("q_cdc_scd2", "WindowGroupLimit", ""),  # placeholder replaced below
 ]
 # q_cdc_scd2's property is structural, not a substring: all three
@@ -657,6 +669,10 @@ BUILDER_ACTION_QUERIES = frozenset(
         # pointer-doubling rounds' reach/jump/closure frames
         "q_vocab_unigram_em",
         "q_vocab_unigram_loss",
+        # round 10 (second block): the token drift counts checkpoint
+        # for their two consumers (basket_pairs' persist is LAZY —
+        # no build-time job, so it stays in the lazy sweep)
+        "q_diag_token_drift",
     }
 )
 
