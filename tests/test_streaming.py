@@ -1514,3 +1514,148 @@ def test_incremental_bloom_dedup_foreachbatch(spark, tmp_path):
     assert {r["doc_id"]: r["status"] for r in replay_rows} == expect
     assert read_log("/keys") == keys_before
     assert read_log("/sketch") == sketch_before
+
+
+def test_token_drift_foreachbatch(spark, tmp_path):
+    """q_diag_token_drift as a CONTINUOUS monitor: the base token
+    counts are a FROZEN stored table; the batch side is a growing
+    watermarked PARTIAL-COUNT log (token, n, src_batch) merged by
+    SUM per micro-batch — the additive analogue of the Bloom twin's
+    bit_or partial-sketch logs. After draining two micro-batches
+    that partition the batch shard, the monitor's last output must
+    equal the REGISTERED query row-for-row, and replaying the last
+    batch is a no-op (the overwrite-per-batch log plus the
+    src_batch <= batch_id read window see the identical state)."""
+    from pyspark.sql import Window  # noqa: F401 (parity with peers)
+
+    from fhir2sql_spark.operators.text import tokens_portable
+    from fhir2sql_spark.registry import QUERIES, load_all
+
+    from tests.conftest import SF_MED
+
+    load_all()
+    docs = load(spark, SF_MED, "documents").select("doc_id", "text")
+    log_dir = str(tmp_path / "counts")
+    out_dir = str(tmp_path / "drift")
+    in_dir = str(tmp_path / "ingest")
+    ckpt = str(tmp_path / "ckpt")
+
+    def tok_counts(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                F.explode(tokens_portable(F.col("text"))).alias("token")
+            )
+            .where(F.col("token") != "")
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+
+    base = docs.where(F.col("doc_id") % 3 != 0)
+    tok_counts(base).write.parquet(log_dir + "/base")
+    new_docs = docs.where(F.col("doc_id") % 3 == 0)
+
+    def monitor(bdf: DataFrame, batch_id: int) -> None:
+        s = bdf.sparkSession
+        bdf = bdf.localCheckpoint()
+        tok_counts(bdf).withColumn(
+            "src_batch", F.lit(batch_id)
+        ).write.mode("overwrite").parquet(
+            f"{log_dir}/batch/batch={batch_id}"
+        )
+        nc = (
+            s.read.option("recursiveFileLookup", "true")
+            .parquet(log_dir + "/batch")
+            .where(F.col("src_batch") <= batch_id)
+            .groupBy("token")
+            .agg(F.sum("n").cast("long").alias("n_new"))
+        )
+        bc = s.read.parquet(log_dir + "/base").select(
+            "token", F.col("n").alias("n_base")
+        )
+        j = (
+            bc.join(nc, "token", "full")
+            .na.fill({"n_base": 0, "n_new": 0})
+            .localCheckpoint()  # two consumers: totals + movers
+        )
+        t = j.agg(
+            F.sum("n_base").cast("long").alias("tb"),
+            F.sum("n_new").cast("long").alias("tn"),
+        )
+        top = (
+            j.crossJoin(F.broadcast(t))
+            .withColumn(
+                "__d",
+                F.abs(
+                    F.col("n_new") * F.col("tb")
+                    - F.col("n_base") * F.col("tn")
+                ),
+            )
+            .orderBy(F.desc("__d"), "token")
+            .limit(10)
+        )
+        out = top.select(
+            "token",
+            "n_base",
+            "n_new",
+            F.round(F.col("n_base") / F.col("tb"), 6).alias("share_base"),
+            F.round(F.col("n_new") / F.col("tn"), 6).alias("share_new"),
+            F.round(
+                F.abs(
+                    F.col("n_new") / F.col("tn")
+                    - F.col("n_base") / F.col("tb")
+                )
+                / 2,
+                6,
+            ).alias("tvd_contrib"),
+            (
+                (
+                    F.col("n_new") * F.col("tb")
+                    > 2 * F.col("n_base") * F.col("tn")
+                )
+                | (
+                    F.col("n_base") * F.col("tn")
+                    > 2 * F.col("n_new") * F.col("tb")
+                )
+            ).alias("drifted"),
+        )
+        out.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+
+    def drain() -> None:
+        stream = spark.readStream.schema(
+            "doc_id long, text string"
+        ).parquet(in_dir)
+        q = (
+            stream.writeStream.foreachBatch(monitor)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        q.stop()
+
+    b1 = new_docs.where(F.col("doc_id") % 2 == 0)
+    b2 = new_docs.where(F.col("doc_id") % 2 == 1)
+    b1.write.mode("append").parquet(in_dir)
+    drain()
+    b2.write.mode("append").parquet(in_dir)
+    drain()
+
+    def rows_of(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    final = rows_of(spark.read.parquet(f"{out_dir}/batch=1"))
+    expected = rows_of(QUERIES["q_diag_token_drift"](spark, SF_MED))
+    assert final == expected
+    # replay of the last micro-batch: identical log state -> identical
+    # output, and the accumulated partials still sum to the batch
+    # shard's true counts (no double-append)
+    monitor(b2, 1)
+    assert rows_of(spark.read.parquet(f"{out_dir}/batch=1")) == expected
+    acc = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(log_dir + "/batch")
+        .groupBy("token")
+        .agg(F.sum("n").alias("n"))
+    )
+    truth = tok_counts(new_docs)
+    assert rows_of(acc) == rows_of(truth)
