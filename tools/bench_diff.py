@@ -33,6 +33,12 @@ WORKLOAD_CHANGES = {
         "(oracle updated in lockstep) — the r9 timing drop is a "
         "workload change"
     ),
+    "q_basket_pairs": (
+        "r10 second block: PLAN change, not workload — the basket "
+        "self-join became array pair generation + a DISK_ONLY persist "
+        "(sf100 412 -> 222 s, OOM class removed); costs ~+3 s at "
+        "sf0.1 by design (SCALE.md round-10 second block)"
+    ),
 }
 
 
