@@ -351,3 +351,152 @@ def q_diag_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("drifted"),
     )
+
+
+_BOOT_R = 16
+
+
+@query(
+    "q_diag_bootstrap_se",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+        FROM documents
+    ),
+    g AS (
+        SELECT d.doc_id, d.nt, r.r,
+               substring(sha256('boot|' || r.r || '|' || d.doc_id), 1, 2)
+                   AS b
+        FROM d, (SELECT unnest(generate_series(0, 15)) AS r) r
+    ),
+    k AS (
+        SELECT r, nt,
+               CASE WHEN b < '5e' THEN 0
+                    WHEN b < 'bc' THEN 1
+                    WHEN b < 'eb' THEN 2
+                    ELSE 3 END AS k
+        FROM g
+    ),
+    reps AS (
+        SELECT r,
+               ROUND(CAST(SUM(k * nt) AS DOUBLE)
+                     / CAST(SUM(k) AS DOUBLE), 6) AS m
+        FROM k GROUP BY r
+    ),
+    arr AS (SELECT list(m ORDER BY r) AS ms FROM reps),
+    pt AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               ROUND(CAST(SUM(nt) AS DOUBLE) / COUNT(*), 6) AS point_mean
+        FROM d
+    )
+    SELECT pt.n_docs,
+           CAST(16 AS BIGINT) AS n_replicates,
+           pt.point_mean,
+           ROUND(list_sum(arr.ms) / 16, 6) AS boot_mean,
+           ROUND(sqrt(list_sum(list_transform(arr.ms,
+                 x -> (x - list_sum(arr.ms) / 16)
+                      * (x - list_sum(arr.ms) / 16))) / 15), 6) AS boot_se
+    FROM pt, arr
+    """,
+)
+def q_diag_bootstrap_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap standard error of a corpus statistic (mean tokens
+    per document) with NO rand(): the Poisson bootstrap (Chamandy et
+    al., Google 2012 — the classic map-reduce bootstrap) draws each
+    doc's replicate multiplicity k ~ Poisson(1), approximated here by
+    DETERMINISTIC hex-prefix thresholds on sha2('boot|r|doc_id')
+    (k ∈ {0,1,2,3} with P ≈ .367/.367/.184/.082 — the q_sample_hash
+    discipline extended to a distribution), so the 16 replicates are
+    reproducible across engines, partitionings, and reruns. The
+    answer every data-mix report needs next to its point estimate:
+    is a shift in mean doc length signal or resampling noise?
+
+    Determinism: per-replicate means are one IEEE division over exact
+    integer sums, 6-dp rounded BEFORE the across-replicate fold; the
+    bootstrap mean/SE fold over the 16 rounded means runs in FIXED r
+    order on both engines (array_sort + sequential HOF fold here,
+    list(ORDER BY r) + list_sum/list_transform there — the
+    neyman/doremi ordered-fold lesson), and sqrt is correctly-rounded
+    IEEE on both.
+
+    Scale shape: ONE documents scan exploded ×16 replicates map-side
+    (the multiplier is a constant, not a shuffle; sha2+CASE ride the
+    scan stage), one 16-group aggregate with map-side combine, then
+    O(1) algebra over a 16-element array. At 100 TB this is exactly
+    one pass more expensive than the point estimate itself — the
+    whole point of the Poisson bootstrap construction.
+
+    The reference (samply/fhir2sql, src/main.rs:299-316) reconciles
+    exact counts; this adds the uncertainty bar those reconciliation
+    deltas need before anyone pages on them."""
+    from fhir2sql_spark.operators.text import token_count_ws
+
+    docs = load(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", token_count_ws(F.col("text")).cast("long").alias("nt")
+    )
+    g = d.select(
+        "doc_id",
+        "nt",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_R - 1))).alias("r"),
+    ).select(
+        "r",
+        "nt",
+        F.substring(
+            F.sha2(
+                F.concat(
+                    F.lit("boot|"),
+                    F.col("r").cast("string"),
+                    F.lit("|"),
+                    F.col("doc_id").cast("string"),
+                ),
+                256,
+            ),
+            1,
+            2,
+        ).alias("b"),
+    )
+    k = g.select(
+        "r",
+        "nt",
+        F.when(F.col("b") < "5e", 0)
+        .when(F.col("b") < "bc", 1)
+        .when(F.col("b") < "eb", 2)
+        .otherwise(3)
+        .alias("k"),
+    )
+    reps = k.groupBy("r").agg(
+        F.round(
+            F.sum(F.col("k") * F.col("nt")).cast("double")
+            / F.sum("k").cast("double"),
+            6,
+        ).alias("m")
+    )
+    ms = F.transform(
+        F.array_sort(F.collect_list(F.struct("r", "m"))), lambda x: x["m"]
+    )
+    arr = reps.agg(ms.alias("ms"))
+    mu = F.aggregate(
+        F.col("ms"), F.lit(0.0), lambda a, x: a + x
+    ) / F.lit(float(_BOOT_R))
+    se = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("ms"), lambda x: (x - mu) * (x - mu)),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        / F.lit(float(_BOOT_R - 1))
+    )
+    pt = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(F.sum("nt").cast("double") / F.count(F.lit(1)), 6).alias(
+            "point_mean"
+        ),
+    )
+    return pt.crossJoin(F.broadcast(arr)).select(
+        "n_docs",
+        F.lit(_BOOT_R).cast("long").alias("n_replicates"),
+        "point_mean",
+        F.round(mu, 6).alias("boot_mean"),
+        F.round(se, 6).alias("boot_se"),
+    )

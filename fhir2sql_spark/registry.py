@@ -138,13 +138,17 @@ SHOWCASE = (
     # pair is the round-10 second block — added after the first r10
     # gate had run, so they lead until a driver window confirms them)
     "q_vocab_unigram_em", "q_vocab_unigram_loss", "q_diag_token_drift",
+    "q_diag_bootstrap_se",
     "q_dedup_incremental_bloom", "q_sample_doremi_lm",
     "q_pack_sequences_bfd",
-    # 2. changed since the r9 driver gate
+    # 2. changed since the r9 driver gate (q_basket_pairs: the
+    # second-block scale rewrite — array pair generation + DISK_ONLY
+    # persist — displaces q_window_cume from the round-5 block below)
     "q_dedup_setsim_inc", "q_dedup_containment_inc",
     "q_dedup_minhash_inc", "q_dedup_minhash_inc_fast",
-    "q_sample_doremi",
-    # 3a. last driver-checked in round 5 (all 38)
+    "q_sample_doremi", "q_basket_pairs",
+    # 3a. last driver-checked in round 5 (37 of 38; q_window_cume
+    # displaced, see above)
     "q_bpe_pairs", "q_dedup_embed_bulk", "q_dedup_incremental",
     "q_dedup_semantic", "q_dedup_simhash_portable", "q_dedup_substring",
     "q_dedup_substring_cut", "q_dedup_substring_hashed", "q_embed_ann",
@@ -156,9 +160,7 @@ SHOWCASE = (
     "q_quality_winsorize", "q_rolling_active", "q_rolling_median",
     "q_text_entropy", "q_text_llr", "q_text_ngram_novelty",
     "q_text_pmi", "q_tokens_zipf", "q_tpch_q1", "q_tpch_q11",
-    "q_tpch_q2", "q_tpch_q21", "q_vocab_growth", "q_window_cume",
-    # 3b. last driver-checked in round 6 (alphabetical prefix)
-    "q_agg_approx",
+    "q_tpch_q2", "q_tpch_q21", "q_vocab_growth",
 )
 
 # Green in CORRECTNESS_r02.json (round-2 driver gate) — kept here so

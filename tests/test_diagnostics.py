@@ -153,3 +153,55 @@ def test_token_drift_invariants(spark, sf_dir):
             )
             < 1e-6
         )
+
+
+def test_bootstrap_se_python_replay(spark, tmp_path):
+    """Planted fixture: the deterministic Poisson bootstrap must
+    equal a pure-Python replay (hashlib sha256, same hex thresholds,
+    same 6-dp rounding and ordered fold)."""
+    import hashlib
+    import math
+
+    rows = [(i, " ".join(["w"] * (i % 7 + 1)), "en") for i in range(1, 41)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = registry.QUERIES["q_diag_bootstrap_se"](
+        spark, str(tmp_path)
+    ).collect()
+    assert len(out) == 1
+    got = out[0]
+
+    def kval(r, doc_id):
+        b = hashlib.sha256(f"boot|{r}|{doc_id}".encode()).hexdigest()[:2]
+        if b < "5e":
+            return 0
+        if b < "bc":
+            return 1
+        if b < "eb":
+            return 2
+        return 3
+
+    nt = {i: len(t.split(" ")) for i, t, _ in rows}
+    means = []
+    for r in range(16):
+        s = sum(kval(r, i) * nt[i] for i in nt)
+        c = sum(kval(r, i) for i in nt)
+        means.append(round(s / c, 6))
+    mu = sum(means) / 16
+    se = math.sqrt(sum((x - mu) * (x - mu) for x in means) / 15)
+    assert got["n_docs"] == 40
+    assert got["n_replicates"] == 16
+    assert abs(got["point_mean"] - round(sum(nt.values()) / 40, 6)) < 1e-9
+    assert abs(got["boot_mean"] - round(mu, 6)) < 1e-9
+    assert abs(got["boot_se"] - round(se, 6)) < 1e-9
+
+
+def test_bootstrap_se_invariants(spark, sf_dir):
+    r = registry.QUERIES["q_diag_bootstrap_se"](spark, sf_dir).collect()[0]
+    assert r["boot_se"] >= 0.0
+    # replicate means resample the same population: the bootstrap mean
+    # stays within a few SEs of the point estimate
+    assert abs(r["boot_mean"] - r["point_mean"]) <= max(
+        5 * r["boot_se"], 1e-6
+    )

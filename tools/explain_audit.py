@@ -542,6 +542,16 @@ CHECKS: list[tuple[str, str, str]] = [
         "TakeOrderedAndProject",
         "top-10 token movers must not global-sort",
     ),
+    (
+        "q_diag_bootstrap_se",
+        "!Exchange hashpartitioning(doc_id",
+        "the replicate explode rides the scan — no doc-keyed shuffle",
+    ),
+    (
+        "q_diag_bootstrap_se",
+        "!CartesianProduct",
+        "replicate grid is a map-side explode, never a cross join",
+    ),
     ("q_cdc_scd2", "WindowGroupLimit", ""),  # placeholder replaced below
 ]
 # q_cdc_scd2's property is structural, not a substring: all three
