@@ -259,8 +259,20 @@ def phash_dedup_pairs(blobs: DataFrame, k: int = 4) -> DataFrame:
     pairs then fetch both blobs' band arrays with two blob_id-keyed
     joins and the exact Hamming sum is a zip_with/bit_count fold in
     codegen. At 100 TB the bucket exchange carries 8 rows per blob
-    and candidates are collision-bounded — never all-pairs."""
-    bands = dhash_bands(blobs)
+    and candidates are collision-bounded — never all-pairs.
+
+    r11: ``bands`` is materialized once (serialized DISK_ONLY persist,
+    the fact-sized-reuse discipline from PLANS.md §pins). Without the
+    barrier Catalyst's projection collapse INLINES the interpreted
+    nested-HOF dHash derivation into all three consumers — in
+    particular into the join sides feeding the Hamming fold, so every
+    candidate pair re-derived BOTH blobs' full 72-byte grids and
+    8x8-bit folds from hex (measured: 112 s executor CPU for 200
+    blobs; 3 s after the barrier — guide §1.1 empirical loop). The
+    hash is now computed exactly once per blob."""
+    from pyspark.storagelevel import StorageLevel
+
+    bands = dhash_bands(blobs).persist(StorageLevel.DISK_ONLY)
     flat = bands.select(
         "blob_id", F.posexplode("bands").alias("band_no", "band")
     )

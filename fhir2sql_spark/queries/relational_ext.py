@@ -863,9 +863,14 @@ def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = g.agg(F.count(F.lit(1)).alias("total"))
     ia = ic.select(F.col("l_partkey").alias("part_a"), F.col("ni").alias("ni_a"))
     ib = ic.select(F.col("l_partkey").alias("part_b"), F.col("ni").alias("ni_b"))
+    # ia/ib are the distinct-part catalog — unbounded at the 100 TB
+    # north star (billions of parts), so no forced broadcast: AQE
+    # elects broadcast while the catalog is small and falls back to a
+    # shuffled join when it is not (VERDICT r10 #2, the same fix the
+    # r9 minhash-inc join got). The 1-row total stays broadcast.
     return (
-        pairs.join(F.broadcast(ia), "part_a")
-        .join(F.broadcast(ib), "part_b")
+        pairs.join(ia, "part_a")
+        .join(ib, "part_b")
         .crossJoin(F.broadcast(total))
         .select(
             "part_a",
