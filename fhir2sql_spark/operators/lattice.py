@@ -82,6 +82,24 @@ def quantize(
     )
 
 
+def materialize(qv: DataFrame) -> DataFrame:
+    """Serialized lazy materialization barrier for a quantized corpus.
+
+    Every trained-lattice query makes 3-5 passes over quantize()'s
+    output (seed collect, Lloyd rounds, assignment/search); without a
+    barrier each pass re-runs the interpreted HOF quantization from
+    the parquet scan (r11 measurement: 21-29 s executor CPU per query
+    at sf0.1, most of it repeated quantize). localCheckpoint at
+    DISK_ONLY materializes once, serialized — the PLANS.md fact-size
+    discipline (no deserialized heap pin) — and, unlike persist(), is
+    NOT registered in the CacheManager, so identical quantize plans
+    in later bench queries cannot silently share it (each query's
+    runs stay self-contained computations)."""
+    from pyspark.storagelevel import StorageLevel
+
+    return qv.localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
+
+
 def _seed_codebook(qv: DataFrame, k: int) -> list:
     """First ``k`` (md5(vid), vid)-ordered quantized vectors as
     [(cent_id, np.array)] — the bounded (k-row) driver materialization

@@ -30,7 +30,15 @@ def synth_blobs(spark: SparkSession, n: int = 200) -> DataFrame:
     fully determined by blob_id): content is sha256-expanded
     pseudo-random bytes, 64..4096 B; width set for images only.
     Generated distributively via spark.range — no driver-side data."""
-    base = spark.range(0, n).withColumnRenamed("id", "blob_id")
+    # Partition the generator by DATA volume (~25k blobs, i.e. ~100 MB
+    # of payload, per partition), not by core count: spark.range's
+    # default defaultParallelism split turned a 200-blob fixture into
+    # 32 single-digit-row tasks, and every mapInPandas consumer paid
+    # 32 Python-worker boots for ~6 rows each (measured r11: 46.9 s
+    # executor CPU for ONE such stage; guide §4.5).
+    base = spark.range(0, n, numPartitions=max(1, n // 25000)).withColumnRenamed(
+        "id", "blob_id"
+    )
     mime = F.element_at(
         F.array(*[F.lit(m) for m in _MIMES]), (F.col("blob_id") % 4 + 1).cast("int")
     )
@@ -200,7 +208,10 @@ def phash_blobs(spark: SparkSession, n: int = 200) -> DataFrame:
     re-derive the byte grid from the binary column (the multimodal
     family's plumbing contract). Pure SQL both engines reproduce
     byte-identically (the q_multimodal_frames fixture technique)."""
-    base = spark.range(0, n).withColumnRenamed("id", "blob_id")
+    # data-sized partitioning, same rationale as synth_blobs above
+    base = spark.range(0, n, numPartitions=max(1, n // 25000)).withColumnRenamed(
+        "id", "blob_id"
+    )
     return (
         base.selectExpr(
             "blob_id",

@@ -177,7 +177,7 @@ def q_diag_codebook_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fhir2sql_spark.operators import lattice
 
     emb = load(spark, sf_dir, "embeddings")
-    qv = lattice.quantize(emb)
+    qv = lattice.materialize(lattice.quantize(emb))
     base = qv.where(F.col("vid") % 3 != 0)
     new = qv.where(F.col("vid") % 3 == 0)
     cents = lattice.lattice_kmeans(base, k=16, iters=2)

@@ -1590,7 +1590,7 @@ def q_embed_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fhir2sql_spark.operators import lattice
 
     emb = load(spark, sf_dir, "embeddings")
-    qv = lattice.quantize(emb, scale=_LATTICE_SCALE)
+    qv = lattice.materialize(lattice.quantize(emb, scale=_LATTICE_SCALE))
     cents = lattice.lattice_kmeans(qv, k=16, iters=2)
     return lattice.lattice_ivf_topk(
         qv.where(F.col("vid") < 10), qv, cents, k=5, n_probe=4
@@ -1786,7 +1786,7 @@ def q_embed_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fhir2sql_spark.operators import lattice
 
     emb = load(spark, sf_dir, "embeddings")
-    qv = lattice.quantize(emb, scale=_LATTICE_SCALE)
+    qv = lattice.materialize(lattice.quantize(emb, scale=_LATTICE_SCALE))
     books = lattice.lattice_pq_train(qv, m=4, n_codes=16, iters=2)
     return lattice.lattice_pq_search(
         qv.where(F.col("vid") < 5), qv, books, k=5, m=4

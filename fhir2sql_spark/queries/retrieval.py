@@ -261,7 +261,7 @@ def q_dedup_semantic_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fhir2sql_spark.operators import lattice
 
     emb = load(spark, sf_dir, "embeddings")
-    qv = lattice.quantize(emb)
+    qv = lattice.materialize(lattice.quantize(emb))
     n = qv.count()
     k = max(16, math.isqrt(n))
     cents = lattice.lattice_kmeans(qv, k=k, iters=2)
@@ -370,7 +370,7 @@ def q_dedup_semantic_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fhir2sql_spark.operators import lattice
 
     emb = load(spark, sf_dir, "embeddings")
-    qv = lattice.quantize(emb)
+    qv = lattice.materialize(lattice.quantize(emb))
     base = qv.where(F.col("vid") % 3 != 0)
     new = qv.where(F.col("vid") % 3 == 0)
     k = max(16, math.isqrt(base.count()))
