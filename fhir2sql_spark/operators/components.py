@@ -51,7 +51,17 @@ def connected_components(
     # derivation (e.g. an exact-Jaccard self-join) is far more
     # expensive than the propagation itself, and without a lineage
     # barrier every round's join would recompute it from scratch.
-    sym = sym.distinct().localCheckpoint(eager=True)
+    # r11 (VERDICT r10 #5 size audit): the symmetrized edge set is
+    # FACT-SIZED (2x the pair relation) — pin it serialized on disk,
+    # not as deserialized heap blocks (the 24 g calibration from the
+    # r10 basket OOM). The per-round label/staged frames stay at the
+    # default level: they are node-sized and are the per-round hot
+    # reads.
+    from pyspark.storagelevel import StorageLevel
+
+    sym = sym.distinct().localCheckpoint(
+        eager=True, storageLevel=StorageLevel.DISK_ONLY
+    )
 
     labels = (
         sym.select(F.col("a").alias("node")).distinct().withColumn("label", F.col("node"))

@@ -95,9 +95,9 @@ def materialize(qv: DataFrame) -> DataFrame:
     NOT registered in the CacheManager, so identical quantize plans
     in later bench queries cannot silently share it (each query's
     runs stay self-contained computations)."""
-    from pyspark.storagelevel import StorageLevel
+    from fhir2sql_spark.operators.reuse import materialize_serialized
 
-    return qv.localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
+    return materialize_serialized(qv)
 
 
 def _seed_codebook(qv: DataFrame, k: int) -> list:

@@ -53,8 +53,16 @@ def pagerank(
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))  # empty frame, right schema
     outdeg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
-    # adjacency with out-degree attached, materialized once
-    adj = e.join(outdeg, "s").localCheckpoint(eager=True)
+    # adjacency with out-degree attached, materialized once. r11
+    # (VERDICT r10 #5 size audit): adj is FACT-SIZED (every edge) and
+    # static across rounds — serialized DISK_ONLY, no deserialized
+    # heap pin; the per-round rank frame stays default (node-sized,
+    # re-read every round).
+    from pyspark.storagelevel import StorageLevel
+
+    adj = e.join(outdeg, "s").localCheckpoint(
+        eager=True, storageLevel=StorageLevel.DISK_ONLY
+    )
 
     # One eager localCheckpoint per round is NOT optional: ranks is
     # consumed twice per iteration (contribution join + dangling

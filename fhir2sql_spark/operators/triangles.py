@@ -89,7 +89,16 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     lowest-(degree, id) vertex (see module docstring), then closed
     against the oriented edge set; each closed triangle credits all
     three corners via an explode — a config-free, fully distributed
-    plan (two equi-joins + one aggregation)."""
+    plan (two equi-joins + one aggregation).
+
+    r11: ``edges`` is materialized once (serialized lazy DISK_ONLY
+    checkpoint) — it is consumed by the degree aggregate (twice), the
+    orientation join and the wedge close, and each branch otherwise
+    re-derives the full co-occurrence pipeline including its
+    group-key exchange (operators/reuse.py)."""
+    from fhir2sql_spark.operators.reuse import materialize_serialized
+
+    edges = materialize_serialized(edges)
     deg = (
         edges.select(F.col("src").alias("node"))
         .unionAll(edges.select(F.col("dst").alias("node")))
@@ -157,7 +166,15 @@ def edge_jaccard(edges: DataFrame) -> DataFrame:
     degree counts for the union size. Same scale posture as
     triangle_counts: equi-joins + aggregations only, hub-skew-proof.
     The division common/(deg_a + deg_b - common) is one IEEE double
-    op over exact longs — bit-identical in any engine."""
+    op over exact longs — bit-identical in any engine.
+
+    r11: same edge-materialization barrier as triangle_counts (the
+    edge list is referenced by degrees, orientation, close and the
+    final left join — measured 19.8 s executor CPU of re-derivation
+    at sf0.1 without it)."""
+    from fhir2sql_spark.operators.reuse import materialize_serialized
+
+    edges = materialize_serialized(edges)
     deg_raw = (
         edges.select(F.col("src").alias("node"))
         .unionAll(edges.select(F.col("dst").alias("node")))

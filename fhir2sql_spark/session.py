@@ -56,6 +56,15 @@ def get_spark(app_name: str = "fhir2sql-spark") -> SparkSession:
             "true",
         )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # The codegen class cache defaults to 100 entries; a session
+        # serving the full 230-query surface evicts constantly and
+        # re-pays Janino compilation of wide generated methods (the
+        # 64-aggregate SimHash stage measured ~2 s driver-side per
+        # run). 10k entries of compiled classes is a few hundred MB
+        # at worst and is the right trade for ANY long-lived session,
+        # local or cluster. Static conf — must be set before the JVM
+        # starts.
+        .config("spark.sql.codegen.cache.maxEntries", "10000")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
