@@ -175,9 +175,9 @@ def lattice_kmeans(
         code = np.stack([v for _, v in cents])
         bc = sc.broadcast((cids, code))
 
-        # per-batch integer partial sums: the shuffle carries
-        # k x batches x dim longs — input-size-independent, the same
-        # partial-aggregate shape the float trainer plans
+        # per-batch integer partial sums: the driver collect carries
+        # k x batches x dim longs — input-size-independent (codebook
+        # x partition count, never corpus-sized)
         def stats_batches(it, _bc=bc):
             b_cids, b_code = _bc.value
             k_now, dim_now = b_code.shape
@@ -202,27 +202,41 @@ def lattice_kmeans(
         stats = base.select("qv").mapInPandas(
             stats_batches, "cell int, cnt long, vsum array<long>"
         )
-        comp = stats.select("cell", "cnt", F.posexplode("vsum").alias("pos", "val"))
-        # ROUND(SUM/COUNT): integer sums are order-free, the division
-        # is one IEEE op, the round is half-away-from-zero on both
-        # engines — the new centroid is deterministic and portable
-        means = (
-            comp.groupBy("cell", "pos")
-            .agg(F.sum("val").alias("s"), F.sum("cnt").alias("c"))
-            .select(
-                "cell",
-                "pos",
-                F.round(F.col("s").cast("double") / F.col("c"), 0)
-                .cast("long")
-                .alias("m"),
-            )
-        )
+        # The per-batch partials are codebook-sized (<= k x n_parts
+        # rows) — collect them raw (single stage, no shuffle) and fold
+        # the means on the driver. r11: the previous posexplode +
+        # groupBy(cell,pos) + groupBy(cell) chain shuffled <= k*dim
+        # tiny rows through two exchanges per Lloyd round, pure stage
+        # overhead across the six trained-lattice queries.
+        # ROUND(SUM/COUNT): integer sums are order-free; the division
+        # is the same single IEEE double op as the SQL form; the round
+        # is half-away-from-zero. Decimal(float) is the EXACT binary
+        # expansion, and at scale 0 every .5 boundary is an exactly
+        # representable double, so ROUND_HALF_UP here is bit-identical
+        # to Spark's ROUND(double, 0) and DuckDB's ROUND.
+        from decimal import ROUND_HALF_UP, Decimal
+
+        sums: dict[int, "np.ndarray"] = {}
+        counts: dict[int, int] = {}
+        for r in stats.collect():
+            c = r["cell"]
+            v = np.asarray(r["vsum"], dtype=np.int64)
+            if c in sums:
+                sums[c] += v
+                counts[c] += r["cnt"]
+            else:
+                sums[c] = v.copy()
+                counts[c] = r["cnt"]
         new_rows = {
-            r["cell"]: r["cv"]
-            for r in means.groupBy("cell")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-            .select("cell", F.expr("transform(pm, x -> x.m)").alias("cv"))
-            .collect()
+            c: [
+                int(
+                    Decimal(float(s) / counts[c]).quantize(
+                        Decimal(1), rounding=ROUND_HALF_UP
+                    )
+                )
+                for s in sums[c]
+            ]
+            for c in sums
         }
         cents = [
             (cid, np.array(new_rows[cid], dtype=np.int64))
@@ -424,27 +438,33 @@ def lattice_pq_train(
         stats = base.select("qv").mapInPandas(
             stats_batches, "s int, code int, cnt long, vsum array<long>"
         )
-        comp = stats.select(
-            "s", "code", "cnt", F.posexplode("vsum").alias("pos", "val")
-        )
-        means = (
-            comp.groupBy("s", "code", "pos")
-            .agg(F.sum("val").alias("sv"), F.sum("cnt").alias("c"))
-            .select(
-                "s",
-                "code",
-                "pos",
-                F.round(F.col("sv").cast("double") / F.col("c"), 0)
-                .cast("long")
-                .alias("m"),
-            )
-        )
+        # codebook-sized partials (<= m * n_codes * n_parts rows):
+        # collect raw and fold means on the driver — same exactness
+        # argument as lattice_kmeans (order-free int64 sums, one IEEE
+        # division, HALF_UP round bit-identical at scale 0)
+        from decimal import ROUND_HALF_UP, Decimal
+
+        sums: dict[tuple, "np.ndarray"] = {}
+        counts: dict[tuple, int] = {}
+        for r in stats.collect():
+            key = (r["s"], r["code"])
+            v = np.asarray(r["vsum"], dtype=np.int64)
+            if key in sums:
+                sums[key] += v
+                counts[key] += r["cnt"]
+            else:
+                sums[key] = v.copy()
+                counts[key] = r["cnt"]
         new_rows = {
-            (r["s"], r["code"]): r["w"]
-            for r in means.groupBy("s", "code")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-            .select("s", "code", F.expr("transform(pm, x -> x.m)").alias("w"))
-            .collect()
+            key: [
+                int(
+                    Decimal(float(sv) / counts[key]).quantize(
+                        Decimal(1), rounding=ROUND_HALF_UP
+                    )
+                )
+                for sv in sums[key]
+            ]
+            for key in sums
         }
         books = [
             np.stack(

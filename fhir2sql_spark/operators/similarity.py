@@ -317,17 +317,22 @@ def cosine_near_pairs(
     # norms for every PAIR (measured 1.5x slower)
     a = a.localCheckpoint(eager=False)
     b = b.localCheckpoint(eager=False)
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    return (
-        pairs.select(
-            "id_a",
-            "id_b",
-            (_dot("vec_a", "vec_b", dim) / (F.col("norm_a") * F.col("norm_b"))).alias(
-                "cos_raw"
-            ),
-        )
-        .where(F.col("cos_raw") >= threshold)
-        .select("id_a", "id_b", F.round("cos_raw", 4).alias("cosine"))
+    # the checkpoint RDD inherits the (1-2 partition) bounded-slice
+    # scan layout, which serializes the O(n^2) fold into one task;
+    # spread the STREAM side of the nested-loop join over the cluster
+    # (work here scales with n^2, not input bytes)
+    par = vectors.sparkSession.sparkContext.defaultParallelism
+    if a.rdd.getNumPartitions() < par:
+        a = a.repartition(par)
+    cos_raw = _dot("vec_a", "vec_b", dim) / (F.col("norm_a") * F.col("norm_b"))
+    # author the join condition with the cheap id predicate FIRST:
+    # letting the .where() push down appended the fold as the leading
+    # conjunct, evaluating it for every ORDERED pair (2x the folds)
+    pairs = a.join(
+        b, (F.col("id_a") < F.col("id_b")) & (cos_raw >= threshold)
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round(cos_raw, 4).alias("cosine")
     )
 
 

@@ -315,7 +315,16 @@ def q_agg_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         kmv_sketch_single,
     )
 
-    users = load(spark, sf_dir, "events").select("user_id").distinct()
+    from fhir2sql_spark.operators.reuse import materialize_serialized
+
+    # r11: the distinct-user spine feeds SIX consumers (two counts,
+    # the intersect, both sketches, the estimate collects) and was
+    # re-deriving the corpus-sized distinct exchange per consumer —
+    # materialize it once, serialized (it is user-dimension-sized,
+    # unbounded at 100 TB, so never a deserialized heap pin)
+    users = materialize_serialized(
+        load(spark, sf_dir, "events").select("user_id").distinct()
+    )
     a = users.where(
         (F.pmod("user_id", F.lit(2)) == 0) | (F.pmod("user_id", F.lit(3)) == 0)
     )

@@ -125,7 +125,12 @@ def q_tokens_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    top = wc.orderBy(F.desc("cnt"), "w").limit(100)
+    # r11: pin the 100-row top-k — distributed_rank reads its input
+    # through three consumers (range sample, counts, final join), and
+    # unpinned each re-ran the corpus token aggregate + TakeOrdered
+    top = (
+        wc.orderBy(F.desc("cnt"), "w").limit(100).localCheckpoint(eager=True)
+    )
     ranked = distributed_rank(
         top, [F.desc("cnt"), F.asc("w")], out_col="rnk"
     ).withColumn("rank", F.col("rnk") + 1)
@@ -201,6 +206,12 @@ def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tok",
         F.coalesce("n_new", F.lit(0)).alias("n_new"),
     )
+    # r11: pin the per-doc join — distributed_prefix_sum reads its
+    # input through the range sample + partition counts + final join,
+    # and unpinned each consumer re-ran BOTH corpus token aggregates
+    from fhir2sql_spark.operators.reuse import materialize_serialized
+
+    j = materialize_serialized(j)
     c = distributed_prefix_sum(
         j,
         [F.col("doc_id")],
