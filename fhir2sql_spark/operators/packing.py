@@ -196,12 +196,7 @@ def shard_assign(
     )
     order = [F.desc("n_tokens"), F.asc("doc_id")]
     if distributed:
-        # r11: pin the (doc_id, n_tokens) projection — the rank's
-        # range sample + exchange otherwise re-run the full-text
-        # tokenize/size pass per consumer (fact-sized -> serialized)
-        from fhir2sql_spark.operators.reuse import materialize_serialized
-
-        ranked = distributed_rank(materialize_serialized(sized), order)
+        ranked = distributed_rank(sized, order)
     else:
         ranked = sized.withColumn("rnk", F.row_number().over(Window.orderBy(*order)) - 1)
     pas = (F.col("rnk") / n_shards).cast("int")

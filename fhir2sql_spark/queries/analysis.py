@@ -271,6 +271,12 @@ def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             " + make_interval(0, 0, 0, 0, cast(o_orderkey % 720 as int), 0, 0)"
         ).alias("probe_ts"),
     ).distinct()
+    # r11: three consumers (bwd asof, fwd asof, the probe-meta
+    # rebuild) re-ran the orders scan + distinct exchange each —
+    # materialize once, serialized (probe table is fact-sized)
+    from fhir2sql_spark.operators.reuse import materialize_serialized
+
+    probes = materialize_serialized(probes)
     events = e.select("user_id", "event_id", F.col("ts").alias("event_ts"))
     kw = dict(
         on="user_id",
