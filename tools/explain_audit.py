@@ -302,9 +302,16 @@ CHECKS: list[tuple[str, str, str]] = [
     ),
     (
         "q_tokens_zipf",
-        "TakeOrderedAndProject",
-        "top-100 types via limit, not a global sort; rank is "
-        "distributed_rank over the bounded rows",
+        "!Scan parquet",
+        "r11: the TakeOrdered top-100 is eagerly pinned at build time "
+        "(it fed three distributed_rank consumers, each re-running the "
+        "corpus token aggregate), so the registered plan must work "
+        "entirely off the 100-row pinned RDD — no parquet re-scan",
+    ),
+    (
+        "q_tokens_zipf",
+        "Scan ExistingRDD",
+        "rank input is the pinned 100-row top-k frame",
     ),
     (
         "q_vocab_growth",
