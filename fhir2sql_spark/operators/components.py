@@ -17,12 +17,18 @@ long-chain case where alternating large-star/small-star (Kiveris et
 al., "Connected Components in MapReduce and Beyond", SoCC'14) wins its
 O(log n) bound does not arise from similarity graphs in practice.
 
-Scale posture per round: one shuffle for the neighbor-min groupBy and
-one for the label join, both hash-partitioned on the node id; labels
-are localCheckpoint'ed so lineage (and the replayed shuffle DAG) stays
-O(1) across rounds rather than O(rounds). The convergence test is a
-distributed count of changed labels — a scalar to the driver, never
-row data.
+Scale posture per round: ONE shuffle — the neighbor-min groupBy on the
+receiving node id. r11 shape: the symmetrized edge set is read through
+one SELF row per node (``(v, v)``), so the min-aggregate group for
+``v`` contains v's own label alongside its neighbors' — the aggregate
+IS ``least(own, min(neighbors))`` and the old per-round
+``labels LEFT JOIN neigh_min`` rejoin disappears; a conditional min
+over the self row recovers v's previous label for the convergence
+test. All label arithmetic is integer min — bit-exact, no float
+order concerns. Labels are localCheckpoint'ed so lineage (and the
+replayed shuffle DAG) stays O(1) across rounds rather than
+O(rounds). The convergence test is a distributed count of changed
+labels — a scalar to the driver, never row data.
 """
 
 from __future__ import annotations
@@ -68,25 +74,40 @@ def connected_components(
     )
     labels = labels.localCheckpoint(eager=True)
 
+    # Self rows, derived from the pinned node-sized labels frame (not
+    # from sym — that would re-run a fact-sized distinct every round).
+    # Real self-loop edges are dropped first: they contributed only the
+    # node's own label to the min, which the self row now carries, and
+    # the conditional own-label min below must see exactly one self row
+    # per node.
+    self_rows = labels.select(
+        F.col("node").alias("a"), F.col("node").alias("b")
+    )
+    sym0 = sym.where(F.col("a") != F.col("b")).unionByName(self_rows)
+
     for _ in range(max_rounds):
-        neigh_min = (
-            labels.join(sym, labels.node == sym.a)
-            .groupBy(sym.b.alias("node2"))
-            .agg(F.min("label").alias("nmin"))
-        )
         # One materialization per round: the checkpoint IS the round's
         # single evaluation, and the convergence count then scans the
         # checkpointed (tiny) result instead of re-running the join.
+        # The self row makes the group total over nodes AND carries the
+        # node's previous label (the a == b row joined its own label),
+        # so min(lab) = least(own, neighbor-min) and the old left
+        # rejoin is gone.
+        joined = labels.join(sym0, labels["node"] == sym0["a"]).select(
+            sym0["b"].alias("node2"),
+            F.col("label").alias("lab"),
+            (sym0["a"] == sym0["b"]).alias("own"),
+        )
         staged = (
-            labels.join(neigh_min, labels.node == neigh_min.node2, "left")
+            joined.groupBy("node2")
+            .agg(
+                F.min("lab").alias("new_label"),
+                F.min(F.when(F.col("own"), F.col("lab"))).alias("old_label"),
+            )
             .select(
-                "node",
-                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias(
-                    "new_label"
-                ),
-                (F.coalesce(F.col("nmin"), F.col("label")) < F.col("label")).alias(
-                    "chg"
-                ),
+                F.col("node2").alias("node"),
+                "new_label",
+                (F.col("new_label") < F.col("old_label")).alias("chg"),
             )
             .localCheckpoint(eager=True)
         )

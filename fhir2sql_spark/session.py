@@ -34,6 +34,17 @@ def get_spark(app_name: str = "fhir2sql-spark") -> SparkSession:
             "512",
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # NOT set: spark.sql.adaptive.coalescePartitions.parallelismFirst
+        # =false (the docs-recommended production value). Measured r11:
+        # full-suite A/B normalized 123 -> 173 s — collapsing small
+        # shuffles to one advisory-sized task serializes the many
+        # dependent-stage iterative queries (pagerank 6.1 -> 13.8 s,
+        # triangles 1.8 -> 8.3 s, the *_inc dedup family +2-5 s each),
+        # far outweighing the dispatch saved on wide flat aggregates
+        # (bpe_encode -4.7 s, embed_sq -3.9 s). parallelismFirst=true
+        # keeps post-shuffle parallelism ~ cores at every scale; it is
+        # the right trade for a latency-bound suite, not a local-only
+        # tune.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Arrow-batch even plain Python UDFs (Spark 4): cuts the
         # per-row pickle boundary of the q_udf_scalar-style slow path
