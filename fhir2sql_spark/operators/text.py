@@ -851,8 +851,14 @@ def dsir_logweights(
 
 def _word_positions(words: DataFrame) -> DataFrame:
     """One row per character position of every distinct word:
-    (w, i) with i = 1..length(w)."""
-    return words.select(
+    (w, i) with i = 1..length(w).
+
+    Defensive (ADVICE r10): for an empty string sequence(1, 0) yields
+    the DESCENDING array [1, 0] — bogus positions including i=0 and
+    silent garbage cuts downstream. Callers contract non-empty words;
+    the filter makes a forgotten filter yield an empty result instead
+    of garbage (vocabulary-sized input — negligible)."""
+    return words.where(F.length("w") >= 1).select(
         "w", F.explode(F.sequence(F.lit(1), F.length("w"))).alias("i")
     )
 
@@ -871,6 +877,23 @@ def piece_matches(
     lens = F.explode(
         F.array(*[F.lit(int(x)) for x in piece_lens])
     ).alias("L")
+    # Defensive (ADVICE r10): a piece whose length is NOT in piece_lens
+    # can never be generated as a candidate substring, so it would be
+    # silently unmatched — fail loudly at execution instead. The
+    # assert rides the (bounded, broadcast) piece projection;
+    # assert_true returns NULL on success, so isNull() keeps all rows.
+    checked_pieces = pieces.select("piece").where(
+        F.assert_true(
+            F.length("piece").isin(*[int(x) for x in piece_lens]),
+            F.concat(
+                F.lit(
+                    "piece_matches: piece length outside piece_lens "
+                    f"{tuple(int(x) for x in piece_lens)}: "
+                ),
+                F.col("piece"),
+            ),
+        ).isNull()
+    )
     return (
         _word_positions(words)
         .select("w", "i", lens)
@@ -883,7 +906,7 @@ def piece_matches(
             .substr(F.col("i").cast("int"), F.col("L").cast("int"))
             .alias("piece"),
         )
-        .join(F.broadcast(pieces.select("piece")), "piece")
+        .join(F.broadcast(checked_pieces), "piece")
     )
 
 
@@ -976,8 +999,14 @@ def greedy_segment_cuts(
                 .select("w", "i", "j")
                 .localCheckpoint(eager=True)
             )
-    # Sentinel rows (i = len+1) drop in the inner join with step.
-    return reach.join(step, ["w", "i"]).select(
+    # r11: the final cut join reads the CHECKPOINTED jump table (step
+    # plus end-sentinel self-loops) instead of re-deriving step — the
+    # step subtree (position explode + piece match + max-length
+    # aggregate) otherwise runs a second time just for this join.
+    # Sentinel rows (i = j = len+1) are exactly the j > i filter away;
+    # every real step row has j = i + ml >= i + 1, so the row sets are
+    # identical.
+    return reach.join(jump, ["w", "i"]).where(F.col("j") > F.col("i")).select(
         "w",
         "i",
         F.col("w")

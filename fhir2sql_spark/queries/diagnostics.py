@@ -358,7 +358,11 @@ _BOOT_R = 16
 
 @query(
     "q_diag_bootstrap_se",
-    oracle="""
+    # _BOOT_R is interpolated (ADVICE r10 #4) so the replicate count
+    # has a single source of truth — changing the constant can no
+    # longer silently desynchronize the two engines. The rendered SQL
+    # is byte-identical to the previous literal form at _BOOT_R=16.
+    oracle=f"""
     WITH d AS (
         SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
         FROM documents
@@ -367,7 +371,7 @@ _BOOT_R = 16
         SELECT d.doc_id, d.nt, r.r,
                substring(sha256('boot|' || r.r || '|' || d.doc_id), 1, 2)
                    AS b
-        FROM d, (SELECT unnest(generate_series(0, 15)) AS r) r
+        FROM d, (SELECT unnest(generate_series(0, {_BOOT_R - 1})) AS r) r
     ),
     k AS (
         SELECT r, nt,
@@ -390,12 +394,12 @@ _BOOT_R = 16
         FROM d
     )
     SELECT pt.n_docs,
-           CAST(16 AS BIGINT) AS n_replicates,
+           CAST({_BOOT_R} AS BIGINT) AS n_replicates,
            pt.point_mean,
-           ROUND(list_sum(arr.ms) / 16, 6) AS boot_mean,
+           ROUND(list_sum(arr.ms) / {_BOOT_R}, 6) AS boot_mean,
            ROUND(sqrt(list_sum(list_transform(arr.ms,
-                 x -> (x - list_sum(arr.ms) / 16)
-                      * (x - list_sum(arr.ms) / 16))) / 15), 6) AS boot_se
+                 x -> (x - list_sum(arr.ms) / {_BOOT_R})
+                      * (x - list_sum(arr.ms) / {_BOOT_R}))) / {_BOOT_R - 1}), 6) AS boot_se
     FROM pt, arr
     """,
 )
@@ -418,6 +422,17 @@ def q_diag_bootstrap_se(spark: SparkSession, sf_dir: str) -> DataFrame:
     list(ORDER BY r) + list_sum/list_transform there — the
     neyman/doremi ordered-fold lesson), and sqrt is correctly-rounded
     IEEE on both.
+
+    Precondition (ADVICE r10 #3): the corpus must be large enough that
+    no replicate draws SUM(k)=0 — P ≈ 0.367^n_docs per replicate, zero
+    in practice above ~30 docs (the sf0.001 fixture already has 600).
+    In that degenerate case the replicate mean is NULL and the engines
+    diverge (Spark's HOF fold propagates NULL; DuckDB's list_sum skips
+    it) — a documented minimum-corpus contract rather than a
+    NULL-guard, because any guard value (0? point mean?) would be a
+    statistical lie the caller should see as an error, and changing
+    the declared query's algebra is out of scope for an optimization
+    round.
 
     Scale shape: ONE documents scan exploded ×16 replicates map-side
     (the multiplier is a constant, not a shuffle; sha2+CASE ride the

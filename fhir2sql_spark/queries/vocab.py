@@ -1089,11 +1089,15 @@ def q_vocab_unigram_em(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fhir2sql_spark.operators.text import greedy_segment_cuts
 
     cuts = greedy_segment_cuts(wc.select("w"), pieces, _UNIGRAM_PIECE_LENS)
+    # r11: m is bounded (<= 256 candidate pieces) but consumed twice
+    # (the total aggregate + the final join) — unpinned, each consumer
+    # re-ran the whole cut-chain join + M-step aggregate.
     m = (
         cuts.where(F.col("plen") >= 2)
         .join(wc, "w")
         .groupBy("piece")
         .agg(F.sum("cnt").cast("long").alias("em_cnt"))
+        .localCheckpoint(eager=True)
     )
     tot = m.agg(F.sum("em_cnt").cast("long").alias("__tot"))
     return (

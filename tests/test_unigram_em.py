@@ -206,3 +206,57 @@ def test_unigram_loss_invariants(spark):
         assert 0 < r["greedy_bits"] <= r["viterbi_bits"]
         assert 0.0 < r["greedy_opt_ratio"] <= 1.0
         assert r["n_words"] > 0
+
+
+def test_piece_matches_guard_rejects_out_of_lens_piece(spark):
+    """r11 ADVICE guard: a vocabulary piece whose length is outside
+    piece_lens can never match (it is never generated as a candidate
+    substring) — the operator must fail loudly at execution instead of
+    silently never matching it."""
+    import pytest
+
+    from fhir2sql_spark.operators.text import piece_matches
+
+    bad = piece_matches(
+        _words_df(spark, ["abcde"]),
+        _pieces_df(spark, ["ab", "abcde"]),  # len 5 not in (2, 3, 4)
+        (2, 3, 4),
+    )
+    with pytest.raises(Exception, match="piece length outside piece_lens"):
+        bad.collect()
+    ok = piece_matches(
+        _words_df(spark, ["abcde"]), _pieces_df(spark, ["ab", "cde"]), (2, 3, 4)
+    )
+    assert {(r["i"], r["piece"]) for r in ok.collect()} == {(1, "ab"), (3, "cde")}
+
+
+def test_word_positions_empty_word_yields_nothing(spark):
+    """r11 ADVICE guard: sequence(1, 0) would yield the DESCENDING
+    array [1, 0] for an empty word — the defensive filter turns a
+    forgotten caller-side filter into an empty result, not garbage."""
+    from fhir2sql_spark.operators.text import _word_positions
+
+    rows = _word_positions(_words_df(spark, ["", "ab"])).collect()
+    assert {(r["w"], r["i"]) for r in rows} == {("ab", 1), ("ab", 2)}
+
+
+def test_greedy_cuts_final_join_matches_reference_after_jump_reuse(spark):
+    """r11: the final cut join reads the checkpointed jump table
+    (filtered j > i) instead of re-deriving step — pin the cut/piece
+    parity on a word set with end-sentinel edge cases (single chars,
+    whole-word pieces)."""
+    from fhir2sql_spark.operators.text import greedy_segment_cuts
+
+    words = ["a", "ab", "abab", "xyzw", "q"]
+    pieces = ["ab", "zw", "xy"]
+    got = {
+        (r["w"], r["i"], r["piece"], r["plen"])
+        for r in greedy_segment_cuts(
+            _words_df(spark, words), _pieces_df(spark, pieces)
+        ).collect()
+    }
+    want = set()
+    for w in words:
+        for i, piece, plen in _greedy_py(w, set(pieces)):
+            want.add((w, i, piece, plen))
+    assert got == want
