@@ -81,6 +81,38 @@ def kmv_distinct_estimate_value(sketch: DataFrame, k: int = 64) -> float:
     return float(row.n) if row.n < k else (k - 1) / row.hk
 
 
+def kmv_estimates_from_values(
+    ha: list[float], hb: list[float], k: int = 64
+) -> tuple[float, float, float, float]:
+    """Driver-side (est_a, est_b, jaccard_est, intersection_est) from
+    two COLLECTED single-set sketches (<= k hash values each — the
+    same bounded-collect class as a codebook). The arithmetic is the
+    identical IEEE double sequence the distributed forms run —
+    (k-1)/h_(k), |A ∩ B ∩ union_k| / k, jaccard x union_est — so the
+    two paths agree bit-exactly (pinned by test_round3_ops.py's
+    parity test). r11: q_agg_kmv_jaccard previously ran ~7 driver
+    actions over these <= 64-row frames (two estimate aggregates, a
+    union checkpoint, two membership counts, a max); one collect per
+    sketch plus this function replaces them all."""
+
+    def _est(hs: list[float]) -> float:
+        if not hs:
+            return 0.0
+        return float(len(hs)) if len(hs) < k else (k - 1) / max(hs)
+
+    est_a, est_b = _est(ha), _est(hb)
+    set_a, set_b = set(ha), set(hb)
+    union_k = sorted(set_a | set_b)[:k]
+    n_union = len(union_k)
+    if n_union == 0:
+        return est_a, est_b, 0.0, 0.0
+    in_both = sum(1 for h in union_k if h in set_a and h in set_b)
+    exhaustive = n_union < k
+    union_est = float(n_union) if exhaustive else (k - 1) / union_k[-1]
+    jaccard = in_both / float(n_union if exhaustive else k)
+    return est_a, est_b, jaccard, jaccard * union_est
+
+
 def kmv_intersection_estimate(
     sketch_a: DataFrame, sketch_b: DataFrame, k: int = 64
 ) -> DataFrame:

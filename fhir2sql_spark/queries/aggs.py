@@ -310,44 +310,51 @@ def q_agg_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle hash-checks; tests/test_round3_ops.py asserts the
     tighter measured bounds."""
     from fhir2sql_spark.operators.kmv import (
-        kmv_distinct_estimate_value,
-        kmv_intersection_estimate,
+        kmv_estimates_from_values,
         kmv_sketch_single,
     )
 
     from fhir2sql_spark.operators.reuse import materialize_serialized
 
-    # r11: the distinct-user spine feeds SIX consumers (two counts,
-    # the intersect, both sketches, the estimate collects) and was
+    # r11: the distinct-user spine feeds the consumers below and was
     # re-deriving the corpus-sized distinct exchange per consumer —
     # materialize it once, serialized (it is user-dimension-sized,
     # unbounded at 100 TB, so never a deserialized heap pin)
     users = materialize_serialized(
         load(spark, sf_dir, "events").select("user_id").distinct()
     )
-    a = users.where(
-        (F.pmod("user_id", F.lit(2)) == 0) | (F.pmod("user_id", F.lit(3)) == 0)
-    )
-    b = users.where(
-        (F.pmod("user_id", F.lit(2)) == 0) | (F.pmod("user_id", F.lit(5)) == 0)
-    )
-    n_a, n_b = a.count(), b.count()
-    n_i = a.intersect(b).count()
+    ca = (F.pmod("user_id", F.lit(2)) == 0) | (F.pmod("user_id", F.lit(3)) == 0)
+    cb = (F.pmod("user_id", F.lit(2)) == 0) | (F.pmod("user_id", F.lit(5)) == 0)
+    a = users.where(ca)
+    b = users.where(cb)
+    # r11 second block: a and b are FILTERS of the same distinct spine,
+    # so |a|, |b| and |a ∩ b| are three conditional counts of ONE pass
+    # over the pin — previously two count() jobs plus a full
+    # INTERSECT (two exchanges + a third job). Exact-equivalent
+    # because users is distinct by construction.
+    cnt = users.agg(
+        F.coalesce(F.sum(F.when(ca, 1)), F.lit(0)).cast("long").alias("n_a"),
+        F.coalesce(F.sum(F.when(cb, 1)), F.lit(0)).cast("long").alias("n_b"),
+        F.coalesce(F.sum(F.when(ca & cb, 1)), F.lit(0)).cast("long").alias("n_i"),
+    ).collect()[0]
+    n_a, n_b, n_i = cnt.n_a, cnt.n_b, cnt.n_i
     k = 64
-    sa = kmv_sketch_single(a, "user_id", k).localCheckpoint(eager=True)
-    sb = kmv_sketch_single(b, "user_id", k).localCheckpoint(eager=True)
-
-    est_a = kmv_distinct_estimate_value(sa, k)
-    est_b = kmv_distinct_estimate_value(sb, k)
-    r = kmv_intersection_estimate(sa, sb, k).collect()[0]
+    # The sketches are TakeOrderedAndProject plans (per-partition
+    # k-heads merged on the driver): collecting them IS the sketch
+    # build — the eager checkpoints + per-estimate aggregates +
+    # union/membership jobs they used to feed (~7 driver actions over
+    # <= 64-row frames) collapse into bounded-collect driver math with
+    # the identical IEEE formula (operators/kmv.py
+    # kmv_estimates_from_values; parity pinned in test_round3_ops.py).
+    ha = [r.h for r in kmv_sketch_single(a, "user_id", k).collect()]
+    hb = [r.h for r in kmv_sketch_single(b, "user_id", k).collect()]
+    est_a, est_b, jac_est, inter_est = kmv_estimates_from_values(ha, hb, k)
     # Empty-input guards: on an empty events table the union denominator
-    # is 0 (Jaccard defined as 0) and the sketch estimates come back
-    # NULL; the intersection tolerance is absolute-or-relative so the
-    # n_i == 0 case doesn't degenerate to an exact-zero requirement.
+    # is 0 (Jaccard defined as 0); the intersection tolerance is
+    # absolute-or-relative so the n_i == 0 case doesn't degenerate to
+    # an exact-zero requirement.
     denom = float(n_a + n_b - n_i)
     jac_exact = (n_i / denom) if denom else 0.0
-    inter_est = r.intersection_est if r.intersection_est is not None else 0.0
-    jac_est = r.jaccard_est if r.jaccard_est is not None else 0.0
     row = [
         (
             n_a,

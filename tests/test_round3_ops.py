@@ -464,3 +464,31 @@ def test_spatial_pack_injective_at_extreme_coords(spark):
     bad = spark.createDataFrame([(1, (1 << 31) * r, 0)], "id long, x long, y long")
     with _pytest.raises(Exception, match="domain"):
         distance_self_join(bad, "id", "x", "y", r).count()
+
+
+def test_kmv_driver_estimator_matches_distributed_forms(spark):
+    """r11 parity pin: kmv_estimates_from_values (the driver-side
+    bounded-collect path q_agg_kmv_jaccard now runs) must agree
+    BIT-EXACTLY with the distributed estimate/intersection operators
+    on both exhaustive (< k) and saturated (> k) sketches."""
+    from fhir2sql_spark.operators.kmv import (
+        kmv_distinct_estimate_value,
+        kmv_estimates_from_values,
+        kmv_intersection_estimate,
+        kmv_sketch_single,
+    )
+
+    for lo_b, hi_b in ((20, 50), (1500, 4500)):
+        a = spark.range(0, max(40, hi_b - 1500)).selectExpr("id AS key")
+        b = spark.range(lo_b, hi_b).selectExpr("id AS key")
+        sa, sb = kmv_sketch_single(a, "key"), kmv_sketch_single(b, "key")
+        ha = [r.h for r in sa.collect()]
+        hb = [r.h for r in sb.collect()]
+        est_a, est_b, jac, inter = kmv_estimates_from_values(ha, hb)
+        assert est_a == kmv_distinct_estimate_value(sa)
+        assert est_b == kmv_distinct_estimate_value(sb)
+        r = kmv_intersection_estimate(sa, sb).collect()[0]
+        assert jac == r.jaccard_est
+        assert inter == r.intersection_est
+    # empty-sketch degenerate case
+    assert kmv_estimates_from_values([], []) == (0.0, 0.0, 0.0, 0.0)
