@@ -64,19 +64,22 @@ def kcore(edges: DataFrame, k: int, max_rounds: int = 60) -> DataFrame:
         eager=True, storageLevel=StorageLevel.DISK_ONLY
     )
     for _ in range(max_rounds):
-        deg = _degrees(cur)
-        bad = deg.where(F.col("deg") < k).select("node").localCheckpoint(
-            eager=True
-        )
+        # r11: pin DEG (node-sized, the per-round hot frame) instead of
+        # the filtered bad list — bad becomes a free filter-scan of the
+        # pin for its three consumers, the converged round returns the
+        # pinned frame without re-running the degree aggregate, and the
+        # two anti-joins broadcast the IDENTICAL bad subtree (join
+        # conditions on the original column instead of renamed copies),
+        # so ReuseExchange collapses the two per-round broadcast builds
+        # into one.
+        deg = _degrees(cur).localCheckpoint(eager=True)
+        bad = deg.where(F.col("deg") < k).select("node")
         if bad.limit(1).count() == 0:
             return deg
-        cur = (
-            cur.join(
-                bad.withColumnRenamed("node", "src"), "src", "left_anti"
-            )
-            .join(bad.withColumnRenamed("node", "dst"), "dst", "left_anti")
-            .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
-        )
+        kept = cur.join(bad, cur["src"] == bad["node"], "left_anti")
+        cur = kept.join(
+            bad, kept["dst"] == bad["node"], "left_anti"
+        ).localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     raise RuntimeError(
         f"k-core peeling did not converge within {max_rounds} rounds"
     )

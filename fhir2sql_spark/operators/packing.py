@@ -128,8 +128,57 @@ def pack_greedy(
     return sized.groupBy("lang").applyInPandas(fn, PACKED_SCHEMA)
 
 
+def _ranged_by(df: DataFrame, order_exprs: list, n_parts: int | None):
+    """Range-repartition for the rank / prefix-sum family, returning
+    (ranged_df_with___pid, pid_bound).
+
+    r11: the default is SCALE-ADAPTIVE — a number-free
+    repartitionByRange targets ``spark.sql.shuffle.partitions`` and
+    AQE coalesces it down by advisory bytes (guide §2: partitions
+    sized by data, not a constant — at sf0.1 the rank frames coalesce
+    to 1-2 partitions and the 32-task stage fans collapse; at 100 TB
+    the same call fans out to the full shuffle width). The offsets
+    explode bound is the session's shuffle.partitions value: AQE
+    coalescing can only REDUCE the partition count below that target
+    (probed: coalesce-off lands exactly at shuffle.partitions;
+    initialPartitionNum does not apply to user repartitions), so
+    every possible __pid is covered. If the session carries a
+    non-integer value (e.g. a vendor "auto"), fall back to the old
+    explicit-32 form — correctness never depends on the conf parse.
+    Output ranks/sums are partition-count-invariant: callers order by
+    total orders and sum integers."""
+    if n_parts is None:
+        try:
+            bound = int(
+                df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+            )
+        except (TypeError, ValueError):
+            bound = 32
+            return (
+                df.repartitionByRange(bound, *order_exprs).withColumn(
+                    "__pid", F.spark_partition_id()
+                ),
+                bound,
+            )
+        return (
+            df.repartitionByRange(*order_exprs).withColumn(
+                "__pid", F.spark_partition_id()
+            ),
+            bound,
+        )
+    return (
+        df.repartitionByRange(n_parts, *order_exprs).withColumn(
+            "__pid", F.spark_partition_id()
+        ),
+        n_parts,
+    )
+
+
 def distributed_rank(
-    df: DataFrame, order_exprs: list, n_parts: int = 32, out_col: str = "rnk"
+    df: DataFrame,
+    order_exprs: list,
+    n_parts: int | None = None,
+    out_col: str = "rnk",
 ) -> DataFrame:
     """0-based dense global rank without a single-task window.
 
@@ -138,11 +187,12 @@ def distributed_rank(
     form (same pattern as sync/pipeline.py's pk allocation):
     range-repartition on the sort key so partition i holds the i-th
     key range, rank within each partition (parallel windows), then add
-    per-partition offsets computed from the (tiny, n_parts-row) count
-    table. Output ranks are identical to the global window's."""
-    ranged = df.repartitionByRange(n_parts, *order_exprs).withColumn(
-        "__pid", F.spark_partition_id()
-    )
+    per-partition offsets computed from the (tiny, bound-row) count
+    table. Output ranks are identical to the global window's — and
+    identical for ANY partition count, because callers rank by total
+    orders (ties would already be nondeterministic under the fixed-32
+    form otherwise)."""
+    ranged, n_parts = _ranged_by(df, order_exprs, n_parts)
     counts = ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
     # Prefix offsets WITHOUT any window: each partition's count is
     # exploded to every LATER partition id (the sequence bound is
@@ -212,22 +262,23 @@ def distributed_prefix_sum(
     order_exprs: list,
     value_col: str | list[str],
     out_col: str | list[str] = "csum",
-    n_parts: int = 32,
+    n_parts: int | None = None,
 ) -> DataFrame:
     """Global inclusive running sum of each ``value_col`` in
     ``order_exprs`` order without a single-task window — the cumsum
     twin of distributed_rank above (same shape: range-repartition on
     the sort key, per-partition running sums in parallel, then add
-    offsets from the tiny n_parts-row per-partition total table).
-    Multiple value columns share the ONE repartition, offset table and
-    per-partition sort (a second call would pay all three again)."""
+    offsets from the tiny per-partition total table; n_parts=None is
+    the scale-adaptive default, see _ranged_by). Value columns are
+    INTEGER by contract (exact under any partitioning — a float sum
+    would drift with the partition count). Multiple value columns
+    share the ONE repartition, offset table and per-partition sort (a
+    second call would pay all three again)."""
     vals = [value_col] if isinstance(value_col, str) else list(value_col)
     outs = [out_col] if isinstance(out_col, str) else list(out_col)
     if len(vals) != len(outs):
         raise ValueError(f"{len(vals)} value cols vs {len(outs)} out cols")
-    ranged = df.repartitionByRange(n_parts, *order_exprs).withColumn(
-        "__pid", F.spark_partition_id()
-    )
+    ranged, n_parts = _ranged_by(df, order_exprs, n_parts)
     sums = ranged.groupBy("__pid").agg(
         *[F.sum(v).alias(f"__s{i}") for i, v in enumerate(vals)]
     )
