@@ -471,13 +471,14 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     round 2 can pick a pair CONTAINING round 1's merged symbol.
 
     Scale shape: the corpus collapses to its word-frequency VOCABULARY
-    once (the only corpus-sized shuffle); each round is then a
-    vocabulary-sized pair aggregate + a broadcast 1-row top-pair join
-    + one string replace — flat per round at any corpus size. The
-    vocabulary is localCheckpointed per round (each round's pair scan
-    and the next round's replace both read it; without the barrier
-    round 3 would re-run rounds 1-2's transformations per consumer —
-    the iterative-operator rule from pagerank/kcore).
+    once (the only corpus-sized shuffle, pinned); each round is then a
+    vocabulary-sized pair aggregate whose 1-row top is COLLECTED (the
+    round's training output — the bounded driver-materialization
+    class) and re-applied as a literal string replace, so the
+    vocabulary has exactly one consumer per round and the lineage is a
+    linear chain of replace projections over the single pin — no
+    per-round checkpoints, broadcasts, or joins; flat per round at
+    any corpus size.
 
     Engine-exactness: symbols are encoded ' s1  s2  ...  sn ' (double
     space between, single guard space at the ends) so the merge is a
@@ -495,68 +496,39 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wc = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
     v = wc.select(
-        F.concat(
-            F.lit(" "), F.array_join(F.split("w", ""), "  "), F.lit(" ")
-        ).alias("w"),
-        "cnt",
+        _bpe_sym_encode(F.col("w")).alias("w"), "cnt"
     ).localCheckpoint(eager=True)
-    tops = []
+    # r11: each round's 1-row top pair is COLLECTED (the bounded-
+    # driver-materialization class — it IS the round's training
+    # output) and re-applied as literal strings: the per-round top
+    # checkpoint, the crossJoin broadcast builds, and the per-round
+    # vocabulary re-checkpoints all disappear — with literal merges
+    # the vocabulary has ONE consumer per round (the next pair scan),
+    # so the lineage is a linear chain of vocabulary-sized replace
+    # projections over the single initial pin (no shuffle re-run).
+    # The final 3-row result is then a driver literal, identical
+    # values/schema to the old union of per-round frames.
+    rows = []
     for rnd in (1, 2, 3):
-        syms = F.split(F.trim(F.col("w")), "  ")
-        pairs = (
-            v.select(syms.alias("__s"), "cnt")
-            .where(F.size("__s") >= 2)
-            .select(
-                F.explode(
-                    F.arrays_zip(
-                        F.slice("__s", 1, F.size("__s") - 1),
-                        F.slice("__s", 2, F.size("__s") - 1),
-                    )
-                ).alias("__p"),
+        top = _bpe_top_pair(v).collect()
+        if not top:  # no mergeable pair left — later rounds are empty
+            break
+        a, b, freq = top[0]["a"], top[0]["b"], int(top[0]["pair_freq"])
+        rows.append((rnd, a, b, a + b, freq))
+        if rnd < 3:
+            v = v.select(
+                F.replace(
+                    F.col("w"),
+                    F.lit(f" {a}  {b} "),
+                    F.lit(f" {a}{b} "),
+                ).alias("w"),
                 "cnt",
             )
-            .select(
-                F.col("__p.0").alias("a"), F.col("__p.1").alias("b"), "cnt"
-            )
-        )
-        top = (
-            pairs.groupBy("a", "b")
-            .agg(F.sum("cnt").cast("long").alias("pair_freq"))
-            .orderBy(F.desc("pair_freq"), "a", "b")
-            .limit(1)
-            .localCheckpoint(eager=True)
-        )
-        tops.append(
-            top.select(
-                F.lit(rnd).alias("rnd"),
-                F.col("a").alias("left_sym"),
-                F.col("b").alias("right_sym"),
-                F.concat("a", "b").alias("merged"),
-                "pair_freq",
-            )
-        )
-        if rnd < 3:
-            v = (
-                v.crossJoin(F.broadcast(top))
-                .select(
-                    F.replace(
-                        F.col("w"),
-                        F.concat(
-                            F.lit(" "),
-                            F.col("a"),
-                            F.lit("  "),
-                            F.col("b"),
-                            F.lit(" "),
-                        ),
-                        F.concat(
-                            F.lit(" "), F.col("a"), F.col("b"), F.lit(" ")
-                        ),
-                    ).alias("w"),
-                    "cnt",
-                )
-                .localCheckpoint(eager=True)
-            )
-    return tops[0].unionByName(tops[1]).unionByName(tops[2])
+    return spark.createDataFrame(
+        rows,
+        "rnd int, left_sym string, right_sym string, merged string, "
+        "pair_freq long",
+    )
 
 
 @query(
@@ -693,17 +665,6 @@ def _bpe_top_pair(v: DataFrame) -> DataFrame:
     )
 
 
-def _bpe_apply_merge(col: Column) -> Column:
-    """Apply the broadcast top pair (columns a, b in scope from the
-    crossJoin) to one encoded string: boundary-safe replace with
-    re-emitted guard spaces (consecutive merges still fire)."""
-    return F.replace(
-        col,
-        F.concat(F.lit(" "), F.col("a"), F.lit("  "), F.col("b"), F.lit(" ")),
-        F.concat(F.lit(" "), F.col("a"), F.col("b"), F.lit(" ")),
-    )
-
-
 def _bpe_encode_map(docs: DataFrame) -> DataFrame:
     """Distinct-word -> trained-BPE pieces lookup table: train the
     three q_bpe_merges rounds on the word-frequency vocabulary (the
@@ -725,18 +686,25 @@ def _bpe_encode_map(docs: DataFrame) -> DataFrame:
         .distinct()
         .select("w", _bpe_sym_encode(F.col("w")).alias("e"))
     )
+    # r11: the 1-row top pair is COLLECTED per round and re-applied as
+    # literal replaces (see q_bpe_merges) — the encode map becomes one
+    # projection chain with no joins/broadcasts, and the vocabulary
+    # needs no per-round checkpoints (single consumer per round over
+    # the initial pin). An exhausted pair table mirrors the old
+    # crossJoin-with-empty semantics: the encode map empties (and the
+    # oracle's ``FROM e_k, t_k`` does the same).
     for rnd in (1, 2, 3):
-        top = _bpe_top_pair(v).localCheckpoint(eager=True)
-        emap = emap.crossJoin(F.broadcast(top)).select(
-            "w", _bpe_apply_merge(F.col("e")).alias("e")
-        )
+        top = _bpe_top_pair(v).collect()
+        if not top:
+            return emap.where(F.lit(False)).select(
+                "w", F.lit("").alias("pw"), F.lit(0).alias("np")
+            )
+        a, b = top[0]["a"], top[0]["b"]
+        merge = (F.lit(f" {a}  {b} "), F.lit(f" {a}{b} "))
+        emap = emap.select("w", F.replace(F.col("e"), *merge).alias("e"))
         if rnd < 3:
-            # the vocabulary feeds BOTH the next round's pair scan and
-            # its replace — checkpoint per round (the iterative rule)
-            v = (
-                v.crossJoin(F.broadcast(top))
-                .select(_bpe_apply_merge(F.col("w")).alias("w"), "cnt")
-                .localCheckpoint(eager=True)
+            v = v.select(
+                F.replace(F.col("w"), *merge).alias("w"), "cnt"
             )
     syms = F.split(F.trim(F.col("e")), "  ")
     return emap.select(
