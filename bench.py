@@ -109,6 +109,43 @@ def duckdb_headline(sf_dir: str) -> dict[str, float]:
         con.close()
 
 
+#: Mid-suite probe cadence (VERDICT r11 #3): the whole-run host factor
+#: cannot absorb WITHIN-run load spikes (r11: one contended window made
+#: 65 untouched queries read as raw regressions). Probing the pinned
+#: DuckDB set every N queries brackets each query between two factor
+#: measurements; ``norm_queries`` interpolates between them. The probe
+#: itself is ~0.5 s and runs BETWEEN timed regions — per-query timings
+#: and the suite ``value`` are computed exactly as before (additive
+#: change only).
+PROBE_EVERY = 24
+
+
+def _probe_factor(pinned_sum: float) -> float | None:
+    """One guarded DuckDB oracle measurement -> host factor now."""
+    try:
+        vals = duckdb_headline(DUCKDB_PINNED_DIR)
+    except Exception:  # noqa: BLE001 — bench must still emit
+        return None
+    if not vals:
+        return None
+    return round(sum(vals.values()) / pinned_sum, 3)
+
+
+def _interp_factor(x: float, pts: list) -> float | None:
+    """Piecewise-linear host factor at suite position ``x`` from the
+    (position, factor) probe points; clamps outside the probed range."""
+    if not pts:
+        return None
+    if x <= pts[0][0]:
+        return pts[0][1]
+    if x >= pts[-1][0]:
+        return pts[-1][1]
+    for (x0, y0), (x1, y1) in zip(pts, pts[1:]):
+        if x0 <= x <= x1:
+            return y0 + (y1 - y0) * (x - x0) / (x1 - x0)
+    return pts[-1][1]
+
+
 def host_stamp(sf_dir: str) -> dict:
     """Host-state snapshot recorded with every run. ``scan_mb_s`` is a
     page-cache warmth proxy: buffered re-read throughput of the
@@ -171,8 +208,19 @@ def main() -> None:
     # warmup: prime codegen/JIT on a trivial plan (not timed)
     registry.QUERIES["q_scan_count"](spark, sf_dir).collect()
 
+    pinned_sum = sum(DUCKDB_PINNED_S.values())
+    # (suite position, host factor) probe points bracketing every
+    # query (VERDICT r11 #3). Probes run BETWEEN timed regions; the
+    # per-query timings and the suite total are untouched.
+    probe_pts: list = []
+    if ddb_before:
+        probe_pts.append(
+            (0.0, round(sum(ddb_before.values()) / pinned_sum, 3))
+        )
+
+    names = sorted(registry.QUERIES)
     timings: dict[str, float] = {}
-    for name in sorted(registry.QUERIES):
+    for qi, name in enumerate(names):
         fn = registry.QUERIES[name]
         best = float("inf")
         for _ in range(2):
@@ -180,6 +228,10 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
+        if (qi + 1) % PROBE_EVERY == 0 and qi + 1 < len(names):
+            f = _probe_factor(pinned_sum)
+            if f:
+                probe_pts.append((float(qi + 1), f))
 
     total = round(sum(timings.values()), 3)
 
@@ -191,11 +243,23 @@ def main() -> None:
     # pinned 2026-08-13 sum. 1.0 = the host the constants were
     # measured on; >1 = this run's host is that much slower, and the
     # gate reads suite_wall / host_factor (BASELINE.md §C, round 10).
-    pinned_sum = sum(DUCKDB_PINNED_S.values())
     sums = [sum(d.values()) for d in (ddb_before, ddb_after) if d]
     host_factor = (
         round(sum(sums) / len(sums) / pinned_sum, 3) if sums else None
     )
+    if ddb_after:
+        probe_pts.append(
+            (float(len(names)), round(sum(ddb_after.values()) / pinned_sum, 3))
+        )
+    # per-query normalized seconds (VERDICT r11 #3): each query's raw
+    # time divided by the host factor interpolated at its suite
+    # position, so a load spike hitting one window of the run no
+    # longer reads as a plan regression in that window's queries.
+    norm_queries = {}
+    for qi, name in enumerate(names):
+        f = _interp_factor(qi + 0.5, probe_pts)
+        if f:
+            norm_queries[name] = round(timings[name] / f, 3)
 
     full = {
         "metric": "suite_wall_seconds",
@@ -211,6 +275,14 @@ def main() -> None:
             "pinned": DUCKDB_PINNED_S,
         },
         "host_factor": host_factor,
+        # r12 additions (VERDICT r11 #3) — nothing above changed:
+        "probe_factors": [
+            {"after_n": int(x), "factor": f} for x, f in probe_pts
+        ],
+        "norm_queries": norm_queries,
+        "norm_total": (
+            round(sum(norm_queries.values()), 3) if norm_queries else None
+        ),
     }
     # Full per-query detail goes to repo files; the stdout JSON line
     # must stay under the driver's 2000-char tail capture (round 1:

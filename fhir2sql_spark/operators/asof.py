@@ -118,10 +118,23 @@ def asof_join_sorted(
     tie_break: str,
     direction: str = "backward",
     tolerance: str | None = None,
+    how: str = "inner",
 ) -> DataFrame:
     """As-of join, merge-sorted form (same contract as ``asof_join``,
     including ``tolerance`` — here enforced as a post-filter on the
     carried match's timestamp, preserving the one-shuffle plan).
+
+    ``how="left"`` keeps every left row, with NULL right columns when
+    no eligible match exists (out-of-tolerance carries are NULLIFIED
+    rather than filtered). r12: this exists so a caller needing the
+    unmatched probes (q_attribution's 'organic' bucket) reads them off
+    the SAME single pass instead of re-deriving the whole pipeline
+    under a left-anti join — matched and unmatched rows are by
+    construction a partition of the left side. NULL-key LEFT rows are
+    kept in left mode (they can never match — the semantics the inner
+    flavor implements by filtering them — so they surface with NULL
+    right columns via the window's NULL partition; NULL-key RIGHT rows
+    stay filtered, so that partition carries nothing).
 
     Union both sides tagged by role, sort each key's rows by (ts,
     side, tie), and carry the last-seen right row forward with
@@ -137,7 +150,12 @@ def asof_join_sorted(
     time is eligible (<=); right rows at equal ts are ordered by
     ``tie_break`` ascending so the carried last = largest tie-break.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    null_left = left.where(F.col(on).isNull()) if how == "left" else None
     left, right = _check_asof_contract(left, right, on)
+    if null_left is not None:
+        left = left.unionByName(null_left)
     lcols = left.columns
     rcols = right.columns
     payload = F.struct(*[F.col(c) for c in rcols if c != on])
@@ -185,15 +203,25 @@ def asof_join_sorted(
     merged = (
         r_tagged.unionByName(l_tagged)
         .withColumn("__carried", carried)
-        .where((F.col("__side") == 1) & F.col("__carried").isNotNull())
+        .where(F.col("__side") == 1)
     )
+    if how == "inner":
+        merged = merged.where(F.col("__carried").isNotNull())
     if tolerance is not None:
         tol = _tolerance_interval(tolerance)
         match_ts = F.col(f"__carried.{right_ts}")
-        if direction == "backward":
-            merged = merged.where(match_ts >= F.col(left_ts) - tol)
+        in_tol = (
+            match_ts >= F.col(left_ts) - tol
+            if direction == "backward"
+            else match_ts <= F.col(left_ts) + tol
+        )
+        if how == "inner":
+            merged = merged.where(in_tol)
         else:
-            merged = merged.where(match_ts <= F.col(left_ts) + tol)
+            merged = merged.withColumn(
+                "__carried",
+                F.when(in_tol, F.col("__carried")),
+            )
     out_cols = [F.col(c) for c in lcols] + [
         F.col(f"__carried.{c}").alias(c) for c in rcols if c != on
     ]

@@ -91,12 +91,16 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator's backward tie rule); purchases with no eligible touch
     fall to 'organic'.
 
-    Plan shape: ONE merge-sorted as-of join (operators/asof.py
-    asof_join_sorted — single shuffle on user_id, |purchases| +
-    |touches| intermediate, no candidate blow-up), then a left-anti
-    recovery of unmatched purchases for the organic bucket and a tiny
-    per-channel aggregate. Revenue sums stay exact decimal until the
-    final double cast (util.py rules)."""
+    Plan shape (r12): ONE LEFT-OUTER merge-sorted as-of join
+    (operators/asof.py asof_join_sorted how="left" — single shuffle on
+    user_id, |purchases| + |touches| intermediate, no candidate
+    blow-up); unmatched purchases read their 'organic' bucket off the
+    SAME pass via coalesce. The r11 form re-derived the whole as-of
+    pipeline a second time under a left-anti join to recover the
+    organic rows (two full event scans + three extra exchanges —
+    guide §2.4); matched/unmatched partition the purchase set by
+    construction, so the left flavor is result-identical. Revenue sums
+    stay exact decimal until the final double cast (util.py rules)."""
     e = load(spark, sf_dir, "events")
     purchases = e.where(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts", dec("value", 2).alias("v")
@@ -109,7 +113,7 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("channel"),
         F.col("event_id").alias("touch_id"),
     )
-    matched = asof_join_sorted(
+    att = asof_join_sorted(
         purchases,
         touches,
         on="user_id",
@@ -119,15 +123,11 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         tie_break="touch_id",
         direction="backward",
         tolerance="3 days",
-    ).select("event_id", "v", "channel")
-    organic = purchases.join(
-        matched.select("event_id"), "event_id", "left_anti"
-    ).select("event_id", "v", F.lit("organic").alias("channel"))
-    return (
-        matched.unionByName(organic)
-        .groupBy("channel")
-        .agg(
-            F.count(F.lit(1)).alias("n_purchases"),
-            F.sum("v").cast("double").alias("revenue"),
-        )
+        how="left",
+    ).select(
+        "v", F.coalesce("channel", F.lit("organic")).alias("channel")
+    )
+    return att.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum("v").cast("double").alias("revenue"),
     )

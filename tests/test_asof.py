@@ -60,6 +60,48 @@ def test_asof_forms_agree_on_edge_cases(spark):
     assert by_probe == {1: 101, 2: 100, 4: 201}  # probe 3 dropped
 
 
+def test_asof_left_flavor_partitions_probes(spark):
+    """r12 how="left": every left row survives exactly once — matched
+    rows equal the inner flavor, unmatched (incl. out-of-tolerance and
+    NULL-key) rows carry NULL right columns. The left flavor must be
+    the inner flavor plus exactly the anti-join complement, which is
+    what lets q_attribution drop its second as-of derivation."""
+    probes = spark.createDataFrame(
+        [
+            (1, 7, "2024-01-01 10:00:00"),   # match at probe ts
+            (2, 7, "2024-01-01 09:59:59"),   # strictly-before match
+            (3, 7, "2024-01-01 00:00:00"),   # no eligible event
+            (4, 8, "2024-01-01 12:00:00"),   # tie -> max event_id
+            (5, 7, "2024-01-03 10:00:00"),   # match exists but stale
+            (6, None, "2024-01-01 10:00:00"),  # NULL key never matches
+        ],
+        "probe_id long, user_id long, probe_ts string",
+    ).withColumn("probe_ts", F.col("probe_ts").cast("timestamp"))
+    events = spark.createDataFrame(
+        [
+            (100, 7, "2024-01-01 09:00:00"),
+            (101, 7, "2024-01-01 10:00:00"),
+            (200, 8, "2024-01-01 11:00:00"),
+            (201, 8, "2024-01-01 11:00:00"),
+        ],
+        "event_id long, user_id long, event_ts string",
+    ).withColumn("event_ts", F.col("event_ts").cast("timestamp"))
+
+    kw = dict(_KW, tolerance="12 hours")
+    inner = {
+        r["probe_id"]: r["event_id"]
+        for r in asof_join_sorted(probes, events, **kw).collect()
+    }
+    left = {
+        r["probe_id"]: r["event_id"]
+        for r in asof_join_sorted(probes, events, how="left", **kw).collect()
+    }
+    assert inner == {1: 101, 2: 100, 4: 201}
+    assert left == {1: 101, 2: 100, 3: None, 4: 201, 5: None, 6: None}
+    with pytest.raises(ValueError):
+        asof_join_sorted(probes, events, how="outer", **_KW)
+
+
 def test_asof_forms_agree_on_fixture(spark, sf_dir):
     o = load(spark, sf_dir, "orders")
     e = load(spark, sf_dir, "events")

@@ -194,6 +194,43 @@ class TestDistributedRank:
         keys = [(-r.v, r.id) for r in rows]
         assert keys == sorted(keys)
 
+    def test_rank_correct_when_aqe_keeps_many_partitions(self, spark):
+        """ADVICE r11 high regression: the number-free
+        repartitionByRange plans at coalescePartitions.
+        initialPartitionNum (512 in session.py), and with a tiny
+        advisory size AQE does NOT coalesce below the old static
+        offset bound (32) — the r11 explode form silently returned
+        wrong ranks for every row past partition 31. Force that
+        planning regime and assert dense correct ranks."""
+        from pyspark.sql import functions as SF
+
+        conf = spark.conf
+        knobs = (
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        )
+        prev = {k: conf.get(k, None) for k in knobs}
+        for k in knobs:
+            conf.set(k, "64b")
+        try:
+            df = spark.createDataFrame(
+                [(i, (i * 7919) % 5000) for i in range(5000)],
+                "id long, v long",
+            )
+            ranked = packing.distributed_rank(
+                df, [SF.desc("v"), SF.asc("id")]
+            )
+            rows = sorted(ranked.collect(), key=lambda r: r.rnk)
+            assert [r.rnk for r in rows] == list(range(5000))
+            keys = [(-r.v, r.id) for r in rows]
+            assert keys == sorted(keys)
+        finally:
+            for k in knobs:
+                if prev[k] is None:
+                    conf.unset(k)
+                else:
+                    conf.set(k, prev[k])
+
 
 def test_redact_is_idempotent(spark):
     """Redaction tags must not themselves match any PII pattern —
