@@ -429,26 +429,60 @@ def cosine_near_pairs_bucketed_bulk(
 
     Duplicate candidate pairs across tables are collapsed with one
     dropDuplicates on (id_a, id_b); cosines are recomputed identically
-    in every table, so the dedup is exact."""
+    in every table, so the dedup is exact.
+
+    r12 (guide §4.1/§4.2): signatures for ALL tables come from ONE
+    ``mapInPandas`` batch matmul against the stacked (tables x planes
+    x dim) literal instead of n_tables x n_planes interpreted
+    ``aggregate``/``zip_with`` dot folds per vector (HOF lambdas never
+    codegen and re-enter the interpreter per ELEMENT — 2 x 8 x 64 =
+    1024 dispatches/vector at the q_dedup_embed_bucketed settings),
+    and the n_tables-way union of the corpus collapses to one pass.
+    Sign bits may differ from the fold's in the last ulp of a
+    near-zero dot product, which only perturbs CANDIDATE grouping —
+    emitted pairs are decided by the exact per-bucket cosine
+    threshold, identical vectors share every bucket under any
+    deterministic arithmetic, and the operator's recall contract is
+    the OR-amplification bound, not a pinned bucket assignment. (The
+    ann_topk_lsh path, whose oracle REPLAYS bucket arithmetic in SQL,
+    keeps the fold form in lsh_bucket_signatures untouched.)"""
     import numpy as np
     import pandas as pd
 
-    sigs = []
-    for t in range(n_tables):
-        sig = lsh_bucket_signatures(
-            vectors, dim, n_planes, seed + 7919 * t, id_col, vec_col
-        )
-        sigs.append(
-            sig.select(
-                F.lit(t).alias("tbl"),
-                F.col("bucket"),
-                F.col(id_col).alias("vid"),
-                F.col(vec_col).alias("vec"),
-            )
-        )
-    allsigs = sigs[0]
-    for s in sigs[1:]:
-        allsigs = allsigs.unionByName(s)
+    planes_all = np.array(
+        [
+            _hyperplanes(dim, n_planes, seed + 7919 * t)
+            for t in range(n_tables)
+        ],
+        dtype=np.float64,
+    )  # (n_tables, n_planes, dim)
+
+    def sig_batches(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            ids = pdf[id_col]
+            for t in range(n_tables):
+                bits = (mat @ planes_all[t].T) >= 0.0  # (n, n_planes)
+                buckets = [
+                    "".join("1" if b else "0" for b in row) for row in bits
+                ]
+                yield pd.DataFrame(
+                    {
+                        "tbl": np.full(len(ids), t, dtype=np.int32),
+                        "bucket": buckets,
+                        "vid": ids,
+                        "vec": pdf[vec_col],
+                    }
+                )
+
+    allsigs = vectors.select(
+        F.col(id_col), F.col(vec_col)
+    ).mapInPandas(
+        sig_batches,
+        f"tbl int, bucket string, vid long, vec {vectors.schema[vec_col].dataType.simpleString()}",
+    )
 
     def per_bucket(pdf: "pd.DataFrame") -> "pd.DataFrame":
         ids = pdf["vid"].to_numpy().astype(np.int64)

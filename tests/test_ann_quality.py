@@ -20,6 +20,10 @@ from pyspark.sql import functions as F
 
 from tools.ann_quality import ann_quality, planted_embeddings
 
+# whole module rides the slow lane: the planted-corpus session fixture
+# alone is ~54 s (trained IVF build)
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def planted_rows(spark):

@@ -119,6 +119,7 @@ def test_asof_forms_agree_on_fixture(spark, sf_dir):
     assert a == b and len(a) > 0
 
 
+@pytest.mark.slow
 def test_asof_forms_agree_random(spark):
     from hypothesis import HealthCheck, given, settings
     from hypothesis import strategies as st
@@ -185,6 +186,7 @@ def test_asof_contract_null_keys_and_overlap(spark):
         asof_join_sorted(left, clash, "k", "lts", "lts", "probe_id", "rid")
 
 
+@pytest.mark.slow
 def test_asof_forward_forms_agree_random(spark):
     """direction='forward': candidate and merge-sorted forms agree,
     including equal-ts eligibility (>=) and min-tie-break selection."""

@@ -102,6 +102,7 @@ def _run(spark, tmp_path, sqlite_db):
     assert _mirror_versions(sqlite_db) == {"p0": 2, "p3": 1}
 
 
+@pytest.mark.slow
 def test_kill_and_restart_resumes_from_checkpoint(spark, tmp_path, sqlite_db):
     """VERDICT r2 item 7 — exactly-once evidence: crash a micro-batch
     MID-WRITE (executor-side connect failures after some partitions

@@ -6,6 +6,8 @@ integer form of the decision predicates."""
 
 from __future__ import annotations
 
+import pytest
+
 import numpy as np
 from pyspark.sql import functions as F
 
@@ -76,6 +78,7 @@ def test_skew_profile_invariants(spark, sf_dir):
         assert abs(r["share"] - r["cnt"] / total) < 1e-6
 
 
+@pytest.mark.slow
 def test_codebook_drift_conserves_counts(spark, sf_dir):
     out = registry.QUERIES["q_diag_codebook_drift"](spark, sf_dir).collect()
     assert len(out) == 16  # one row per codebook cell, empty cells kept

@@ -3,6 +3,8 @@ properties, multimodal plumbing (SURVEY §7 M6)."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from fhir2sql_spark.operators import dedup, multimodal, similarity
@@ -128,6 +130,7 @@ def test_minhash_signature_deterministic(spark, sf_dir):
     }
 
 
+@pytest.mark.slow
 def test_simhash_near_duplicates_close(spark):
     rows = [
         (1, "the quick brown fox jumps over the lazy dog again and again", "en"),
@@ -417,6 +420,7 @@ def test_resize_images_contract(spark):
     assert {r["blob_id"]: bytes(r["content"]) for r in resized} == again
 
 
+@pytest.mark.slow
 def test_connected_components_matches_union_find(spark):
     from hypothesis import HealthCheck, given, settings
     from hypothesis import strategies as st

@@ -48,6 +48,7 @@ def _src(spark, resources):
     )
 
 
+@pytest.mark.slow
 def test_merge_strategy_full_cdc_on_duckdb(spark, duck_db):
     """update+insert+delete staged and applied set-based on a
     PG-grammar engine; mirror converges to the source snapshot."""

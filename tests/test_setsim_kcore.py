@@ -45,6 +45,7 @@ def test_setsim_equals_inverted_index_fixed(spark):
     assert (0, 1) in got  # 4/6 >= 1/2
 
 
+@pytest.mark.slow
 def test_setsim_property_random_corpora(spark):
     """Hypothesis: prefix-filtered output == inverted-index output
     for random word-soup docs across thresholds."""

@@ -3,6 +3,8 @@ verified against the batch ground truth."""
 
 from __future__ import annotations
 
+import pytest
+
 from datetime import datetime, timedelta
 
 from pyspark.sql import functions as F
@@ -140,6 +142,7 @@ def test_timed_out_state_is_removed():
     assert state.removed
 
 
+@pytest.mark.slow
 def test_stream_drains_with_idle_timeout_enabled(spark, tmp_path):
     """ProcessingTimeTimeout integration path: the query plans and
     drains a batch with the timeout conf active."""

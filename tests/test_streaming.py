@@ -53,6 +53,7 @@ def _rows(df: DataFrame) -> set[tuple]:
     return {tuple(r) for r in df.collect()}
 
 
+@pytest.mark.slow
 def test_tumble_stream_equals_batch(spark, sf_dir, events_dir):
     batch = _tumble(
         load(spark, sf_dir, "events").select(
@@ -270,6 +271,7 @@ def test_stream_join_equals_batch(spark, sf_dir, events_dir):
     assert _rows(stream) == _rows(batch)
 
 
+@pytest.mark.slow
 def test_stream_join_outer_emits_nulls_after_watermark(spark, tmp_path):
     """Left-outer stream-stream join: a view with no click inside its
     hour must surface with a NULL click_id — but only once the

@@ -132,6 +132,7 @@ def test_malformed_resources_skipped_not_fatal(spark, sqlite_db):
     assert stats.counts_match
 
 
+@pytest.mark.slow
 def test_run_sync_multi_type_bootstrap(spark, sqlite_db):
     srcs = {
         rtype: spark.createDataFrame(
@@ -150,6 +151,7 @@ def test_run_sync_multi_type_bootstrap(spark, sqlite_db):
     assert jdbc_upsert.table_exists(sqlite_db, "observation")
 
 
+@pytest.mark.slow
 def test_run_sync_parallel_equals_sequential(spark, sqlite_db):
     """parallel=True (one concurrent Spark job per resource type) must
     converge every mirror to the same state the sequential loop does,
@@ -402,6 +404,7 @@ def test_run_sync_accepts_mirror_by_type(spark, sqlite_db):
     assert all(s.counts_match for s in stats.values())
 
 
+@pytest.mark.slow
 def test_parallel_sync_no_cross_talk_and_stable_pks(spark, sqlite_db):
     """Concurrent writers sharing ONE target DB (run_sync parallel=True,
     4 types x 40 rows): each type's table must hold exactly its own
@@ -457,6 +460,7 @@ def test_parallel_sync_no_cross_talk_and_stable_pks(spark, sqlite_db):
     assert _pk_maps() == first
 
 
+@pytest.mark.slow
 def test_merge_failure_rolls_back_and_replay_converges(spark, sqlite_db):
     """Mid-merge failure + replay (merge strategy): a crash on the
     LAST statement of the set-based transaction must leave the target

@@ -4,6 +4,8 @@ stated in the reference's doc comment (src/main.rs:159-175)."""
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -46,6 +48,7 @@ def _tags(spark, src, mir) -> dict[int, str]:
     }
 
 
+@pytest.mark.slow
 @_SETTINGS
 @given(src=snapshot, mir=snapshot)
 def test_tags_partition_key_universe(spark, src, mir):
