@@ -917,7 +917,7 @@ def greedy_segment_cuts(
 ) -> DataFrame:
     """Deterministic leftmost-longest subword segmentation of every
     distinct word against a bounded piece vocabulary — the WordPiece
-    inference rule — fully JVM-side via pointer doubling.
+    inference rule — one map-only Arrow pass (r12).
 
     ``words``: one row per DISTINCT word (column ``w``, non-empty) —
     vocabulary-sized by contract (the caller collapses the corpus to
@@ -927,94 +927,72 @@ def greedy_segment_cuts(
     fallback alphabet.
 
     Segmentation is a sequential chain per word (each cut determines
-    the next), which a naive rendering would follow with len(w)
-    dependent joins. The distributed form used here:
+    the next) — but the chain is WORD-LOCAL: no cut ever looks across
+    words, and the piece vocabulary is bounded (<= 256 candidates by
+    caller contract). r12 (guide §2.4 + §4.2): the r8-r11 rendering
+    distributed this as a step table + ceil(log2(maxlen)) rounds of
+    pointer-doubling equi-joins with an eager localCheckpoint per
+    round — ~40 scheduler jobs per query for work that is
+    embarrassingly parallel per word. It is now ONE map-only Arrow
+    pass: the bounded piece set collects to the driver (the
+    _seed_codebook budget class), each task walks its words with a
+    set-lookup loop, and NOTHING shuffles — which is also the better
+    100 TB shape (the doubling's per-round exchanges grew with the
+    vocabulary; this pass is pure map over it).
 
-      1. ``step`` table: for every (w, i) the longest vocab piece
-         starting at i (broadcast join against the bounded piece set,
-         max-length per position), falling back to 1 char — one row
-         per character of the distinct-word vocabulary.
-      2. Pointer doubling over ``step``: J_{2k} = J_k composed with
-         itself (tropical-free — plain reachability); the cut set is
-         the positions reachable from 1, grown in ceil(log2(maxlen))
-         rounds of small equi-joins instead of maxlen sequential ones
-         (the distributed_rank / prefix-sum family trick).
-
-    Every join is (w, i)-keyed and vocabulary-chars-sized; per-round
-    frames are localCheckpointed because each feeds two consumers
-    (the round-8 double-reference lesson). Returns (w, i, piece,
-    plen): one row per cut, piece = the consumed substring.
-
-    Determinism: leftmost-longest has a unique answer — no float, no
-    tie-break — so a SQL oracle can replay it exactly with a
-    precomputed step table and a recursive chain-follow CTE.
+    Returns (w, i, piece, plen): one row per cut, piece = the
+    consumed substring. Determinism: leftmost-longest has a unique
+    answer — no float, no tie-break — so a SQL oracle can replay it
+    exactly with a precomputed step table and a recursive
+    chain-follow CTE; Python str slicing and Spark substr both index
+    code points, so the emitted pieces are byte-identical.
     """
-    import math
+    import pandas as pd
 
-    pos = _word_positions(words)
-    matched = (
-        piece_matches(words, pieces, piece_lens)
-        .groupBy("w", "i")
-        .agg(F.max("L").alias("ml"))
-    )
-    step = pos.join(matched, ["w", "i"], "left").select(
-        "w",
-        "i",
-        (F.col("i") + F.coalesce(F.col("ml"), F.lit(1))).alias("j"),
-    )
-    # Totalize the jump relation with an end-sentinel self-loop so
-    # J composed with itself saturates instead of losing finished
-    # chains; referenced by both the reach join and the squaring.
-    jump = (
-        step.unionByName(
-            words.select(
-                "w",
-                (F.length("w") + 1).alias("i"),
-                (F.length("w") + 1).alias("j"),
+    plens = sorted({int(x) for x in piece_lens}, reverse=True)
+    pieceset = set()
+    for r in pieces.select("piece").collect():
+        p = r["piece"]
+        if len(p) not in plens:
+            # same loud guard piece_matches carries (ADVICE r10): a
+            # piece whose length is outside piece_lens could never be
+            # generated as a candidate substring
+            raise ValueError(
+                "greedy_segment_cuts: piece length outside piece_lens "
+                f"{tuple(plens)}: {p!r}"
             )
-        )
-        .localCheckpoint(eager=True)
-    )
-    n_max = words.agg(F.max(F.length("w"))).collect()[0][0] or 1
-    rounds = max(1, math.ceil(math.log2(n_max + 1)))
-    reach = words.select("w", F.lit(1).alias("i"))
-    jk = jump
-    for r in range(rounds):
-        reach = (
-            reach.unionByName(
-                reach.join(jk, ["w", "i"]).select(
-                    "w", F.col("j").alias("i")
-                )
+        pieceset.add(p)
+
+    def seg(it):
+        for pdf in it:
+            out_w, out_i, out_piece, out_plen = [], [], [], []
+            for w in pdf["w"]:
+                n = len(w)
+                i = 1
+                while i <= n:
+                    piece, plen = w[i - 1], 1
+                    for pl in plens:
+                        if i + pl - 1 <= n:
+                            cand = w[i - 1 : i - 1 + pl]
+                            if cand in pieceset:
+                                piece, plen = cand, pl
+                                break
+                    out_w.append(w)
+                    out_i.append(i)
+                    out_piece.append(piece)
+                    out_plen.append(plen)
+                    i += plen
+            yield pd.DataFrame(
+                {
+                    "w": pd.Series(out_w, dtype="object"),
+                    "i": pd.Series(out_i, dtype="int32"),
+                    "piece": pd.Series(out_piece, dtype="object"),
+                    "plen": pd.Series(out_plen, dtype="int32"),
+                }
             )
-            .distinct()
-            .localCheckpoint(eager=True)
-        )
-        if r + 1 < rounds:
-            jk = (
-                jk.select("w", "i", F.col("j").alias("m"))
-                .join(
-                    jk.select("w", F.col("i").alias("m"), "j"),
-                    ["w", "m"],
-                )
-                .select("w", "i", "j")
-                .localCheckpoint(eager=True)
-            )
-    # r11: the final cut join reads the CHECKPOINTED jump table (step
-    # plus end-sentinel self-loops) instead of re-deriving step — the
-    # step subtree (position explode + piece match + max-length
-    # aggregate) otherwise runs a second time just for this join.
-    # Sentinel rows (i = j = len+1) are exactly the j > i filter away;
-    # every real step row has j = i + ml >= i + 1, so the row sets are
-    # identical.
-    return reach.join(jump, ["w", "i"]).where(F.col("j") > F.col("i")).select(
-        "w",
-        "i",
-        F.col("w")
-        .substr(
-            F.col("i").cast("int"), (F.col("j") - F.col("i")).cast("int")
-        )
-        .alias("piece"),
-        (F.col("j") - F.col("i")).alias("plen"),
+
+    return words.select("w").mapInPandas(
+        seg, "w string, i int, piece string, plen int"
     )
 
 
@@ -1025,7 +1003,7 @@ def viterbi_best_bits(
 ) -> DataFrame:
     """Viterbi-optimal segmentation score per distinct word: the MAX
     total piece weight over ALL segmentations (unigram-LM E-step at
-    score level), fully JVM-side via max-plus pointer doubling.
+    score level), as one map-only Arrow DP pass (r12).
 
     ``scored_pieces``: (piece, wgt) with integer weights — bit-
     quantized log counts in the unigram queries, so path sums are
@@ -1033,69 +1011,58 @@ def viterbi_best_bits(
     the max is unique even when multiple argmax paths tie — which is
     exactly why this emits the score, not a segmentation).
 
-    Construction: the word is a position lattice 1..len+1; matched
-    pieces are weighted forward edges, every position has a weight-0
-    single-char fallback edge, and every position a weight-0 self
-    loop. D_0 = that edge relation; squaring in the (max, +) tropical
-    semiring — join on the middle position + groupBy max — doubles
-    the covered path length per round, so the 1 → len+1 best path
-    lands in ceil(log2(maxlen)) rounds of (w, pos)-keyed joins
-    instead of a per-word sequential DP. Per-round frames are
-    localCheckpointed (each feeds both sides of its own squaring).
-
-    Size posture: D_k holds at most len²/2 (i ≤ j) pairs per word and
-    each squaring enumerates (i, m, j) triples — cubic in WORD length,
-    linear in vocabulary size. Whitespace words are length-bounded by
-    contract (fixture max 8); a corpus with pathological unbroken
-    tokens would swap in a blocked DP, trading rounds for width.
+    Construction: the word is a position lattice 0..len; matched
+    pieces are weighted forward edges and every position has a
+    weight-0 single-char fallback edge, so best[t] = max(best[t-1],
+    max over matching L of best[t-L] + wgt(piece)) — the textbook
+    forward DP. The lattice is WORD-LOCAL and the scored piece set is
+    bounded (<= 256 by caller contract), so r12 (guide §2.4 + §4.2)
+    runs the DP as ONE map-only Arrow pass against the collected
+    piece->weight dict — replacing the r8-r11 tropical pointer
+    doubling (ceil(log2(maxlen)) rounds of (w, pos)-keyed joins +
+    groupBy max + an eager localCheckpoint per round, ~20 scheduler
+    jobs for embarrassingly word-parallel work). Exactness is
+    unchanged: weights are integer BIGINTs, Python int sums are
+    exact, and only the unique max VALUE is emitted.
 
     Returns (w, vbits). The SQL oracle replays the same lattice with
     a list-state recursive CTE (the q_pack_sequences_bfd pattern):
     sequential in word length, identical integer algebra.
     """
-    import math
+    import pandas as pd
 
-    pos = _word_positions(words)
-    matched = piece_matches(words, pieces=scored_pieces, piece_lens=piece_lens)
-    edges = (
-        matched.join(F.broadcast(scored_pieces), "piece")
-        .select("w", "i", (F.col("i") + F.col("L")).alias("j"), "wgt")
-    )
-    fallback = pos.select(
-        "w", "i", (F.col("i") + 1).alias("j"), F.lit(0).cast("long").alias("wgt")
-    )
-    loops = (
-        pos.unionByName(
-            words.select("w", (F.length("w") + 1).alias("i"))
-        )
-        .select("w", "i", F.col("i").alias("j"), F.lit(0).cast("long").alias("wgt"))
-    )
-    d = (
-        edges.select("w", "i", "j", F.col("wgt").cast("long"))
-        .unionByName(fallback)
-        .unionByName(loops)
-        .groupBy("w", "i", "j")
-        .agg(F.max("wgt").alias("wgt"))
-        .localCheckpoint(eager=True)
-    )
-    n_max = words.agg(F.max(F.length("w"))).collect()[0][0] or 1
-    rounds = max(1, math.ceil(math.log2(n_max + 1)))
-    for _ in range(rounds):
-        d = (
-            d.select("w", "i", F.col("j").alias("m"), F.col("wgt").alias("w1"))
-            .join(
-                d.select("w", F.col("i").alias("m"), "j", F.col("wgt").alias("w2")),
-                ["w", "m"],
+    plens = sorted({int(x) for x in piece_lens})
+    wgt: dict = {}
+    for r in scored_pieces.select("piece", "wgt").collect():
+        p = r["piece"]
+        if len(p) not in plens:
+            raise ValueError(
+                "viterbi_best_bits: piece length outside piece_lens "
+                f"{tuple(plens)}: {p!r}"
             )
-            .groupBy("w", "i", "j")
-            .agg(F.max(F.col("w1") + F.col("w2")).alias("wgt"))
-            .localCheckpoint(eager=True)
-        )
-    return (
-        d.join(
-            words.select("w", (F.length("w") + 1).alias("__end")),
-            ["w"],
-        )
-        .where((F.col("i") == 1) & (F.col("j") == F.col("__end")))
-        .select("w", F.col("wgt").alias("vbits"))
-    )
+        wgt[p] = int(r["wgt"])
+
+    def vit(it):
+        for pdf in it:
+            ws, vb = [], []
+            for w in pdf["w"]:
+                n = len(w)
+                best = [0] * (n + 1)
+                for t in range(1, n + 1):
+                    b = best[t - 1]  # weight-0 single-char fallback
+                    for pl in plens:
+                        if pl <= t:
+                            g = wgt.get(w[t - pl : t])
+                            if g is not None and best[t - pl] + g > b:
+                                b = best[t - pl] + g
+                    best[t] = b
+                ws.append(w)
+                vb.append(best[n])
+            yield pd.DataFrame(
+                {
+                    "w": pd.Series(ws, dtype="object"),
+                    "vbits": pd.Series(vb, dtype="int64"),
+                }
+            )
+
+    return words.select("w").mapInPandas(vit, "w string, vbits long")
