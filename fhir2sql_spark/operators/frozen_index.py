@@ -172,6 +172,45 @@ def build_containment_posting_index(
     return _sid_postings(corpus_docs, n=n)
 
 
+def build_batch_prefix_index(
+    batch_docs: DataFrame,
+    stats: DataFrame,
+    threshold_num: int,
+    threshold_den: int,
+    n: int = 5,
+    positions: bool = False,
+) -> DataFrame:
+    """BATCH-side rarity prefixes derived at INGEST time, per shard,
+    for storing next to the corpus index (VERDICT r11 #6 / SURVEY
+    §8.4). The probe paths previously re-derived the whole batch's
+    prefixes per probe — at sf100 a ~430 M-row posting set through
+    the per-doc size/rank windows, the probe-only decade rows'
+    dominant stage. Those windows are DOC-LOCAL given the frozen
+    stats (``Window.partitionBy("doc_id")`` never crosses documents),
+    so deriving prefixes shard-by-shard as each ingest lands and
+    appending to one stored table is row-identical to the full-batch
+    derivation (tests/test_frozen_probe.py pins the union equality) —
+    the window cost is paid once per shard AT INGEST, and the probe
+    reads the stored prefixes with no window at all."""
+    return batch_prefixes(
+        batch_docs,
+        stats,
+        threshold_num,
+        threshold_den,
+        n,
+        checkpoint=False,
+        positions=positions,
+    )
+
+
+def build_batch_posting_index(batch_docs: DataFrame, n: int = 5) -> DataFrame:
+    """BATCH-side full postings (__sid, doc_id) for the containment
+    probe's within-batch candidate join — the same per-ingest-shard
+    posture as build_batch_prefix_index (the distinct is (doc, sid)-
+    local, so per-shard derivation unions to the full-batch form)."""
+    return _sid_postings(batch_docs, n=n)
+
+
 def build_minhash_band_index(corpus_docs: DataFrame) -> DataFrame:
     """Capped (band, bkey, doc_id) postings of the portable MinHash
     construction — the registered query's own band/cap code."""
@@ -191,12 +230,17 @@ def persist_index(
     path: str,
     bucket_cols: tuple[str, ...],
     buckets: int = 32,
+    mode: str = "overwrite",
 ) -> DataFrame:
     """Write an index bucketed+sorted by its probe join key and return
     the catalog-backed read — the layout under which the probe join
-    consumes the stored side with no exchange and no sort."""
+    consumes the stored side with no exchange and no sort.
+    ``mode="append"`` is the per-ingest-shard form: each shard's rows
+    land in the same bucketed table (bucket files accumulate per
+    append; Spark unions same-bucket files at read with the bucket
+    spec intact)."""
     (
-        df.write.mode("overwrite")
+        df.write.mode(mode)
         .bucketBy(buckets, *bucket_cols)
         .sortBy(*bucket_cols)
         .option("path", path)  # external: warehouse.dir is static
@@ -230,6 +274,71 @@ def setsim_probe(
     cand_corpus, cand_batch = _setsim_inc_candidates(bp, corpus_prefix)
     return _classify_new_batch(
         docs, cand_corpus, cand_batch, threshold_num, threshold_den, n
+    )
+
+
+def setsim_probe_stored(
+    docs: DataFrame,
+    batch_prefix: DataFrame,
+    corpus_prefix: DataFrame,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+    n: int = 5,
+) -> DataFrame:
+    """Probe-only q_dedup_setsim_inc with STORED indexes on BOTH sides
+    (VERDICT r11 #6): batch prefixes come from the per-ingest-shard
+    build_batch_prefix_index table instead of an in-probe window over
+    the whole batch's ~|batch| x |doc| posting set. Candidate joins
+    and the verify/classify tail are the registered query's own code;
+    statuses equal the registered run and the window-deriving probe
+    (tests/test_frozen_probe.py)."""
+    from fhir2sql_spark.queries.llm import (
+        _classify_new_batch,
+        _setsim_inc_candidates,
+    )
+
+    cand_corpus, cand_batch = _setsim_inc_candidates(
+        batch_prefix, corpus_prefix
+    )
+    return _classify_new_batch(
+        docs, cand_corpus, cand_batch, threshold_num, threshold_den, n
+    )
+
+
+def containment_probe_stored(
+    docs: DataFrame,
+    batch_prefix: DataFrame,
+    batch_full: DataFrame,
+    corpus_full: DataFrame,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+    n: int = 5,
+) -> DataFrame:
+    """Probe-only q_dedup_containment_inc with stored batch prefixes
+    AND stored batch full postings (both per-ingest-shard artifacts —
+    see build_batch_prefix_index / build_batch_posting_index)."""
+    from fhir2sql_spark.queries.llm import (
+        _classify_new_batch,
+        _containment_inc_candidates,
+    )
+
+    cand_corpus, cand_batch = _containment_inc_candidates(
+        batch_prefix,
+        corpus_full.select(
+            F.col("__sid").alias("__sid_b"), F.col("doc_id").alias("doc_b")
+        ),
+        batch_full.select(
+            F.col("__sid").alias("__sid_b"), F.col("doc_id").alias("doc_b")
+        ),
+    )
+    return _classify_new_batch(
+        docs,
+        cand_corpus,
+        cand_batch,
+        threshold_num,
+        threshold_den,
+        n,
+        containment=True,
     )
 
 

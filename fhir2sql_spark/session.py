@@ -45,6 +45,16 @@ def get_spark(app_name: str = "fhir2sql-spark") -> SparkSession:
         # keeps post-shuffle parallelism ~ cores at every scale; it is
         # the right trade for a latency-bound suite, not a local-only
         # tune.
+        # NOT set: spark.sql.join.preferSortMergeJoin=false (guide §9's
+        # production suggestion). Measured r12 on the full suite
+        # (same-session A/B, per-query host-normalized): geomean 0.964
+        # — the TPC-H block got uniformly slightly slower (q3
+        # 0.365->0.465 s, q7 0.432->0.548 s normalized); at this
+        # fixture's join sizes the SHJ build allocation costs more
+        # than the sort it removes, and at scale the unguarded build
+        # side risks OOM where sort-merge spills. Revisit only with
+        # maxShuffledHashJoinLocalMapThreshold sizing on a real
+        # cluster.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Arrow-batch even plain Python UDFs (Spark 4): cuts the
         # per-row pickle boundary of the q_udf_scalar-style slow path

@@ -100,6 +100,73 @@ def test_probe_statuses_equal_registered(spark, sf_dir, qname, probe_fn):
     assert got == want
 
 
+def test_sharded_batch_prefix_union_equals_full(spark, sf_dir):
+    """VERDICT r11 #6: batch prefixes are doc-local under the frozen
+    stats, so deriving them per ingest shard and unioning must emit
+    exactly the full-batch derivation — the property the stored
+    per-shard prefix table's correctness rests on."""
+    docs = _docs(spark, sf_dir)
+    is_new = F.col("doc_id") % 3 == 0
+    batch = docs.where(is_new)
+    stats = fz.corpus_token_stats(docs.where(~is_new))
+    full = sorted(
+        (r["doc_id"], r["__sid"])
+        for r in fz.build_batch_prefix_index(batch, stats, 1, 2, n=5).collect()
+    )
+    sharded: list = []
+    n_sh = 3
+    for s in range(n_sh):
+        shard = batch.where(F.expr(f"pmod(doc_id div 3, {n_sh}) = {s}"))
+        sharded.extend(
+            (r["doc_id"], r["__sid"])
+            for r in fz.build_batch_prefix_index(
+                shard, stats, 1, 2, n=5
+            ).collect()
+        )
+    assert sorted(sharded) == full and len(full) > 0
+
+
+def test_stored_prefix_probes_status_equal_registered(spark, sf_dir):
+    """The *_stored probe flavors (stored batch-side artifacts, no
+    in-probe windows) must classify identically to the registered
+    queries."""
+    docs = _docs(spark, sf_dir)
+    is_new = F.col("doc_id") % 3 == 0
+    batch, corpus = docs.where(is_new), docs.where(~is_new)
+    stats = fz.corpus_token_stats(corpus)
+    bp_set = fz.build_batch_prefix_index(batch, stats, 1, 2, n=5)
+    got = {
+        r["doc_id"]: r["status"]
+        for r in fz.setsim_probe_stored(
+            docs, bp_set, fz.build_setsim_prefix_index(corpus)
+        ).collect()
+    }
+    want = {
+        r["doc_id"]: r["status"]
+        for r in registry.QUERIES["q_dedup_setsim_inc"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == want
+    bp_con = fz.build_batch_prefix_index(batch, stats, 4, 5, n=5)
+    got_c = {
+        r["doc_id"]: r["status"]
+        for r in fz.containment_probe_stored(
+            docs,
+            bp_con,
+            fz.build_batch_posting_index(batch, n=5),
+            fz.build_containment_posting_index(corpus),
+        ).collect()
+    }
+    want_c = {
+        r["doc_id"]: r["status"]
+        for r in registry.QUERIES["q_dedup_containment_inc"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got_c == want_c
+
+
 @pytest.fixture(scope="module")
 def stored_indexes(spark, sf_dir, tmp_path_factory):
     wh = str(tmp_path_factory.mktemp("fzwh"))

@@ -38,6 +38,14 @@ def main() -> int:
     )
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--buckets", type=int, default=32)
+    ap.add_argument(
+        "--shards",
+        type=int,
+        default=4,
+        help="ingest shards for the *_stored families' batch-side "
+        "builds (each shard's prefix derivation is timed as its own "
+        "build — the per-ingest amortized cost)",
+    )
     args = ap.parse_args()
     fams = set(args.families.split(","))
     tag = Path(args.sf).name
@@ -74,31 +82,99 @@ def main() -> int:
             best = min(best, time.monotonic() - t0)
         print(f">>PROBE probe {qname} {tag} {best:.2f}s", flush=True)
 
-    needs_stats = fams & {"setsim", "containment", "containment_pos"}
+    batch = docs.where(F.col("doc_id") % 3 == 0)
+
+    def build_sharded(name: str, shard_df_fn, cols) -> None:
+        """Per-ingest-shard batch-side build (VERDICT r11 #6): each
+        shard's derivation is its own timed append — the cost ONE
+        ingest pays — into a single bucketed table."""
+        tname = f"fz_{name}_{tag}".replace(".", "_")
+        spark.sql(f"DROP TABLE IF EXISTS {tname}")
+        for s in range(args.shards):
+            shard = batch.where(
+                F.expr(f"pmod(doc_id div 3, {args.shards}) = {s}")
+            )
+            t0 = time.monotonic()
+            fz.persist_index(
+                shard_df_fn(shard),
+                tname,
+                f"{args.wh}/{tag}/{name}",
+                cols,
+                buckets=args.buckets,
+                mode="append" if s else "overwrite",
+            )
+            print(
+                f">>PROBE build {name}[shard{s}/{args.shards}] {tag} "
+                f"{time.monotonic() - t0:.2f}s",
+                flush=True,
+            )
+
+    needs_stats = fams & {
+        "setsim", "containment", "containment_pos",
+        "setsim_stored", "containment_stored",
+    }
     if needs_stats:
         build("stats", fz.corpus_token_stats(corpus), ("__sid",))
-    if "setsim" in fams:
+    if fams & {"setsim", "setsim_stored"}:
         build(
             "setsim_prefix",
             fz.build_setsim_prefix_index(corpus),
             ("__sid",),
         )
+    if "setsim" in fams:
         probe(
             "q_dedup_setsim_inc",
             lambda: fz.setsim_probe(
                 docs, tbl("stats"), tbl("setsim_prefix")
             ),
         )
-    if "containment" in fams:
+    if "setsim_stored" in fams:
+        build_sharded(
+            "setsim_batch_prefix",
+            lambda sh: fz.build_batch_prefix_index(
+                sh, tbl("stats"), threshold_num=1, threshold_den=2, n=5
+            ),
+            ("__sid",),
+        )
+        probe(
+            "q_dedup_setsim_inc[stored-prefix]",
+            lambda: fz.setsim_probe_stored(
+                docs, tbl("setsim_batch_prefix"), tbl("setsim_prefix")
+            ),
+        )
+    if fams & {"containment", "containment_stored"}:
         build(
             "contain_full",
             fz.build_containment_posting_index(corpus),
             ("__sid",),
         )
+    if "containment" in fams:
         probe(
             "q_dedup_containment_inc",
             lambda: fz.containment_probe(
                 docs, tbl("stats"), tbl("contain_full")
+            ),
+        )
+    if "containment_stored" in fams:
+        build_sharded(
+            "contain_batch_prefix",
+            lambda sh: fz.build_batch_prefix_index(
+                sh, tbl("stats"), threshold_num=4, threshold_den=5, n=5
+            ),
+            ("__sid",),
+        )
+        build_sharded(
+            "contain_batch_full",
+            lambda sh: fz.build_batch_posting_index(sh, n=5),
+            ("__sid",),
+        )
+        probe(
+            "q_dedup_containment_inc[stored-prefix]",
+            lambda: fz.containment_probe_stored(
+                docs,
+                tbl("contain_batch_prefix"),
+                tbl("contain_batch_full"),
+                tbl("contain_full"),
             ),
         )
     if "containment_pos" in fams:
