@@ -99,14 +99,30 @@ def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracled contract is the sketch's accuracy guarantee: the estimate
     must land within 5x the configured rsd (2%) of the exact count
     (far looser than the ~3*rsd tail bound, so deterministically true
-    on this data), which the oracle asserts as a constant TRUE."""
+    on this data), which the oracle asserts as a constant TRUE.
+
+    r12 (guide §2.3, measured from the committed plan): mixing the
+    sketch with COUNT(DISTINCT) in ONE agg makes Catalyst's distinct
+    rewrite group by o_custkey first — so the partial aggregate built
+    a 410-word HLL buffer PER DISTINCT KEY and the exchange carried
+    411 columns (~3.3 KB x |distinct keys|, sketch-per-key is also
+    exactly what breaks the operator's constant-memory argument at
+    100 TB). Split into two keyless aggregates, the sketch merges
+    map-side (one 410-word buffer per partition crosses) and the
+    exact count shuffles bare 8-byte keys; the 1-row results
+    broadcast-join. Result-identical: HLL insert/merge is a
+    commutative-idempotent max per bucket, so the merged sketch —
+    and the estimate — is a function of the key SET only."""
     o = load(spark, sf_dir, "orders")
-    approx = F.approx_count_distinct("o_custkey", rsd=0.02)
-    exact = F.countDistinct("o_custkey")
-    return o.agg(
-        exact.alias("exact_custs"),
+    ex = o.agg(F.countDistinct("o_custkey").alias("exact_custs"))
+    ac = o.agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("__approx")
+    )
+    exact = F.col("exact_custs")
+    return ex.crossJoin(F.broadcast(ac)).select(
+        "exact_custs",
         (
-            F.abs(approx.cast("double") - exact.cast("double"))
+            F.abs(F.col("__approx").cast("double") - exact.cast("double"))
             <= 0.10 * exact.cast("double")
         ).alias("within_tol"),
     )

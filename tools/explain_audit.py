@@ -116,6 +116,12 @@ CHECKS: list[tuple[str, str, str]] = [
     ("q_skyline", "!BroadcastNestedLoopJoin", "skyline never compares row pairs"),
     ("q_join_spatial", "!BroadcastNestedLoopJoin", "spatial join has no nested loop"),
     ("q_join_spatial", "!CartesianProduct", "spatial join has no cross join"),
+    # r12: the HLL sketch must never ride a per-key exchange — mixing
+    # approx_count_distinct with COUNT(DISTINCT) in one agg grouped by
+    # the key and shuffled a 410-word sketch per distinct custkey
+    # (411-column exchange); the split form's widest row is the single
+    # keyless 410-word partial per partition.
+    ("q_agg_approx", "!Input [411]", "no per-key HLL sketch exchange"),
     (
         "q_basket_pairs",
         "BroadcastHashJoin",
