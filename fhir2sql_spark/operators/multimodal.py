@@ -272,7 +272,7 @@ def phash_dedup_pairs(blobs: DataFrame, k: int = 4) -> DataFrame:
     codegen. At 100 TB the bucket exchange carries 8 rows per blob
     and candidates are collision-bounded — never all-pairs.
 
-    r11: ``bands`` is materialized once (serialized DISK_ONLY persist,
+    r11: ``bands`` is materialized once (serialized DISK_ONLY barrier,
     the fact-sized-reuse discipline from PLANS.md §pins). Without the
     barrier Catalyst's projection collapse INLINES the interpreted
     nested-HOF dHash derivation into all three consumers — in
@@ -280,10 +280,16 @@ def phash_dedup_pairs(blobs: DataFrame, k: int = 4) -> DataFrame:
     candidate pair re-derived BOTH blobs' full 72-byte grids and
     8x8-bit folds from hex (measured: 112 s executor CPU for 200
     blobs; 3 s after the barrier — guide §1.1 empirical loop). The
-    hash is now computed exactly once per blob."""
-    from pyspark.storagelevel import StorageLevel
+    hash is now computed exactly once per blob. r12 (VERDICT r11
+    hygiene #5): the barrier is the repo-standard lazy serialized
+    localCheckpoint instead of persist() — the old persist was never
+    unpersisted (a slow leak across a long-lived session) and
+    registered in the CacheManager (cross-query sharing hazard);
+    localCheckpoint blocks are released by the ContextCleaner when
+    the frame is garbage-collected."""
+    from fhir2sql_spark.operators.reuse import materialize_serialized
 
-    bands = dhash_bands(blobs).persist(StorageLevel.DISK_ONLY)
+    bands = materialize_serialized(dhash_bands(blobs))
     flat = bands.select(
         "blob_id", F.posexplode("bands").alias("band_no", "band")
     )
